@@ -1,0 +1,294 @@
+"""Codec unit tests — pytest mirror of the reference's 15 inline Rust
+tests (SURVEY.md §5): metadata (metadata.rs:187-224), value roundtrips
+(values/write.rs:276-407), JSON kernel (arrow-open-variant/src/
+json.rs:248-530). Pure Python, no Spark session needed."""
+
+import json
+
+import pytest
+
+from datafusion_functions_variant_spark import codec as c
+
+
+# --- metadata suite (metadata.rs:187-224) ---------------------------------
+
+
+def test_build_empty_metadata():
+    buf = c.build_metadata([])
+    m = c.Metadata(buf)
+    assert m.version == 1
+    assert m.sorted_strings
+    assert len(m) == 0
+    assert m.get_string(0) is None
+    assert m.find_string("anything") is None
+
+
+def test_build_metadata():
+    buf = c.build_metadata(["zebra", "apple", "mango", "apple"])  # dup + unsorted
+    m = c.Metadata(buf)
+    assert len(m) == 3
+    assert [m.get_string(i) for i in range(3)] == ["apple", "mango", "zebra"]
+    assert m.find_string("mango") == 1
+    assert m.find_string("missing") is None
+    # tolerates trailing bytes (metadata.rs:206-207)
+    m2 = c.Metadata(buf + b"\xff\xff\xff")
+    assert m2.find_string("zebra") == 2
+
+
+# --- value write/read roundtrips (values/write.rs:276-407) ----------------
+
+
+def test_write_bool():
+    for v in (True, False):
+        b = bytearray()
+        c.write_bool(b, v)
+        var = c.Variant(bytes(b))
+        assert var.basic_type == c.BASIC_PRIMITIVE
+        assert var.get_bool() is v
+    with pytest.raises(c.VariantError):
+        c.Variant(bytes([c.BASIC_PRIMITIVE | (c.PRIM_INT64 << 2)]) + b"\0" * 8).get_bool()
+
+
+def test_write_i64():
+    for v in (0, 1, -1, 2**63 - 1, -(2**63)):
+        b = bytearray()
+        c.write_i64(b, v)
+        assert c.Variant(bytes(b)).get_i64() == v
+
+
+def test_write_int_ladder():
+    for v, tid in [(5, c.PRIM_INT8), (-129, c.PRIM_INT16), (70000, c.PRIM_INT32), (2**40, c.PRIM_INT64)]:
+        b = bytearray()
+        c.write_int(b, v)
+        var = c.Variant(bytes(b))
+        assert var.primitive_type_id == tid
+        assert var.get_int() == v
+
+
+def test_write_f64():
+    for v in (0.0, -1.5, 3.141592653589793, 1e308):
+        b = bytearray()
+        c.write_f64(b, v)
+        assert c.Variant(bytes(b)).get_f64() == v
+
+
+def test_write_decimal():
+    # width chosen by |unscaled| inclusive — the §1.3 bug-fix behavior
+    cases = [
+        (12345, 2, c.PRIM_DECIMAL4),
+        (2**31 - 1, 0, c.PRIM_DECIMAL4),
+        (-(2**31) - 5, 3, c.PRIM_DECIMAL8),  # ref bug would mis-size this
+        (2**62, 10, c.PRIM_DECIMAL8),
+        (2**100, 38, c.PRIM_DECIMAL16),
+        (-(2**100), 1, c.PRIM_DECIMAL16),
+    ]
+    for unscaled, scale, tid in cases:
+        b = bytearray()
+        c.write_decimal(b, unscaled, scale)
+        var = c.Variant(bytes(b))
+        assert var.primitive_type_id == tid
+        assert var.get_decimal() == (unscaled, scale)
+    with pytest.raises(c.VariantError):
+        c.write_decimal(bytearray(), 1, 39)
+
+
+def test_write_object():
+    meta = c.Metadata(c.build_metadata(["age", "name", "score"]))
+    ob = c.ObjectBuilder(meta)
+    # insert out of key order — finish() must sort by field id
+    ob.append_string("name", "ada")
+    ob.append_i64("age", 36)
+    ob.append_f64("score", 9.5)
+    buf = ob.finish()
+    var = c.Variant(buf)
+    assert var.basic_type == c.BASIC_OBJECT
+    obj = var.get_object()
+    assert obj.n == 3
+    ids = [obj.get_field_id(i) for i in range(3)]
+    assert ids == sorted(ids)
+    assert obj.get_field(meta.find_string("age")).get_i64() == 36
+    assert obj.get_field(meta.find_string("name")).get_string() == "ada"
+    assert obj.get_field(meta.find_string("score")).get_f64() == 9.5
+    # missing field → None (write.rs:367)
+    assert obj.get_field(999) is None
+    # unknown key is a hard error (write.rs:347-349)
+    with pytest.raises(c.VariantError):
+        ob2 = c.ObjectBuilder(meta)
+        ob2.append_i64("nope", 1)
+
+
+def test_write_array():
+    ab = c.ArrayBuilder()
+    for writer, val in [
+        (c.write_i64, 7),
+        (c.write_string, "hello"),
+        (c.write_bool, True),
+        (c.write_f64, 2.5),
+    ]:
+        b = bytearray()
+        writer(b, val)
+        ab.append_value(bytes(b))
+    b = bytearray()
+    c.write_null(b)
+    ab.append_value(bytes(b))
+    buf = ab.finish()
+    arr = c.Variant(buf).get_array()
+    assert arr.n == 5
+    assert arr.get_element(0).get_i64() == 7
+    assert arr.get_element(1).get_string() == "hello"
+    assert arr.get_element(2).get_bool() is True
+    assert arr.get_element(3).get_f64() == 2.5
+    assert arr.get_element(4).is_null()
+    # OOB → None (write.rs:405)
+    assert arr.get_element(5) is None
+    assert arr.get_element(-1) is None
+
+
+def test_array_offset_width_sized_by_bytes():
+    # >127 bytes of payload across few elements: reference bug would
+    # overflow 1-byte offsets; spec'd behavior widens them.
+    ab = c.ArrayBuilder()
+    for i in range(3):
+        b = bytearray()
+        c.write_string(b, "x" * 100)
+        ab.append_value(bytes(b))
+    arr = c.Variant(ab.finish()).get_array()
+    assert arr.n == 3
+    assert arr.get_element(2).get_string() == "x" * 100
+
+
+def test_large_array_and_object():
+    ab = c.ArrayBuilder()
+    for i in range(300):
+        b = bytearray()
+        c.write_i64(b, i)
+        ab.append_value(bytes(b))
+    arr = c.Variant(ab.finish()).get_array()
+    assert arr.n == 300
+    assert arr.get_element(299).get_i64() == 299
+
+    keys = [f"k{i:04d}" for i in range(200)]
+    meta = c.Metadata(c.build_metadata(keys))
+    ob = c.ObjectBuilder(meta)
+    for i, k in enumerate(keys):
+        ob.append_i64(k, i)
+    obj = c.Variant(ob.finish()).get_object()
+    assert obj.n == 200
+    assert obj.get_field(meta.find_string("k0150")).get_i64() == 150
+
+
+# --- JSON kernel (json.rs:248-530) -----------------------------------------
+
+
+def roundtrip(texts):
+    meta_buf, values = c.batch_from_json(texts)
+    out = []
+    for v in values:
+        out.append(None if v is None else c.to_python(c.Variant(v), c.Metadata(meta_buf)))
+    return meta_buf, values, out
+
+
+def test_nulls():
+    # top-level JSON null → slot null; nested null → variant Null
+    meta_buf, values, out = roundtrip(['null', '{"a": null}', None])
+    assert values[0] is None  # json.rs:185-196 special case
+    assert out[1] == {"a": None}
+    assert values[2] is None
+
+
+def test_boolean():
+    _, _, out = roundtrip(["true", "false"])
+    assert out == [True, False]
+
+
+def test_numbers():
+    _, _, out = roundtrip(["0", "42", "-7", str(2**62)])
+    assert out == [0, 42, -7, 2**62]
+
+
+def test_big_integers():
+    big = 2**100
+    meta_buf, values, out = roundtrip([str(big), str(-big)])
+    assert out == [big, -big]
+    v = c.Variant(values[0])
+    assert v.primitive_type_id == c.PRIM_DECIMAL16  # json.rs:213-218
+    with pytest.raises(c.VariantError):
+        c.batch_from_json([str(2**200)])
+
+
+def test_floats():
+    _, _, out = roundtrip(["1.5", "-0.25", "1e10"])
+    assert out == [1.5, -0.25, 1e10]
+
+
+def test_strings():
+    _, _, out = roundtrip(['"hello"', '"\\u00e9l\\u00e8ve"', '""'])
+    assert out == ["hello", "élève", ""]
+
+
+def test_objects():
+    # key order in source JSON must not matter (json.rs:364)
+    m1, v1, o1 = roundtrip(['{"a": 1, "b": 2}'])
+    m2, v2, o2 = roundtrip(['{"b": 2, "a": 1}'])
+    assert o1 == o2 == [{"a": 1, "b": 2}]
+    assert v1 == v2  # byte-identical thanks to sorted dictionary + ids
+    _, _, out = roundtrip(['{"outer": {"inner": [1, {"deep": true}]}}'])
+    assert out == [{"outer": {"inner": [1, {"deep": True}]}}]
+
+
+def test_arrays():
+    _, _, out = roundtrip(['[1, "two", 3.5, null, [4, 5], {"six": 6}]'])
+    assert out == [[1, "two", 3.5, None, [4, 5], {"six": 6}]]
+    _, _, out = roundtrip(["[]"])
+    assert out == [[]]
+
+
+def test_batch_shared_metadata():
+    # one dictionary for the whole batch = union of all rows' keys
+    meta_buf, values, _ = roundtrip(['{"k1": 1}', '{"k2": 2}', "[]"])
+    m = c.Metadata(meta_buf)
+    assert len(m) == 2
+    assert m.find_string("k1") == 0
+    assert m.find_string("k2") == 1
+
+
+def test_parsing_error():
+    with pytest.raises(c.VariantError):
+        c.batch_from_json(['{"ok": 1}', "{not json"])  # batch fails (json.rs:42-48)
+
+
+def test_to_json_roundtrip():
+    src = '{"a":[1,2.5,"x",null,true],"b":{"c":-3}}'
+    meta_buf, values, _ = roundtrip([src])
+    assert json.loads(c.to_json_str(values[0], meta_buf)) == json.loads(src)
+
+
+def test_get_path():
+    meta_buf, values, _ = roundtrip(['{"a": {"b": [10, {"c": "hit"}]}, "d": 4}'])
+    v, m = values[0], meta_buf
+    assert c.get_path(v, m, "$.a.b[1].c") == "hit"
+    assert c.get_path(v, m, "$.d") == 4
+    assert c.get_path(v, m, "$.a.b[0]") == 10
+    assert c.get_path(v, m, "$.missing") is None
+    assert c.get_path(v, m, "$.a.b[9]") is None
+    assert c.get_path(v, m, "$['a']['b'][0]") == 10
+    with pytest.raises(c.VariantError):
+        c.parse_json_path("a.b")
+
+
+def test_type_names():
+    cases = [
+        ("null", None),
+        ("true", "boolean"),
+        ("1", "bigint"),
+        ("1.5", "double"),
+        ('"s"', "string"),
+        ("[1]", "array"),
+        ('{"a":1}', "object"),
+    ]
+    meta_buf, values, _ = roundtrip([t for t, _ in cases])
+    for (txt, expect), v in zip(cases, values):
+        if expect is None:
+            assert v is None
+        else:
+            assert c.Variant(v).type_name() == expect
