@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count-consuming action (noop write would
+skew toward output cost; ``count`` after a deterministic plan forces
+full execution of scans, joins, aggs, windows). Wall-clock per query,
+total reported as the headline value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+HEADLINE = [
+    # name -> should cover: variant parse+extract, scan-agg, join, window
+    "variant_events_agg",
+    "variant_explicit_codec",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_top3_orders_per_customer",
+    "window_lag_lead_events",
+    "rollup_order_status",
+    "distinct_agg_suppliers",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+
+    from datafusion_functions_variant_spark.plans.session import get_session
+    from datafusion_functions_variant_spark.queries import load_all_queries
+
+    spark = get_session(app_name="bench", master=f"local[{cpus}]",
+                        shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all_queries()
+
+    # warm up the JVM + parquet footers once with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        df = spec.build(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

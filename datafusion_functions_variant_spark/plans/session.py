@@ -1,0 +1,67 @@
+"""SparkSession construction and tuning.
+
+One place for every conf that matters at scale, so local tests and a
+real 1000-executor cluster share the same knobs:
+
+* **AQE on** (coalesce shuffle partitions, skew-join splitting) — at
+  100 TB the static shuffle-partition count is always wrong; AQE
+  re-plans from runtime stats.
+* **Adaptive + static shuffle partitions** sized for the local test
+  box by default; on a cluster, override ``shuffle_partitions`` to
+  ~2-3x total cores.
+* **Arrow enabled** for every pandas_udf / mapInPandas boundary (the
+  explicit-codec track's JVM<->Python channel).
+* **nanosAsLong** — the events table carries timestamp[ns] parquet,
+  which Spark 4 otherwise refuses to read (see sources/tables.py for
+  the normalization).
+* **UTC session timezone** — deterministic timestamp semantics across
+  engines (DuckDB oracle parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to ANY session (including one the
+#: test driver created) before reading the test tables.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build; builder path covers it
+    return spark
+
+
+def get_session(
+    app_name: str = "datafusion-functions-variant-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # files.maxPartitionBytes default 128m is right for the 100 TB
+        # target; do not shrink it for tiny local files — AQE coalesces.
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,172 @@
+"""Variant-surface queries — the reference's core capability expressed
+as Spark queries over the events table (props is a JSON string column).
+
+Track N queries use native parse_json/variant_get (Catalyst-optimized,
+whole-stage codegen). Track C queries run the explicit pandas-UDF codec
+end-to-end so its correctness is gated by the same DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import explicit
+from ..sources.tables import load_table
+from . import davg_sql, dsum, dsum_sql, isum, isum_sql, query
+
+
+@query(
+    "variant_events_agg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {isum_sql("CAST(props->>'$.k' AS BIGINT)", "sum_k")},
+           {dsum_sql("value", "sum_value")}
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: JSON ingestion → variant path extraction → aggregation.
+
+    The end-to-end slice of the reference's purpose: parse_json is its
+    ``variant_from_json`` kernel (json.rs:38-81), variant_get its
+    dictionary-lookup + tree-walk read path (metadata.rs:162-184,
+    read.rs:87-93). Scale: parse+extract are per-row, shuffle only
+    carries the 5 grouping keys' partial aggregates (map-side combine).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.variant_get(F.parse_json("props"), "$.k", "bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            isum("k", "sum_k"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "variant_get_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_big,
+           CAST(props->>'$.k' AS DOUBLE) AS k_dbl,
+           props->>'$.k' AS k_str,
+           CAST(props->>'$.missing' AS BIGINT) AS k_missing
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def variant_get_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed getters (reference A15-A19): one extraction per target
+    type, plus absent-path → NULL semantics (read.rs:156-171 None)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_big"),
+        F.variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+    ).orderBy("event_id")
+
+
+@query(
+    "variant_filter_pushdown",
+    oracle="""
+    SELECT event_id, user_id, CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) > 90 AND event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def variant_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate over an extracted variant field + a pushable column
+    predicate (event_type reaches the parquet scan as PushedFilters)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn("k", F.variant_get(F.parse_json("props"), "$.k", "bigint"))
+        .where(F.col("k") > 90)
+        .select("event_id", "user_id", "k")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "variant_explicit_codec",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           props->>'$.k' AS k_str,
+           json_type(props) = 'OBJECT' AS root_is_obj
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def variant_explicit_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track C end-to-end: pandas-UDF JSON→variant kernel with a
+    batch-shared dictionary (json.rs:51-63), typed path extraction and
+    typeof through OUR binary codec — gated by the same SQL oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("var", explicit.variant_from_json(F.col("props")))
+    return v.select(
+        "event_id",
+        explicit.variant_get("var", "$.k", "bigint").alias("k"),
+        explicit.variant_get("var", "$.k", "string").alias("k_str"),
+        (explicit.variant_typeof(F.col("var")) == F.lit("object")).alias("root_is_obj"),
+    ).orderBy("event_id")
+
+
+@query(
+    "variant_tolerant_parse",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE json_valid(props)) AS BIGINT) AS n_valid,
+           CAST(COUNT(*) FILTER (WHERE NOT json_valid(props)) AS BIGINT) AS n_invalid
+    FROM events
+    """,
+)
+def variant_tolerant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_parse_json semantics: malformed rows → NULL instead of the
+    reference's batch-fail (json.rs:42-48 documents the strict mode)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(F.try_parse_json("props").alias("v"))
+    return parsed.agg(
+        F.count("v").cast("long").alias("n_valid"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("long").alias("n_invalid"),
+    )
+
+
+@query(
+    "variant_events_daily",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           {davg_sql("value", "avg_value")}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def variant_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup over the event stream table (ts arrives as
+    raw parquet NANOS; sources/tables.py normalizes to timestamp)."""
+    from . import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), davg("value", "avg_value"))
+        .orderBy("day", "event_type")
+    )

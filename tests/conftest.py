@@ -1,0 +1,45 @@
+"""Shared fixtures: one local SparkSession per test session, DuckDB
+oracle connection with the driver's pre-registered views."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_MED = os.environ.get("TEST_SF_DIR_MED", "/root/testdata/sf0.01")
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from datafusion_functions_variant_spark.plans.session import get_session
+
+    s = get_session(app_name="pytest", master="local[8]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck():
+    return make_duck(SF_DIR)
