@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as the task demands:
+
+* **Brute-force top-k** — exact; query set broadcast against the full
+  corpus. The inner product runs JVM-side via zip_with/aggregate (no
+  Python in the loop). The oracle-checkable variant accumulates in
+  DECIMAL so Spark and DuckDB agree bit-for-bit; the fast variant
+  accumulates in double (same plan, cheaper arithmetic).
+* **LSH-bucketed top-k** — the scale path: random-hyperplane signs
+  (SimHash for cosine) computed from deterministic md5-derived
+  projections bucket the corpus; candidates only join within a
+  bucket. Recall is tunable by number of planes/tables.
+
+At 100 TB: corpus stays partitioned, queries broadcast; the top-k per
+query uses a ranking window over (query, candidates-in-bucket), never
+a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot_decimal(qcol: str, ecol: str) -> F.Column:
+    """Exact inner product: per-element double product (IEEE —
+    identical on any engine) rounded into DECIMAL(30,15), then exact
+    decimal summation. Engine-order-independent."""
+    prods = F.zip_with(
+        qcol,
+        ecol,
+        lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(30,15)"),
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(30,15)"),
+        lambda acc, v: (acc + v).cast("decimal(30,15)"),
+    ).cast("double")
+
+
+def _dot_double(qcol: str, ecol: str) -> F.Column:
+    """Fast inner product in double (left-to-right fold)."""
+    prods = F.zip_with(qcol, ecol, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """Exact top-k by inner product: (query_id, vec_id, dot, rank).
+
+    queries is broadcast (it's the small side by construction); the
+    cross join then never shuffles the corpus. Rank ties break by
+    vec_id so results are total-ordered.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    dot = _dot_decimal("_qvec", "_cvec") if exact else _dot_double("_qvec", "_cvec")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", dot.alias("dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot", "rank")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity (double math, fast path)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    norm = lambda col: F.sqrt(_dot_double(col, col))  # noqa: E731
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (_dot_double("_qvec", "_cvec") / (norm("_qvec") * norm("_cvec"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from md5 bytes
+    (no RNG: reproducible across runs and engines)."""
+    import hashlib
+
+    vals: list[float] = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"plane:{plane}:{i}".encode()).digest()
+        for b in h:
+            vals.append((b - 127.5) / 127.5)
+            if len(vals) == dim:
+                break
+        i += 1
+    return vals
+
+
+def lsh_bucket_signatures(
+    df: DataFrame, vec_col: str = "embedding", num_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Random-hyperplane LSH: sign bits of <v, plane_p> → bucket id.
+
+    Adds a ``bucket`` column (0..2^planes-1). Vectors with high cosine
+    land in the same bucket with probability (1 - theta/pi)^planes.
+    """
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return df.withColumn("bucket", sig)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket.
+
+    The equi-join on bucket replaces the cross join — at N corpus
+    vectors and B buckets the candidate set shrinks ~B-fold. Returns
+    (query_id, vec_id, cosine, rank); recall < 1 by design.
+    """
+    cb = lsh_bucket_signatures(corpus, vec_col, num_planes, dim).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"), "bucket"
+    )
+    qb = lsh_bucket_signatures(queries, vec_col, num_planes, dim).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "bucket"
+    )
+    norm = lambda col: F.sqrt(_dot_double(col, col))  # noqa: E731
+    scored = cb.join(F.broadcast(qb), "bucket").select(
+        "query_id",
+        "vec_id",
+        (_dot_double("_qvec", "_cvec") / (norm("_qvec") * norm("_cvec"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

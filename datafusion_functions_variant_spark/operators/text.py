@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines: quality
+scoring, language-ID heuristic, token counting, document
+fingerprinting. All pure DataFrame expressions (JVM-side, oracle-
+reproducible); no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+#: Deterministic and engine-portable (plain IN-list membership).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "une"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-ish placeholders
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+TOKEN_REGEX = "[a-z0-9]+"
+
+
+def words(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda w: F.length(w) > 0)
+
+
+def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features: lengths, word stats, character-
+    class ratios, stopword ratio. The classic cheap quality filters
+    (C4/Gopher-style) as one projection."""
+    w = words(text_col)
+    n_words = F.size(w)
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_calc"),
+        n_words.cast("long").alias("n_words"),
+        (n_chars.cast("double") / n_words).alias("chars_per_word"),
+        (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
+        (stop_hits.cast("double") / n_words).alias("stopword_ratio"),
+        (n_words >= 20).alias("passes_min_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-lexicon language ID: score = #marker-word hits per
+    language; argmax with lexicographic tie-break; 'und' when all 0."""
+    def member_of(markers):
+        # NOTE: F.filter treats a 2-arg lambda as (element, index) —
+        # capture the marker list via closure, keep the lambda unary.
+        def pred(x):
+            cond = F.lit(False)
+            for m in markers:
+                cond = cond | (x == F.lit(m))
+            return cond
+
+        return pred
+
+    w = words(text_col)
+    scores = {
+        lang: F.size(F.filter(w, member_of(markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax with deterministic tie-break: iterate langs sorted, keep
+    # strictly-greater winner
+    langs = sorted(scores)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in langs:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    out = df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+    )
+    return out.withColumn(
+        "lang_pred",
+        _argmax_expr([f"score_{lang}" for lang in langs], langs),
+    )
+
+
+def _argmax_expr(score_cols: list[str], labels: list[str]) -> F.Column:
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for col, label in zip(score_cols, labels):
+        is_better = F.col(col) > best_score
+        best_lang = F.when(is_better, F.lit(label)).otherwise(best_lang)
+        best_score = F.when(is_better, F.col(col)).otherwise(best_score)
+    return best_lang
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and regex tokens
+    (a BPE-ish lower bound: alnum runs)."""
+    return df.select(
+        F.col(id_col),
+        F.size(words(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8, k: int = 5
+) -> DataFrame:
+    """Winnowing-style fingerprint: md5 each char n-gram, keep the k
+    smallest hashes, fingerprint = md5 of their concatenation.
+
+    Robust to local edits (only grams near the edit change, rarely
+    all k minima). Explode + ranking window + ordered re-concat; all
+    engine-portable."""
+    from .dedup import char_ngrams
+
+    grams = char_ngrams(df, text_col, id_col, n=n)
+    hashed = grams.select(F.col(id_col), F.md5("g").alias("h"))
+    w = Window.partitionBy(id_col).orderBy("h")
+    topk = hashed.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    return (
+        topk.groupBy(id_col)
+        .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("fingerprint"))
+    )

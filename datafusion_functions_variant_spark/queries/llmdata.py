@@ -1,4 +1,351 @@
-"""LLM-training-data pipeline operators (dedup, similarity, text
-analysis, multimodal) — filled in incrementally; see operators/."""
+"""LLM-training-data pipeline queries: deduplication (exact, MinHash-
+LSH, verified Jaccard, SimHash), embedding similarity search, text
+quality/language/token analysis, document fingerprinting, multimodal
+binary plumbing.
+
+Every algorithm is built from md5-derived hashes and decimal-exact
+arithmetic, so the DuckDB oracle reproduces results bit-for-bit — the
+dedup pipeline itself is under the same correctness gate as the
+relational queries. The heavy lifting lives in operators/
+{dedup,similarity,text,multimodal}.py; these are thin bindings.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..sources.tables import load_table
+from . import query
+
+# Shared oracle CTE: distinct char-8-grams per document.
+_GRAMS_CTE = """
+grams AS (
+  SELECT DISTINCT doc_id, substr(text, t.i::INT, 8) AS g
+  FROM documents, range(1, 5001) t(i)
+  WHERE t.i <= len(text) - 7
+)"""
+
+_SIGS_CTE = (
+    _GRAMS_CTE
+    + """,
+sigs AS (
+  SELECT doc_id,
+         """
+    + ",\n         ".join(f"min(md5('{h}:' || g)) AS mh{h}" for h in range(8))
+    + """
+  FROM grams GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, md5(mh4 || mh5 || mh6 || mh7) AS band_hash FROM sigs
+),
+candidates AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+)
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g')) AS content_hash,
+           CAST(MIN(event_id) AS BIGINT) AS keeper_id,
+           COUNT(*) - 1 AS n_dupes
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash (events.props has heavy
+    duplication): keeper = min id per group. One uniform shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.exact_dedup_groups(ev, "props", "event_id").orderBy("content_hash")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SIGS_CTE}
+    SELECT doc_a, doc_b, n_shared_bands FROM candidates
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms)-LSH(2 bands x 4 rows) candidate pairs over
+    char-8-gram sets of documents. Bucket join, not all-pairs: the
+    shuffle key is the band hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = dedup.char_ngrams(docs, "text", "doc_id", n=8)
+    sigs = dedup.minhash_signatures(grams, "doc_id", num_hashes=8)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query(
+    "dedup_near_verified",
+    oracle=f"""
+    WITH {_SIGS_CTE},
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM candidates c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_inter) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard >= 0.9 — the
+    full near-dup pipeline: explode → sign → band → bucket-join →
+    verify only candidates (never all pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = dedup.char_ngrams(docs, "text", "doc_id", n=8)
+    sigs = dedup.minhash_signatures(grams, "doc_id", num_hashes=8)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).select(
+        "doc_a", "doc_b"
+    )
+    return dedup.verified_near_dups(grams, cands, "doc_id", threshold=0.9).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, (('0x' || substr(md5(w), 1, 15))::UBIGINT)::BIGINT AS h
+      FROM words WHERE len(w) > 0
+    ),
+    bits AS (
+      SELECT doc_id, t.j,
+             SUM(CASE WHEN (h >> t.j::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, range(0, 60) t(j)
+      GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit, word-frequency weighted) near-dup pairs with
+    Hamming <= 4 (planted dups sit at <=1-6; random pairs median 19)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(docs, "text", "doc_id")
+    return (
+        dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "similarity_dot_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    prods AS (
+      SELECT q.query_id, e.vec_id,
+             SUM(CAST(CAST(q.embedding[t.i::INT] AS DOUBLE)
+                      * CAST(e.embedding[t.i::INT] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS dot_dec
+      FROM embeddings e, q, range(1, 257) t(i)
+      WHERE t.i <= len(e.embedding)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, CAST(dot_dec AS DOUBLE) AS dot, rank FROM (
+      SELECT query_id, vec_id, dot_dec,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_dec DESC, vec_id) AS rank
+      FROM prods
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN baseline: exact top-3 by inner product for 5
+    query vectors against the whole corpus. Inner product accumulates
+    in DECIMAL so both engines agree exactly; queries broadcast, corpus
+    never shuffles (see operators/similarity.py for the LSH scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries_df, k=3, exact=True).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("similarity_lsh_topk", oracle=None)  # approximate: rows-only check
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random-hyperplane cosine): the
+    100 TB path — candidates restricted to the query's sign-bucket.
+    Approximate by design → no SQL oracle; driver checks rows/schema."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return similarity.lsh_bucketed_topk(
+        emb, queries_df, k=3, num_planes=4, dim=64
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "text_quality_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(text)::BIGINT AS n_chars_calc,
+           len(list_filter(string_split(text, ' '), w -> len(w) > 0))::BIGINT AS n_words,
+           len(text)::DOUBLE
+             / len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS chars_per_word,
+           len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / len(text) AS alpha_ratio,
+           len(list_filter(string_split(text, ' '),
+                           w -> w IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+             / len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS stopword_ratio,
+           len(list_filter(string_split(text, ' '), w -> len(w) > 0)) >= 20 AS passes_min_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (C4/Gopher-style cheap filters):
+    char/word counts, chars-per-word, alpha ratio, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_stats(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ein')))::BIGINT AS score_de,
+             len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to')))::BIGINT AS score_en,
+             len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','los')))::BIGINT AS score_es,
+             len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','des','une')))::BIGINT AS score_fr,
+             len(list_filter(string_split(text,' '), w -> w IN ('de5','shi4','le5','zai4','he2')))::BIGINT AS score_zh
+      FROM documents
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID heuristic: per-language hit counts,
+    argmax with alphabetical tie-break, 'und' when no markers hit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(list_filter(string_split(text,' '), w -> len(w) > 0))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS re_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens and
+    regex (BPE-ish alnum-run) tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = text.token_counts(docs, "text", "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+            F.sum("re_tokens").cast("long").alias("re_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    hashed AS (SELECT doc_id, md5(g) AS h FROM grams),
+    topk AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rnk
+        FROM hashed) WHERE rnk <= 5
+    )
+    SELECT doc_id, md5(string_agg(h, '' ORDER BY h)) AS fingerprint
+    FROM topk GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: md5 of the 5 smallest
+    char-8-gram hashes — stable under small local edits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprints(docs, "text", "doc_id", n=8, k=5).orderBy("doc_id")
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           substr(lower(hex(encode(text))), 1, 8) AS magic_hex
+    FROM documents
+    ORDER BY asset_id
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on synthetic payloads (utf-8 bytes of text
+    stand in for image bytes — real decoders are stubbed, see
+    operators/multimodal.py): binary column → mapInPandas feature
+    extraction (mime sniff, size, content hash, magic bytes)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    return multimodal.featurize_binary(docs, "payload", "doc_id").orderBy("asset_id")
+
+
+@query("multimodal_frame_sample", oracle=None)  # mapInPandas fan-out: rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame-sampling plumbing: one row per sampled frame
+    index, deterministic fake frame hashes (decoder stubbed)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    return multimodal.frame_sample_plan(docs, "payload", "doc_id", every_n=3).orderBy(
+        "asset_id", "frame_idx"
+    )

@@ -1,0 +1,185 @@
+"""Structured Streaming layer (SURVEY.md §2 Part B row 11 — the
+reference has no streaming at all; this is the Spark-first capability
+the never-written DataFusion crate could not have had).
+
+Pattern: every streaming operator is a transformation over an
+event-time stream; for the driver's batch-comparison gate we execute
+the stream with ``Trigger.AvailableNow`` into a memory sink and hand
+back the materialized result. Semantics that matter:
+
+* Event time = events.ts (parquet NANOS → LongType → timestamp_micros).
+* Watermark delay bounds state: append-mode windows emit only once
+  the watermark (max event time - delay) passes the window end —
+  windows still inside the delay at end-of-input are withheld. The
+  oracles reproduce this cutoff condition in SQL.
+* One input file → one data micro-batch + a final watermark-flush
+  batch, so results are deterministic.
+
+At scale the same code runs on Kafka/file streams with real triggers;
+nothing here is test-only except run_to_batch's memory sink.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Physical schema of events.parquet as Spark reads it (ts = raw nanos).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_SINK_COUNTER = [0]
+_SINK_LOCK = threading.Lock()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file stream with a proper event-time col."""
+    from ..plans.session import tune
+
+    tune(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .format("parquet")
+        .load(os.path.join(sf_dir, "events.parquet"))
+    )
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.expr("timestamp_micros(ts_ns div 1000)")
+    )
+
+
+def run_to_batch(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming plan to completion (AvailableNow) into a
+    memory sink; return the materialized rows as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    with _SINK_LOCK:
+        _SINK_COUNTER[0] += 1
+        name = f"stream_sink_{_SINK_COUNTER[0]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", delay: str = "1 minute") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, window: str = "1 hour", slide: str = "30 minutes", delay: str = "1 minute"
+) -> DataFrame:
+    """Watermarked sliding-window event counts."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes", delay: str = "1 minute") -> DataFrame:
+    """Session windows per user: merge events within `gap`."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup_count(stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Stateful exact dedup on content within the watermark horizon:
+    dropDuplicatesWithinWatermark keyed by the normalized content
+    hash, then a global count (update mode)."""
+    hashed = stream.withWatermark("ts", delay).withColumn(
+        "content_hash", F.md5(F.regexp_replace(F.trim(F.lower("props")), r"\s+", " "))
+    )
+    deduped = hashed.dropDuplicatesWithinWatermark(["content_hash"])
+    return deduped.groupBy().agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+def stateful_running_max(stream: DataFrame, delay: str = "1 minute") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running max(value) and event count, emitted on every update."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_seen", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = (state.get if state.exists else (0, float("-inf")))
+        import pandas as pd
+
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_seen": [n], "max_value": [mx]})
+
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
