@@ -1,4 +1,152 @@
-"""Structured Streaming operator coverage — filled in incrementally;
-see streaming/."""
+"""Structured Streaming queries, executed to completion (AvailableNow)
+and compared against batch-SQL oracles that reproduce the watermark
+semantics: append-mode windows emit iff window_end <= max(ts) - delay
+(verified empirically: 867/868 one-hour windows at sf0.001).
+
+The reference has no streaming (SURVEY.md §2 Part B row 11) — this
+layer is pure Spark capability: watermarks, tumbling/sliding/session
+windows, stateful dedup, applyInPandasWithState.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import core
+from . import dsum_sql, query
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS mt FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql("value", "sum_value")}
+    FROM events, mx
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= mt - INTERVAL '1 minute'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1h windows per event_type over the event
+    stream; append mode → only watermark-finalized windows emit."""
+    st = core.read_events_stream(spark, sf_dir)
+    out = core.run_to_batch(core.tumbling_counts(st, "1 hour", "1 minute"), "append")
+    return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mt FROM events),
+    assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - (k.k * INTERVAL '30 minutes') AS win_start, ts
+      FROM events, (VALUES (0), (1)) k(k)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
+    FROM assigned, mx
+    WHERE win_start + INTERVAL '1 hour' <= mt - INTERVAL '1 minute'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30min: each event lands in 2 windows;
+    oracle assigns via two shifted 30-minute buckets."""
+    st = core.read_events_stream(spark, sf_dir)
+    out = core.run_to_batch(core.sliding_counts(st, "1 hour", "30 minutes", "1 minute"), "append")
+    return out.orderBy("window_start")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mt FROM events),
+    gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ),
+    agg AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM agg, mx
+    WHERE session_end <= mt - INTERVAL '1 minute'
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — the oracle
+    sessionizes with a lag/cumsum window and applies the same
+    watermark cutoff (session_end = last_ts + gap <= max_ts - delay)."""
+    st = core.read_events_stream(spark, sf_dir)
+    out = core.run_to_batch(core.session_windows(st, "30 minutes", "1 minute"), "append")
+    return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup_count",
+    oracle=r"""
+    SELECT CAST(COUNT(DISTINCT md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g'))) AS BIGINT)
+           AS n_unique
+    FROM events
+    """,
+)
+def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark on the
+    content hash) → count of unique payloads. Update-mode sink may
+    hold one row per micro-batch; the final (max) value is the
+    answer."""
+    st = core.read_events_stream(spark, sf_dir)
+    out = core.run_to_batch(core.streaming_dedup_count(st, "10 minutes"), "update")
+    return out.agg(F.max("n_unique").cast("long").alias("n_unique"))
+
+
+@query(
+    "stream_stateful_running_max",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_seen,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running count + max(value); the last update per user equals the
+    batch aggregate. Exercises the arbitrary-state API the reference
+    category 'custom stateful operators' maps to."""
+    st = core.read_events_stream(spark, sf_dir)
+    out = core.run_to_batch(core.stateful_running_max(st, "1 minute"), "update")
+    # keep the final state per user (n_seen is monotonic)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.max(F.col("max_value").cast("decimal(18,2)")).cast("double").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )

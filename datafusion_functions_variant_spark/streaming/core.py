@@ -55,10 +55,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.session import tune
 
     tune(spark)
+    # FileStreamSource requires a directory; pathGlobFilter narrows it
+    # to the events table only.
     raw = (
         spark.readStream.schema(EVENTS_FILE_SCHEMA)
         .format("parquet")
-        .load(os.path.join(sf_dir, "events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
     )
     return raw.withColumnRenamed("ts", "ts_ns").withColumn(
         "ts", F.expr("timestamp_micros(ts_ns div 1000)")
