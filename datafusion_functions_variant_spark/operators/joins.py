@@ -1,0 +1,78 @@
+"""Join operators Spark lacks as primitives: as-of join and banded
+range join (SURVEY.md §2 Part B row 4 'as-of/range').
+
+Both are compositions of existing DataFrame ops — no UDFs, no
+mapPartitions — so Catalyst keeps full visibility.
+
+**As-of join** uses the union-merge formulation, the scalable plan:
+tag both sides, union, one shuffle on the join key, and a running
+``last(payload, ignorenulls)`` window ordered by (time, side). This
+is O(n log n) per key with a single shuffle — versus the naive
+``JOIN ON key AND r.t <= l.t`` + argmax which explodes to the full
+cross product per key before aggregating. At 100 TB the union-merge
+plan's shuffle is the same size as the inputs; the naive plan's
+intermediate is unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row
+    with ``right_time <= left_time`` on the same key (backward as-of,
+    inclusive — DuckDB ``ASOF JOIN ... ON l.t >= r.t`` semantics).
+
+    Requires right to be unique per (key, time); pre-aggregate
+    duplicates first or the tie-winner is unspecified.
+    """
+    l2 = (
+        left.withColumn("_k", F.col(left_on))
+        .withColumn("_t", F.col(left_time))
+        .withColumn("_side", F.lit(1))
+    )
+    r2 = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in payload_cols],
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    # right rows sort before left rows at equal time (_side 0 < 1), so
+    # an exactly-simultaneous right row IS visible to the left row.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).drop("_k", "_t", "_side")
+
+
+def range_band_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Banded range join: attach the band whose [lo, hi] contains the
+    value. Bands are by construction few → broadcast; the range
+    predicate evaluates inside the broadcast hash join's stream side,
+    never a cartesian shuffle."""
+    return facts.join(
+        F.broadcast(bands),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col)),
+        "left",
+    )

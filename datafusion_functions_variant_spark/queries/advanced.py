@@ -1,0 +1,270 @@
+"""Advanced operator coverage: remaining variant surface (to_json,
+schema_of, variant-null duality, to_variant_object), as-of / range /
+theta joins, GROUPING SETS, pivot, correlated EXISTS, approximate
+distinct."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import joins
+from ..sources.tables import load_table, register_views
+from . import dsum, dsum_sql, query
+
+
+@query(
+    "variant_surface_full",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, ' ', '', 'g') AS j,
+           CASE WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT') THEN 'OBJECT<k: BIGINT>'
+                WHEN json_type(props, '$.k') = 'NULL' THEN 'OBJECT<k: VOID>'
+                ELSE NULL END AS sch,
+           (CASE WHEN event_id % 10 = 0 THEN 'NULL' ELSE json_type(props, '$.k') END) = 'NULL' AS k_is_vnull,
+           to_json(struct_pack(event_type := event_type, user_id := user_id))::VARCHAR AS obj
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def variant_surface_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the reference's function surface in one query:
+    variant→JSON roundtrip (A39 inverse), runtime schema (A13-A14),
+    variant-null vs SQL-null duality (json.rs:185-196), and
+    to_variant_object from a typed struct (A38 ObjectBuilder path).
+    Every 10th row gets a JSON null at $.k to exercise the duality."""
+    ev = load_table(spark, sf_dir, "events")
+    props_mod = F.when(F.col("event_id") % 10 == 0, F.lit('{"k": null}')).otherwise(
+        F.col("props")
+    )
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.to_json(v).alias("j"),
+        F.schema_of_variant(v).alias("sch"),
+        F.is_variant_null(
+            F.try_variant_get(F.parse_json(props_mod), "$.k", "variant")
+        ).alias("k_is_vnull"),
+        F.to_json(F.to_variant_object(F.struct("event_type", "user_id"))).alias("obj"),
+    ).orderBy("event_id")
+
+
+@query(
+    "asof_join_events_orders",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             TIMESTAMP '1995-01-01' + (event_id % 2500) * INTERVAL 1 DAY AS asof_t
+      FROM events
+    ),
+    o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS last_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS last_orderdate
+    FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.asof_t >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each event gets its user's
+    most recent order at a synthetic as-of time. Implemented with the
+    union-merge plan (operators/joins.py) — one shuffle, no range
+    explosion; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestamp(date_add(to_date('1995-01-01'), cast(event_id % 2500 AS int)))"
+        ).alias("asof_t"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    res = joins.asof_join_backward(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="asof_t",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    ).orderBy("event_id")
+
+
+@query(
+    "range_join_quantity_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT t.i::INT AS band_id, (t.i * 10 + 1)::DOUBLE AS lo, ((t.i + 1) * 10)::DOUBLE AS hi
+      FROM range(0, 5) t(i)
+    )
+    SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: quantities bucketed into [1-10]...[41-50]
+    bands via a broadcast inequality join (never a cartesian shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.range(0, 5).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 10 + 1).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 10).cast("double").alias("hi"),
+    )
+    joined = joins.range_band_join(li, bands, "l_quantity").where(
+        F.col("band_id").isNotNull()
+    )
+    return (
+        joined.groupBy("band_id", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+        .orderBy("band_id")
+    )
+
+
+@query(
+    "theta_join_late_shipments",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_late_lines
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def theta_join_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join (equi key + inequality residual): lineitems shipped
+    more than 90 days after their order date. The equi part keeps it
+    a hash join; the inequality evaluates as a join residual."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate.cast("date"), 90).cast("timestamp")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "grouping_sets_sql",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {dsum_sql("l_extendedprice", "sum_price")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point (spark.sql
+    over registered temp views) — same surface the reference's
+    DataFusion crate would have exposed."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): order counts by priority x status.
+    Explicit value list → single-pass pivot, no extra value-discovery
+    job."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "exists_subquery_sql",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS via the SQL surface — Catalyst
+    rewrites both to semi/anti joins."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+@query("approx_distinct_users", oracle=None)  # approximate by design
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (sketch aggregation): distinct
+    users per event_type, exact count alongside for reference. No SQL
+    oracle — HLL implementations differ across engines by design."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

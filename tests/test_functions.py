@@ -1,0 +1,94 @@
+"""DataFrame-level tests for the variant function surface — Track N
+wrappers and Track C explicit-codec pandas UDFs (SURVEY.md §2 Part A
+parity at the API level)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from datafusion_functions_variant_spark.functions import explicit, variant
+
+
+def test_track_n_roundtrip(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": [true, null, "x"]}',), ("[1.5, 2]",), ("null",), (None,)],
+        ["j"],
+    )
+    out = df.select(
+        variant.variant_to_json(variant.try_parse_json("j")).alias("rt"),
+        variant.typeof_variant(variant.try_parse_json("j")).alias("t"),
+    ).collect()
+    assert json.loads(out[0]["rt"]) == {"a": 1, "b": [True, None, "x"]}
+    assert out[1]["t"].startswith("ARRAY")
+    assert out[3]["rt"] is None
+
+
+def test_track_n_variant_get_and_null_duality(spark):
+    df = spark.createDataFrame([('{"k": null}',), ('{"k": 7}',)], ["j"])
+    v = variant.parse_json("j")
+    rows = df.select(
+        variant.is_variant_null(variant.try_variant_get(v, "$.k", "variant")).alias("vn"),
+        variant.try_variant_get(v, "$.k", "bigint").alias("k"),
+    ).collect()
+    assert rows[0]["vn"] is True and rows[0]["k"] is None
+    assert rows[1]["vn"] is False and rows[1]["k"] == 7
+
+
+def test_track_n_shred(spark):
+    df = spark.createDataFrame([('{"a": 5, "b": "x"}',)], ["j"]).withColumn(
+        "v", variant.parse_json("j")
+    )
+    out = variant.shred(df, "v", {"a": ("$.a", "bigint"), "b": ("$.b", "string")})
+    row = out.select("a", "b").first()
+    assert (row["a"], row["b"]) == (5, "x")
+
+
+def test_explicit_kernel_batch_metadata(spark):
+    # single partition → single Arrow batch; sharing is per-batch
+    df = spark.createDataFrame(
+        [('{"x": 1}',), ('{"y": 2}',), ("null",), (None,)], ["j"]
+    ).coalesce(1)
+    out = df.select(explicit.variant_from_json(F.col("j")).alias("v")).collect()
+    # one shared metadata for the batch (union of keys x, y)
+    metas = {bytes(r["v"]["metadata"]) for r in out}
+    assert len(metas) == 1
+    # top-level JSON null AND SQL null both → null value slot
+    assert out[2]["v"]["value"] is None
+    assert out[3]["v"]["value"] is None
+
+
+def test_explicit_get_and_typeof(spark):
+    df = spark.createDataFrame(
+        [('{"a": {"b": [1, 2, {"c": "hit"}]}}',), ('{"a": 3}',)], ["j"]
+    ).withColumn("v", explicit.variant_from_json(F.col("j")))
+    rows = df.select(
+        explicit.variant_get("v", "$.a.b[2].c", "string").alias("c"),
+        explicit.variant_get("v", "$.a", "bigint").alias("a_int"),
+        explicit.variant_typeof(F.col("v")).alias("t"),
+        explicit.variant_to_json(F.col("v")).alias("rt"),
+    ).collect()
+    assert rows[0]["c"] == "hit"
+    assert rows[0]["a_int"] is None  # object, not castable
+    assert rows[1]["a_int"] == 3
+    assert rows[0]["t"] == "object"
+    assert json.loads(rows[0]["rt"]) == {"a": {"b": [1, 2, {"c": "hit"}]}}
+
+
+def test_explicit_tolerant_parse(spark):
+    df = spark.createDataFrame([('{"ok": 1}',), ("{broken",), (None,)], ["j"])
+    out = df.select(explicit.try_variant_from_json(F.col("j")).alias("v")).collect()
+    assert out[0]["v"]["value"] is not None
+    assert out[1]["v"]["value"] is None
+    assert out[2]["v"]["value"] is None
+
+
+def test_explicit_matches_native(spark):
+    """Track C and Track N agree on the same data."""
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    both = df.select(
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("native_k"),
+        explicit.variant_get(
+            explicit.variant_from_json(F.col("props")), "$.k", "bigint"
+        ).alias("codec_k"),
+    )
+    assert both.where("native_k IS DISTINCT FROM codec_k").count() == 0

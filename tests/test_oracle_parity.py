@@ -39,8 +39,10 @@ def normalize_cell(v):
 
 def rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normalized = [tuple(normalize_cell(r[i]) for i in order) for r in rows]
+    # sort key tolerates None and mixed types (null grouping keys)
     return sorted(
-        tuple(normalize_cell(r[i]) for i in order) for r in rows
+        normalized, key=lambda t: tuple((v is None, str(v)) for v in t)
     ), [cols[i] for i in order]
 
 

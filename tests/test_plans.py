@@ -1,0 +1,97 @@
+"""Physical-plan audits — the 100 TB design assertions (SURVEY.md §4):
+filters push to the parquet scan, small dims broadcast, scans prune
+columns, top-k compiles to TakeOrderedAndProject, whole-stage codegen
+covers the hot path. These guard against regressions that would only
+hurt at scale."""
+
+from datafusion_functions_variant_spark.queries import load_all_queries
+
+REGISTRY = load_all_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF)
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = formatted(spark, "variant_filter_pushdown")
+    assert "PushedFilters" in plan
+    # the event_type predicate must reach the parquet reader
+    assert "event_type" in plan.split("PushedFilters")[1][:500]
+
+
+def test_q1_pushes_date_filter(spark):
+    plan = formatted(spark, "q1_pricing_summary")
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed
+
+
+def test_q1_prunes_columns(spark):
+    plan = formatted(spark, "q1_pricing_summary")
+    # ReadSchema must not include unused columns like l_partkey/l_suppkey
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_partkey" not in read
+    assert "l_comment" not in read
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4  # c, s, n, r all broadcast
+
+
+def test_q3_broadcasts_filtered_dim(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "topk_expensive_parts")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    plan = plan_of(spark, "join_semi_anti")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_on_agg_path(spark):
+    # AQE hides codegen spans until the final plan exists — execute first
+    df = REGISTRY["variant_events_agg"].build(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages render as "*(n) Node" in the tree string
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
+    assert "HashAggregate" in plan
+
+
+def test_partial_aggregation_present(spark):
+    # map-side combine: two HashAggregate nodes (partial + final)
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_range_join_is_broadcast_not_cartesian(spark):
+    plan = plan_of(spark, "range_join_quantity_bands")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    # union-merge as-of: no nested-loop/cartesian anywhere
+    plan = plan_of(spark, "asof_join_events_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exists_rewritten_to_semi_anti(spark):
+    plan = plan_of(spark, "exists_subquery_sql")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
