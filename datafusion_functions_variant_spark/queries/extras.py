@@ -1,0 +1,360 @@
+"""Second wave of operator coverage: embedding-cosine near-dup,
+window frame functions (ntile / percent_rank / cume_dist / range
+frames), pandas GROUPED_AGG UDAF, Python UDTF, partitioned parquet
+sink with pruned read-back, CSV source roundtrip, salted two-phase
+aggregation for skewed keys, and schema_of_variant_agg.
+
+Every query keeps the determinism rules from queries/__init__ (exact
+decimal accumulation for doubles, identical aliases on both sides) so
+the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import _dot_decimal
+from ..sources.tables import load_table, register_views
+from . import dsum, query
+
+#: Scratch dir for sink/source roundtrips (inside the repo; overwritten
+#: on every run — never a correctness input, only a roundtrip target).
+_IO_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".tmp_io")
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             sqrt(CAST(SUM(CAST(CAST(embedding[t.i::INT] AS DOUBLE)
+                                * CAST(embedding[t.i::INT] AS DOUBLE)
+                                AS DECIMAL(30,15))) AS DOUBLE)) AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)::INT AS bucket
+      FROM embeddings, range(1, 257) t(i)
+      WHERE t.i <= len(embedding)
+      GROUP BY vec_id, embedding
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(CAST(a.embedding[t.i::INT] AS DOUBLE)
+                           * CAST(b.embedding[t.i::INT] AS DOUBLE)
+                           AS DECIMAL(30,15))) AS DOUBLE)
+               / (a.nrm * b.nrm) AS cosine
+      FROM norms a
+      JOIN norms b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+           range(1, 257) t(i)
+      WHERE t.i <= len(a.embedding)
+      GROUP BY a.vec_id, b.vec_id, a.nrm, b.nrm
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-bit blocking on the first
+    6 components (a fixed-hyperplane SimHash — identical vectors always
+    collide), exact decimal-accumulated cosine on candidates only. At
+    100 TB the self-join shuffles once on the 6-bit bucket, never
+    all-pairs; cosine >= 0.3 keeps genuinely close vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(0))
+        for i in range(6)
+    ).cast("int")
+    sides = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(_dot_decimal("embedding", "embedding")).alias("nrm"),
+        bucket.alias("bucket"),
+    )
+    a = sides.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+    cos = (_dot_decimal("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    return (
+        pairs.select("id_a", "id_b", cos)
+        .where(F.col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- window frame functions --------------------------------------------------
+
+
+@query(
+    "window_frames_showcase",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1998-06-01'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_totalprice, o_orderkey
+    """,
+)
+def window_frames_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window surface: ntile, percent_rank, cume_dist,
+    and an explicit ROWS frame running sum (decimal-exact). One shuffle
+    on the partition key serves all four functions."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-06-01").cast("date")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wf)
+        .cast("double").alias("running_price"),
+    ).orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+
+
+# --- UDAF: pandas GROUPED_AGG ------------------------------------------------
+
+
+@query(
+    "udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS DOUBLE)
+             / CAST(SUM(l_linenumber) AS DOUBLE) AS wavg_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate via pandas GROUPED_AGG (Arrow-batched —
+    the UDAF surface the reference's DataFusion crate would have had):
+    linenumber-weighted mean quantity per returnflag. All-integer
+    accumulation (quantity and weight are integral) so float summation
+    order can't perturb the result."""
+    # explicit functionType: PEP-563 stringified hints defeat inference
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(q, w):  # (pd.Series, pd.Series) -> float
+        num = (q.astype("int64") * w.astype("int64")).sum()
+        den = w.astype("int64").sum()
+        return float(num) / float(den)
+
+    # Spark can't mix pandas and JVM aggregates in one agg — count is
+    # a second pandas UDAF so both run in the same Arrow exchange.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def pcount(q):
+        return int(len(q))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            wavg(F.col("l_quantity"), F.col("l_linenumber")).alias("wavg_qty"),
+            pcount(F.col("l_quantity")).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- UDTF: Python table function --------------------------------------------
+
+
+@query(
+    "udtf_json_explode",
+    oracle="""
+    SELECT event_id, k AS prop_key,
+           json_extract(props, '$.' || k)::VARCHAR AS prop_val
+    FROM events, unnest(json_keys(props)) AS t(k)
+    WHERE event_id < 500
+    ORDER BY event_id, prop_key
+    """,
+)
+def udtf_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function surface): explode a JSON object
+    column into (key, value) rows via LATERAL — the row-generating
+    counterpart of variant_get. Output values keep their JSON
+    rendering so heterogeneous types survive."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prop_key string, prop_val string")
+    class ExplodeJson:
+        def eval(self, props: str):
+            if props is None:
+                return
+            try:
+                obj = _json.loads(props)
+            except ValueError:
+                return
+            if isinstance(obj, dict):
+                for k in sorted(obj):
+                    yield k, _json.dumps(obj[k])
+
+    spark.udtf.register("explode_json", ExplodeJson)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT e.event_id, t.prop_key, t.prop_val
+        FROM events e, LATERAL explode_json(e.props) t
+        WHERE e.event_id < 500
+        ORDER BY e.event_id, t.prop_key
+        """
+    )
+
+
+# --- sinks & sources ---------------------------------------------------------
+
+
+@query(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + pruned read-back: write orders
+    partitioned by o_orderstatus, read it back and aggregate one
+    status. The read plan scans ONLY the o_orderstatus=F directory
+    (partition pruning) — the layout that makes 100 TB scans cheap."""
+    path = os.path.join(_IO_DIR, "orders_by_status")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations, MIN(n.n_name) AS first_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-explicit CSV source: nation goes out as CSV,
+    comes back with its original schema (no inference job), joins the
+    broadcast region dim. Exercises the text-format connector path."""
+    path = os.path.join(_IO_DIR, "nation_csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(n.schema).option("header", True).csv(path)
+    r = load_table(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(r), back.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --- skew-safe aggregation ---------------------------------------------------
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: phase 1 groups by (key, salt) so a
+    hot key spreads over 16 reducers; phase 2 merges the partials. With
+    only ~5 event types, an unsalted groupBy at 100 TB puts whole
+    event types on single reducers — the salt is the fix (same shape
+    Catalyst uses for partial aggregation, made explicit and tunable)."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = (
+        ev.withColumn("_salt", F.pmod(F.hash("user_id"), F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"),
+        )
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(
+            F.sum("_n").cast("long").alias("n"),
+            F.sum("_s").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- variant schema aggregation ---------------------------------------------
+
+
+@query(
+    "variant_schema_agg",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN json_group_structure(props::JSON)::VARCHAR = '{"k":"UBIGINT"}'
+                THEN 'OBJECT<k: BIGINT>' END AS merged_schema,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_schema_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema_of_variant_agg: merge the runtime schemas of every
+    variant in a group into one (SURVEY.md §2 A13-A14 lifted to an
+    aggregate). The oracle derives the same merged shape from DuckDB's
+    json_group_structure."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.schema_of_variant_agg(F.parse_json("props")).alias("merged_schema"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
