@@ -85,6 +85,7 @@ def isum_sql(expr: str, alias: str) -> str:
 def load_all_queries() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registry fill)."""
     from . import advanced  # noqa: F401
+    from . import catalog  # noqa: F401
     from . import extras  # noqa: F401
     from . import llmdata  # noqa: F401
     from . import relational  # noqa: F401

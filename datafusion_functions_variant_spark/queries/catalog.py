@@ -1,0 +1,120 @@
+"""Catalog-level capabilities: bucketed co-located joins (the
+zero-shuffle join layout for 100 TB), the SQL-registered codec
+function surface, and the JSON source connector."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.registry import register_sql_functions
+from ..sources.tables import load_table, register_views
+from . import dsum, dsum_sql, query
+
+_IO_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".tmp_io")
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+           {dsum_sql("l.l_extendedprice", "sum_price")}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables joined WITHOUT a shuffle: both sides written
+    bucketBy(8, orderkey) + sortBy, so the sort-merge join reads
+    co-located buckets directly — zero Exchange in the plan. At 100 TB
+    this turns the biggest recurring join from a full shuffle into a
+    local merge per bucket (tests/test_plans.py asserts no Exchange)."""
+    base = os.path.join(_IO_DIR, "bucketed")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    for name, df, key in (
+        ("orders_b", o, "o_orderkey"),
+        ("lineitem_b", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    lb = spark.table("lineitem_b")
+    ob = spark.table("orders_b")
+    return (
+        lb.hint("merge")
+        .join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "sql_codec_surface",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k')::BIGINT AS k,
+           'object' AS t,
+           regexp_replace(props, ' ', '', 'g') AS j,
+           json_extract_string(props, '$.missing') AS absent
+    FROM events
+    WHERE event_id < 1000
+    ORDER BY event_id
+    """,
+)
+def sql_codec_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit codec reached purely through SQL names
+    (spark.udf.register): parse → typed get → typeof → to_json, plus a
+    missing-path probe. Same kernels as the Python API; the SQL layer
+    is only name binding."""
+    register_sql_functions(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id,
+               codec_get_bigint(v, '$.k') AS k,
+               codec_typeof(v) AS t,
+               codec_to_json(v) AS j,
+               codec_get_string(v, '$.missing') AS absent
+        FROM (SELECT event_id, codec_parse_json(props) AS v FROM events)
+        WHERE event_id < 1000
+        ORDER BY event_id
+        """
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {dsum_sql("value", "sum_value")}
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-explicit JSON source: events go out as
+    newline-delimited JSON and come back without an inference pass
+    (at 100 TB, schema inference is a full extra scan — never pay it)."""
+    path = os.path.join(_IO_DIR, "events_json")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema(ev.schema).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .orderBy("event_type")
+    )

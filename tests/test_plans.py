@@ -95,3 +95,21 @@ def test_asof_join_single_shuffle_per_side(spark):
 def test_exists_rewritten_to_semi_anti(spark):
     plan = plan_of(spark, "exists_subquery_sql")
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # both sides bucketed on the join key → SMJ reads buckets in place
+    plan = plan_of(spark, "bucketed_colocated_join")
+    join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    del join_part
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    df = REGISTRY["sink_partitioned_roundtrip"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the o_orderstatus=F predicate must become a PartitionFilter
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or \
+        "o_orderstatus#" in plan.split("PartitionFilters")[1][:200]
