@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 HEADLINE = [
-    # name -> should cover: variant parse+extract, scan-agg, join, window
+    # one per operator family: variant parse+extract, explicit codec,
+    # scan-agg, broadcast join, multi-join, window, rollup, distinct,
+    # as-of join, theta join, minhash dedup, embedding dedup,
+    # similarity top-k, text analysis
     "variant_events_agg",
     "variant_explicit_codec",
     "q1_pricing_summary",
@@ -31,6 +34,12 @@ HEADLINE = [
     "window_lag_lead_events",
     "rollup_order_status",
     "distinct_agg_suppliers",
+    "asof_join_events_orders",
+    "theta_join_late_shipments",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "similarity_dot_topk",
+    "text_token_counts",
 ]
 
 

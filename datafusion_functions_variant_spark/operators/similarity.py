@@ -63,13 +63,35 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
-    dot = _dot_decimal("_qvec", "_cvec") if exact else _dot_double("_qvec", "_cvec")
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "vec_id", dot.alias("dot")
+    if not exact:
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "query_id", "vec_id", _dot_double("_qvec", "_cvec").alias("dot")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("dot"), "vec_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "dot", "rank")
+        )
+    # exact path: cheap double prefilter keeps a wide candidate margin,
+    # the (BigDecimal-heavy) exact dot re-scores only those. Double fp
+    # error (~1e-12 relative) can't reorder across a 5k-wide margin,
+    # so the final top-k is identical to all-exact scoring.
+    margin = max(k * 16, 64)
+    fast = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", "_qvec", "_cvec",
+        _dot_double("_qvec", "_cvec").alias("_fast"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("_fast"), "vec_id")
+    cand = fast.withColumn("_frank", F.row_number().over(wf)).where(
+        F.col("_frank") <= margin
+    )
+    rescored = cand.select(
+        "query_id", "vec_id", _dot_decimal("_qvec", "_cvec").alias("dot")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), "vec_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "dot", "rank")
     )

@@ -33,9 +33,13 @@ _SIGS_CTE = (
 sigs AS (
   SELECT doc_id,
          """
-    + ",\n         ".join(f"min(md5('{h}:' || g)) AS mh{h}" for h in range(8))
+    + ",\n         ".join(
+        f"min(xor(x, {dedup.XOR_CONSTS[h]})) AS mh{h}" for h in range(8)
+    )
     + """
-  FROM grams GROUP BY doc_id
+  FROM (SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS x
+        FROM grams)
+  GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS band_hash FROM sigs
