@@ -159,6 +159,75 @@ def lsh_bucket_signatures(
     return df.withColumn("bucket", sig)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is clustered
+    by nearest centroid once (the "index build"), queries probe only
+    their ``n_probe`` closest centroid lists.
+
+    Centroids here are the first ``n_centroids`` corpus vectors —
+    deterministic seeding; a production build would k-means-refine
+    them, which only changes centroid quality, not the plan shape. At
+    100 TB: centroid set broadcasts (tiny), assignment is one map-side
+    pass over the corpus, the probe join shuffles only on cluster id —
+    candidate volume drops ~n_centroids/n_probe-fold vs brute force.
+    """
+    cents = queries.sparkSession.createDataFrame(
+        [
+            (r[0], r[1])
+            for r in corpus.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        ],
+        ["cent_id", "cent_vec"],
+    )
+
+    def nearest(df: DataFrame, side_id: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            "*", _dot_double(vec_col, "cent_vec").alias("_cdot")
+        )
+        w = Window.partitionBy(side_id).orderBy(F.desc("_cdot"), "cent_id")
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .where(F.col("_crank") <= keep)
+            .drop("_cdot", "_crank", "cent_vec")
+        )
+
+    assigned = nearest(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), "vec_id", 1
+    ).withColumnRenamed("cent_id", "cluster")
+    probes = nearest(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id",
+        n_probe,
+    ).withColumnRenamed("cent_id", "cluster")
+    qv = probes.select(
+        "query_id", "cluster", F.col(vec_col).alias("_qvec")
+    )
+    cv = assigned.select("vec_id", "cluster", F.col(vec_col).alias("_cvec"))
+    norm = lambda col: F.sqrt(_dot_double(col, col))  # noqa: E731
+    scored = cv.join(qv, "cluster").select(
+        "query_id",
+        "vec_id",
+        (_dot_double("_qvec", "_cvec") / (norm("_qvec") * norm("_cvec"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -86,6 +86,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registry fill)."""
     from . import advanced  # noqa: F401
     from . import catalog  # noqa: F401
+    from . import clusters  # noqa: F401
     from . import extras  # noqa: F401
     from . import llmdata  # noqa: F401
     from . import relational  # noqa: F401

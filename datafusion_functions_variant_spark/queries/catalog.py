@@ -98,6 +98,49 @@ def sql_codec_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "python_datasource_scan",
+    oracle="""
+    WITH rows AS (
+      SELECT i AS id,
+             (('0x' || substr(md5('row:' || i), 1, 2))::INT) % 8 AS bucket,
+             (('0x' || substr(md5('row:' || i), 3, 8))::UBIGINT)::DOUBLE
+               / 4294967296.0 AS score,
+             (['alpha','beta','gamma','delta'])
+               [(('0x' || substr(md5('row:' || i), 11, 1))::INT) % 4 + 1] AS tag
+      FROM range(0, 5000) t(i)
+    )
+    SELECT bucket, tag, COUNT(*) AS n,
+           MIN(score) AS min_score, MAX(score) AS max_score
+    FROM rows GROUP BY bucket, tag ORDER BY bucket, tag
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 connector API): a
+    deterministic generator source with real partition planning — each
+    task emits its id-range slice independently, so the source scales
+    horizontally like any file format. The oracle regenerates the same
+    md5-derived rows in SQL."""
+    from ..sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 5000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("bucket", "tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("bucket", "tag")
+    )
+
+
+@query(
     "source_json_roundtrip",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n, {dsum_sql("value", "sum_value")}

@@ -203,6 +203,19 @@ def similarity_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_ivf_topk", oracle=None)  # approximate: rows-only check
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k: corpus clustered to nearest
+    centroid, queries probe their 2 closest centroid lists only (the
+    other 100 TB ANN path next to LSH). Approximate by design → no SQL
+    oracle; driver checks rows/schema."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, queries_df, k=3, n_centroids=16, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
 @query("similarity_lsh_topk", oracle=None)  # approximate: rows-only check
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane cosine): the

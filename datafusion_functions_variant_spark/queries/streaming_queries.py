@@ -106,6 +106,53 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL '10 minutes' AND e.ts
+    ORDER BY error_id, click_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each error event pairs with the
+    same user's clicks from the preceding 10 minutes. Both sides carry
+    watermarks and the time-range predicate bounds the join state —
+    the canonical funnel/attribution topology. AvailableNow processes
+    one batch, so every in-horizon match emits deterministically."""
+    errors = (
+        core.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+    )
+    clicks = (
+        core.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+    ).select("error_id", "click_id", "user_id")
+    out = core.run_to_batch(joined, "append")
+    return out.orderBy("error_id", "click_id")
+
+
+@query(
     "stream_dedup_count",
     oracle=r"""
     SELECT CAST(COUNT(DISTINCT md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g'))) AS BIGINT)

@@ -1,0 +1,81 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) —
+the extensible-connector surface of the engine.
+
+``SyntheticEventsDataSource`` generates a deterministic event table
+from (n_rows, n_partitions) options: every value is a pure function of
+the row id (md5-derived), so an oracle can reproduce the exact rows.
+Partition planning splits the id range evenly — each Spark task
+generates its slice independently (embarrassingly parallel, no driver
+bottleneck, scales to any row count).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("bucket", LongType()),
+        StructField("score", DoubleType()),
+        StructField("tag", StringType()),
+    ]
+)
+
+_TAGS = ["alpha", "beta", "gamma", "delta"]
+
+
+def row_for(i: int):
+    """Deterministic row from id — mirrored by the SQL oracle."""
+    h = hashlib.md5(f"row:{i}".encode()).hexdigest()
+    bucket = int(h[:2], 16) % 8
+    score = int(h[2:10], 16) / 16**8  # [0, 1) from 32 hash bits
+    tag = _TAGS[int(h[10], 16) % 4]
+    return (i, bucket, score, tag)
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("n_partitions", 8))
+
+    def partitions(self):
+        step = max(1, (self.n_rows + self.n_parts - 1) // self.n_parts)
+        return [
+            _Range(s, min(s + step, self.n_rows))
+            for s in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _Range):
+        for i in range(partition.start, partition.end):
+            yield row_for(i)
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthetic_events"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return _Reader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticEventsDataSource)
