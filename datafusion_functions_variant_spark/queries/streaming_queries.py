@@ -171,6 +171,50 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_foreachbatch_sink",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {dsum_sql("value", "sum_value")}
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands in a parquet dir via
+    arbitrary batch logic (the escape hatch for sinks Structured
+    Streaming lacks — JDBC, upserts, multi-table writes). The result
+    is read back from the files the stream wrote."""
+    import os as _os
+
+    from . import catalog as _catalog
+
+    path = _os.path.join(_catalog._IO_DIR, "stream_fb_sink")
+    st = core.read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    # fresh dir per run: overwrite semantics are the batch writer's job
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    q = (
+        st.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", path + "_ckpt_tmp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(path + "_ckpt_tmp", ignore_errors=True)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
     "stream_stateful_running_max",
     oracle="""
     SELECT user_id,

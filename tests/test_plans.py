@@ -107,6 +107,19 @@ def test_bucketed_join_has_no_exchange(spark):
     del join_part
 
 
+def test_q6_pushes_all_predicates(spark):
+    plan = formatted(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:600]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+
+
+def test_q10_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_partitioned_sink_prunes_partitions(spark):
     df = REGISTRY["sink_partitioned_roundtrip"].build(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
