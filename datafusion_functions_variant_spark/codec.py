@@ -511,6 +511,16 @@ class Variant:
         n = struct.unpack_from("<i", self.buf, 1)[0]
         return self.buf[5 : 5 + n].decode("utf-8")
 
+    def get_short_string(self) -> str:
+        """ShortString (basic type 1): length in header bits 2-7,
+        UTF-8 bytes follow. Declared but never written by the
+        reference (values/mod.rs:16); spec'd and written by Spark's
+        native encoder, so the reader supports it."""
+        if self.basic_type != BASIC_SHORT_STRING:
+            raise VariantError("not a short string")
+        n = (self.buf[0] >> 2) & 0x3F
+        return self.buf[1 : 1 + n].decode("utf-8")
+
     def get_binary(self) -> bytes:
         self._expect(PRIM_BINARY)
         n = struct.unpack_from("<i", self.buf, 1)[0]
@@ -741,6 +751,8 @@ def to_python(value: Variant, metadata: Metadata) -> Any:
         return {k: to_python(v, metadata) for k, v in value.get_object().items(metadata)}
     if bt == BASIC_ARRAY:
         return [to_python(e, metadata) for e in value.get_array()]
+    if bt == BASIC_SHORT_STRING:
+        return value.get_short_string()
     tid = value.primitive_type_id
     if tid == PRIM_NULL:
         return None
@@ -775,12 +787,23 @@ def to_python(value: Variant, metadata: Metadata) -> Any:
     raise VariantError(f"unsupported type id {tid}")
 
 
+def _json_default(obj):
+    # Decimal renders as a plain number (matches Spark's toJson); a
+    # nonnegative scale byte guarantees str() never uses E-notation.
+    from decimal import Decimal
+
+    if isinstance(obj, Decimal):
+        return float(obj) if Decimal(repr(float(obj))) == obj else str(obj)
+    raise TypeError(f"not JSON serializable: {type(obj)}")
+
+
 def to_json_str(value_buf: bytes, metadata_buf: bytes) -> str:
     """Variant pair → canonical JSON text."""
     return json.dumps(
         to_python(Variant(value_buf), Metadata(metadata_buf)),
         separators=(",", ":"),
         ensure_ascii=False,
+        default=_json_default,
     )
 
 

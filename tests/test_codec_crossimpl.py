@@ -80,6 +80,20 @@ def test_variantval_agrees_with_our_reader():
         assert ours == theirs, f"reader divergence for {obj!r}"
 
 
+def test_our_reader_reads_spark_native_bytes(spark):
+    """Reverse direction: buffers produced by Spark's native parse_json
+    (JVM writer) must decode through our codec."""
+    samples = [json.dumps(o) for o in FIXTURES if o is not None]
+    df = spark.createDataFrame([(s,) for s in samples], ["j"])
+    from pyspark.sql import functions as F
+
+    rows = df.select(F.parse_json("j").alias("v")).collect()
+    for s, r in zip(samples, rows):
+        v = r["v"]  # VariantVal with .value / .metadata bytes
+        got = json.loads(codec.to_json_str(bytes(v.value), bytes(v.metadata)))
+        assert got == json.loads(s), f"codec failed on native bytes for {s}"
+
+
 json_scalars = st.one_of(
     st.none(),
     st.booleans(),
