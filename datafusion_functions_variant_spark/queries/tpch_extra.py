@@ -204,6 +204,102 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue", 4)}
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE ((ns.n_name = 'FRANCE' AND nc.n_name = 'GERMANY')
+        OR (ns.n_name = 'GERMANY' AND nc.n_name = 'FRANCE'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): lineitem resolves BOTH its
+    supplier nation and (via orders→customer) its customer nation —
+    two independent dimension chains joined to one fact. Every dim
+    broadcasts; lineitem is shuffled at most once for the final agg."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .where(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): argmax via scalar-subquery max joined
+    back to the aggregate — the max (one row) broadcasts, so no second
+    shuffle of the revenue table. Decimal-exact sums make the equality
+    join engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue", 4)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_revenue == mx.mx)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "grouped_map_top2_per_type",
     oracle="""
     SELECT event_type, event_id, value FROM (
