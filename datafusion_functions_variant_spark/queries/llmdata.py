@@ -229,6 +229,106 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_dedup_pipeline",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, text, lang FROM documents
+      WHERE len(list_filter(string_split(text, ' '), w -> len(w) > 0)) >= 20
+    ),
+    ex AS (
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+             MIN(doc_id) AS keeper
+      FROM q GROUP BY 1
+    ),
+    exact_kept AS (SELECT q.* FROM q JOIN ex ON q.doc_id = ex.keeper),
+    grams AS (
+      SELECT DISTINCT doc_id, substr(text, t.i::INT, 8) AS g
+      FROM exact_kept, range(1, 5001) t(i)
+      WHERE t.i <= len(text) - 7
+    ),
+    sigs AS (
+      SELECT doc_id,
+             """ + ",\n             ".join(
+        f"min(xor(x, {dedup.XOR_CONSTS[h]})) AS mh{h}" for h in range(8)
+    ) + r"""
+      FROM (SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS x
+            FROM grams)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(mh4 || mh5 || mh6 || mh7) AS band_hash FROM sigs
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM candidates c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+    losers AS (
+      SELECT DISTINCT i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_inter) >= 0.9
+    ),
+    kept AS (
+      SELECT * FROM exact_kept
+      WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS n_chars
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def text_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline in one plan: quality
+    gate (>= 20 words) → exact dedup (min-id keeper per normalized
+    hash) → MinHash-LSH candidates verified at Jaccard >= 0.9, greedy
+    drop of each pair's larger id → per-language corpus stats. Every
+    stage is the blocked/verified formulation — at 100 TB nothing here
+    is all-pairs and nothing recomputes its input lineage."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    )
+    q = docs.where(n_words >= 20).select("doc_id", "text", "lang")
+    keepers = (
+        dedup.exact_dedup_groups(q, "text", "doc_id")
+        .select(F.col("keeper_id").alias("doc_id"))
+    )
+    exact_kept = q.join(keepers, "doc_id")
+    grams = dedup.char_ngrams(exact_kept, "text", "doc_id", n=8)
+    sigs = dedup.minhash_signatures(grams, "doc_id", num_hashes=8)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).select(
+        "doc_a", "doc_b"
+    )
+    losers = (
+        dedup.verified_near_dups(grams, cands, "doc_id", threshold=0.9)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = exact_kept.join(losers, "doc_id", "left_anti")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "text_quality_stats",
     oracle=r"""
     SELECT doc_id,

@@ -204,6 +204,75 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_arrow_kernel",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def variant_arrow_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow codec track (reference json.rs:38-81 at the
+    Arrow level): RecordBatches cross the JVM boundary zero-copy, one
+    shared dictionary per batch, StructArray out — then typed
+    extraction and aggregation on the result."""
+    from ..functions import explicit
+    from ..functions.arrow_kernel import variant_from_json_arrow
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    enc = variant_from_json_arrow(ev, "props", "v")
+    k = explicit.variant_get(F.col("v"), "$.k", "bigint")
+    return (
+        enc.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q9_part_profit_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "sum_profit", 4)}
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+)
+def q9_part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): a part-name filter drives
+    a 5-way star join, profit grouped by supplier nation x order year.
+    The filtered part dim broadcasts first so lineitem shrinks before
+    any other join."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("green"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        # orders is fact-sized: shuffle join on orderkey, never broadcast
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_profit", 4))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
     "q7_nation_volume",
     oracle=f"""
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
@@ -238,8 +307,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
     nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
     joined = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # orders/customer are fact-sized at scale: shuffle joins; only
+        # the true dims (nation, supplier) broadcast
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
