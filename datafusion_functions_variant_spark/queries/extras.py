@@ -267,6 +267,44 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_sorted_layout",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-02-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered sink: repartitionByRange + sortWithinPartitions
+    on o_orderdate before the write puts each date range in few files
+    with tight parquet min/max stats — the read-back's one-month filter
+    skips whole row groups. This is the clustered layout (lightweight
+    Z-order for one dimension) that makes selective scans cheap at
+    100 TB."""
+    path = os.path.join(_IO_DIR, "orders_sorted")
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-02-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "source_csv_roundtrip",
     oracle="""
     SELECT r.r_name, COUNT(*) AS n_nations, MIN(n.n_name) AS first_nation
@@ -293,6 +331,61 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# --- time series -------------------------------------------------------------
+
+
+@query(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS key, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      -- generate_series needs constants; index into the range instead
+      SELECT k.key, b.lo + t.i * INTERVAL '1 hour' AS hour
+      FROM (SELECT DISTINCT event_type AS key FROM events) k,
+           bounds b, range(0, 200000) t(i)
+      WHERE t.i <= date_diff('hour', b.lo, b.hi)
+    ),
+    dense AS (
+      SELECT s.key, s.hour, COALESCE(a.n, 0) AS n, a.sum_value
+      FROM spine s LEFT JOIN agg a ON a.key = s.key AND a.hour = s.hour
+    )
+    SELECT key, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n, sum_value,
+           last_value(sum_value IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+    FROM dense
+    ORDER BY key, hour
+    """,
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly resample: dense hour spine per key
+    (sequence from the data's own bounds — no driver loop), zero-filled
+    counts, and last-observation-carried-forward sums via one window.
+    The gap-fill join and the LOCF window share the same key
+    partitioning — one shuffle end-to-end."""
+    from ..operators.timeseries import hourly_gapfill_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hourly_gapfill_locf(ev, "ts", "event_type", "value")
+    return out.select(
+        "key",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n",
+        "sum_value",
+        "locf_sum",
+    ).orderBy("key", "hour")
 
 
 # --- skew-safe aggregation ---------------------------------------------------
