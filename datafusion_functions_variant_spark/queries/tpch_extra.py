@@ -242,7 +242,7 @@ def variant_arrow_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    WHERE p.p_name LIKE '%green%'
+    WHERE p.p_name LIKE '%red%'
     GROUP BY 1, 2
     ORDER BY 1, 2 DESC
     """,
@@ -252,7 +252,7 @@ def q9_part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 5-way star join, profit grouped by supplier nation x order year.
     The filtered part dim broadcasts first so lineitem shrinks before
     any other join."""
-    p = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("green"))
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -284,8 +284,8 @@ def q9_part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
-    WHERE ((ns.n_name = 'FRANCE' AND nc.n_name = 'GERMANY')
-        OR (ns.n_name = 'GERMANY' AND nc.n_name = 'FRANCE'))
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
       AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
@@ -315,8 +315,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
         .where(
-            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
     )
     return (
