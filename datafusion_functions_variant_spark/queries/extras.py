@@ -426,6 +426,42 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys: the fact side appends salt =
+    hash(row) % 8, the dim side replicates once per salt value, and the
+    join key becomes (key, salt) — a hot user's rows spread over 8
+    partitions instead of one straggler. This is the manual fallback
+    when AQE's skew splitting can't kick in (e.g. broadcast-ineligible
+    dims); results are identical to the plain join."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.hash("event_id"), F.lit(8))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salts = spark.range(8).select(F.col("id").cast("int").alias("_salt"))
+    cust_rep = cust.crossJoin(F.broadcast(salts))
+    joined = ev.join(
+        cust_rep,
+        (ev.user_id == cust_rep.c_custkey) & (ev._salt == cust_rep._salt),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --- variant schema aggregation ---------------------------------------------
 
 

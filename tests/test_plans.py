@@ -114,6 +114,18 @@ def test_q6_pushes_all_predicates(spark):
         assert col in pushed
 
 
+def test_q9_never_hints_orders_broadcast(spark):
+    # we HINT broadcast only for true dims (part, supplier, nation);
+    # orders must be left to Catalyst (it may still auto-broadcast at
+    # toy scale, but at 100 TB the threshold demotes it to a shuffle
+    # join — a hard hint would not)
+    df = REGISTRY["q9_part_profit_by_nation"].build(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint") == 3
+    plan = plan_of(spark, "q9_part_profit_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_q10_broadcasts_all_dims(spark):
     plan = plan_of(spark, "q10_returned_items")
     assert plan.count("BroadcastHashJoin") >= 3
