@@ -138,3 +138,36 @@ def test_partitioned_sink_prunes_partitions(spark):
     # the o_orderstatus=F predicate must become a PartitionFilter
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or \
         "o_orderstatus#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_q8_broadcasts_every_dim_chain(spark):
+    # part, supplier->nation, customer->nation->region all broadcast;
+    # only lineitem<->orders may ever shuffle
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_envelope_predicates_push_to_scan(spark):
+    plan = formatted(spark, "q19_disjunctive_revenue")
+    li_pushed, part_pushed = [
+        seg[:700] for seg in plan.split("PushedFilters")[1:]
+    ]
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in li_pushed
+    assert "LessThanOrEqual(l_quantity,40.0)" in li_pushed
+    assert "In(p_brand" in part_pushed
+
+
+def test_q21_scans_lineitem_once(spark):
+    # the EXISTS + NOT-EXISTS pair is rewritten as one per-order agg:
+    # lineitem must appear exactly once in the plan (semi+anti joins
+    # would scan and shuffle it three times)
+    plan = formatted(spark, "q21_waiting_suppliers")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q22_anti_join_and_inplan_scalar(spark):
+    plan = plan_of(spark, "q22_dormant_high_balance")
+    assert "LeftAnti" in plan
+    # the global average joins in as a broadcast, not a collected literal
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
