@@ -216,6 +216,22 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@query("similarity_ivf_kmeans_topk", oracle=None)  # approximate: rows-only check
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with k-means-refined centroids: 2 distributed Lloyd
+    iterations rebalance the seeded inverted lists before probing —
+    same plan shape as similarity_ivf_topk but better recall at the
+    same n_probe budget. Assignment is a zero-shuffle codegen pass
+    (centroid literals in the expression tree); the mean step's
+    exchange carries only partitions x centroids x dim rows after
+    map-side partial aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, queries_df, k=3, n_centroids=16, n_probe=2, refine_iters=2
+    ).orderBy("query_id", "rank")
+
+
 @query("similarity_lsh_topk", oracle=None)  # approximate: rows-only check
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane cosine): the

@@ -92,3 +92,22 @@ def test_explicit_matches_native(spark):
         ).alias("codec_k"),
     )
     assert both.where("native_k IS DISTINCT FROM codec_k").count() == 0
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """Both IVF variants (seeded, k-means-refined) must keep recall@3
+    >= 0.6 against the exact brute-force top-k — guards the index
+    build (assignment metric, probe metric, Lloyd refinement) against
+    silent drift."""
+    from datafusion_functions_variant_spark.queries import load_all_queries
+
+    R = load_all_queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in R["similarity_dot_topk"].build(spark, sf).collect()
+    }
+    for name in ("similarity_ivf_topk", "similarity_ivf_kmeans_topk"):
+        got = {(r.query_id, r.vec_id) for r in R[name].build(spark, sf).collect()}
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.6, f"{name} recall@3={recall}"
