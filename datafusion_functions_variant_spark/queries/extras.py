@@ -491,3 +491,117 @@ def variant_schema_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- batch sessionization + funnel ------------------------------------------
+
+
+@query(
+    "session_funnel_batch",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+           CAST(COALESCE(
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+               > MIN(CASE WHEN event_type IN ('view', 'click') THEN ts END),
+             FALSE) AS INT) AS converted
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_funnel_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization + funnel conversion: the gap-based session
+    id is lag -> boundary flag -> running sum (two window passes over
+    ONE shuffle+sort on user_id — Spark reuses the sort order between
+    same-spec windows), then a per-session aggregate marks sessions
+    where a purchase follows a view/click. The streaming twin is
+    stream_session_windows; this is the backfill/batch path of the
+    same semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    marks = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = marks.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    first_seen = F.min(
+        F.when(F.col("event_type").isin("view", "click"), F.col("ts"))
+    )
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+                > first_seen,
+                F.lit(False),
+            )
+            .cast("int")
+            .alias("converted"),
+        )
+        .drop("sid")
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --- exact percentile profiling ---------------------------------------------
+
+
+@query(
+    "percentile_profile_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           quantile_cont(l_extendedprice, 0.5) AS price_median,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def percentile_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the formula, so
+    values match bit-for-bit). Exact percentiles need the full value
+    multiset per group; at 100 TB swap in ``approx_percentile``
+    (t-digest sketch, map-side combinable) — same plan shape, bounded
+    memory, see approx_distinct_users for the sketch-agg pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("q25"),
+            F.percentile("l_quantity", 0.5).alias("q50"),
+            F.percentile("l_quantity", 0.75).alias("q75"),
+            F.percentile("l_extendedprice", 0.5).alias("price_median"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
