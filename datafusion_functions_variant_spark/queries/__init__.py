@@ -92,6 +92,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import tpch_extra  # noqa: F401
+    from . import tpch_gap  # noqa: F401
     from . import tpch_wide  # noqa: F401
     from . import variant_queries  # noqa: F401
 
