@@ -52,20 +52,50 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW small input so downstream
+    per-row heavy compute (md5-per-gram, simhash bit spread) uses every
+    core. A single small parquet file scans as ONE task, and a narrow
+    HOF pipeline inherits that — the shuffle this adds moves only the
+    raw rows (tiny) and buys full parallelism. On a real cluster with
+    many input splits this is a near-no-op safeguard; never apply it to
+    large fact tables (their split count already saturates the
+    executors, and the extra exchange would move the whole table).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def gram_array(text_col, n: int = 8):
+    """Per-row array of DISTINCT character n-grams — a narrow
+    (shuffle-free) higher-order-function pipeline: sequence →
+    transform(substr) → array_distinct, all inside one projection.
+    Guarded for texts shorter than n (Spark's sequence(1, x) DESCENDS
+    when x < 1, which would emit garbage grams).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(c) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def char_ngrams(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame:
     """Distinct character n-grams per document: (id, g).
 
-    Explode via sequence(1, len-n+1) + substring — all JVM-side. The
-    distinct collapses per-doc repeats before anything shuffles.
+    Per-doc dedup happens IN-ROW via array_distinct before the
+    explode, so this plan has no shuffle at all — the old formulation
+    (explode raw grams → global .distinct()) shuffled the entire gram
+    stream just to collapse per-doc repeats (measured: the distinct
+    exchange dominated dedup_minhash_lsh wall-clock at sf0.1).
     """
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(1), F.length(text_col) - (n - 1))).alias("_i"),
-            F.col(text_col),
-        )
-        .select(F.col(id_col), F.expr(f"substring({text_col}, _i, {n})").alias("g"))
-        .distinct()
+    return df.select(
+        F.col(id_col), F.explode(gram_array(text_col, n)).alias("g")
     )
 
 
@@ -93,6 +123,34 @@ def minhash_signatures(
     pre = grams.select(F.col(id_col), x.alias("_x"))
     aggs = [
         F.min(F.expr(f"_x ^ {XOR_CONSTS[h]}")).alias(f"mh{h}")
+        for h in range(num_hashes)
+    ]
+    return pre.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_text(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8, num_hashes: int = 8
+) -> DataFrame:
+    """Narrow-path minhash: signatures straight from the text column.
+
+    Grams are generated AND hashed inside one array ``transform`` (one
+    md5 per gram occurrence, evaluated once per row), exploded, then
+    min-aggregated. The only shuffle is the final groupBy(id), and its
+    input is already partially aggregated map-side to H longs per doc —
+    versus the grams-relation formulation which shuffles the raw gram
+    stream through a global distinct first. Same signatures as
+    ``minhash_signatures`` (min is duplicate-insensitive, so skipping
+    per-doc dedup changes nothing). md5 (not xxhash64) because the
+    DuckDB oracle must reproduce the exact integers; a Spark-only
+    deployment would swap in xxhash64 and skip the hex detour.
+    """
+    hx = F.transform(
+        gram_array(text_col, n),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    pre = df.select(F.col(id_col), F.explode(hx).alias("_x"))
+    aggs = [
+        F.min(F.col("_x").bitwiseXOR(F.lit(XOR_CONSTS[h]))).alias(f"mh{h}")
         for h in range(num_hashes)
     ]
     return pre.groupBy(id_col).agg(*aggs)
@@ -149,13 +207,15 @@ def verified_near_dups(
 
     (candidates ⋈ grams) twice → per-pair intersection count; union
     sizes come from per-doc gram counts (broadcastable map). Returns
-    (doc_a, doc_b, jaccard) filtered to >= threshold.
+    (doc_a, doc_b, jaccard) filtered to >= threshold. The candidate
+    list is broadcast: LSH's contract is that candidates ≪ corpus, so
+    hinting it spares the gram stream a shuffle by doc_a.
     """
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col(id_col).alias("doc_a"), F.col("g"))
     gb = grams.select(F.col(id_col).alias("doc_b"), F.col("g"))
     inter = (
-        candidates.join(ga, "doc_a")
+        F.broadcast(candidates).join(ga, "doc_a")
         .join(gb, ["doc_b", "g"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -86,9 +86,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 perms)-LSH(2 bands x 4 rows) candidate pairs over
     char-8-gram sets of documents. Bucket join, not all-pairs: the
     shuffle key is the band hash."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = dedup.char_ngrams(docs, "text", "doc_id", n=8)
-    sigs = dedup.minhash_signatures(grams, "doc_id", num_hashes=8)
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=8)
     return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).orderBy(
         "doc_a", "doc_b"
     )
@@ -119,9 +118,9 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard >= 0.9 — the
     full near-dup pipeline: explode → sign → band → bucket-join →
     verify only candidates (never all pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     grams = dedup.char_ngrams(docs, "text", "doc_id", n=8)
-    sigs = dedup.minhash_signatures(grams, "doc_id", num_hashes=8)
+    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=8)
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).select(
         "doc_a", "doc_b"
     )
@@ -312,8 +311,13 @@ def text_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash) → MinHash-LSH candidates verified at Jaccard >= 0.9, greedy
     drop of each pair's larger id → per-language corpus stats. Every
     stage is the blocked/verified formulation — at 100 TB nothing here
-    is all-pairs and nothing recomputes its input lineage."""
-    docs = load_table(spark, sf_dir, "documents")
+    is all-pairs. The exact-dedup survivor set is MATERIALIZED
+    (localCheckpoint) before fanning out into the grams / signatures /
+    final-anti-join branches: three consumers would otherwise re-run
+    the scan→filter→hash-agg→join lineage each (on a cluster this
+    would be persist(DISK_ONLY) or a parquet checkpoint — same idea,
+    cut the common expensive prefix once)."""
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     n_words = F.size(
         F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
     )
@@ -322,9 +326,9 @@ def text_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.exact_dedup_groups(q, "text", "doc_id")
         .select(F.col("keeper_id").alias("doc_id"))
     )
-    exact_kept = q.join(keepers, "doc_id")
+    exact_kept = q.join(keepers, "doc_id").localCheckpoint(eager=False)
     grams = dedup.char_ngrams(exact_kept, "text", "doc_id", n=8)
-    sigs = dedup.minhash_signatures(grams, "doc_id", num_hashes=8)
+    sigs = dedup.minhash_signatures_text(exact_kept, "text", "doc_id", n=8, num_hashes=8)
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).select(
         "doc_a", "doc_b"
     )
