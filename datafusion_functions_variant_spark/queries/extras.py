@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dedup import fan_out
 from ..operators.similarity import _dot_decimal, _dot_double
 from ..sources.tables import load_table, register_views
 from . import dsum, query
@@ -69,7 +70,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide), exact decimal-accumulated cosine on candidates only. At
     100 TB the self-join shuffles once on the 6-bit bucket, never
     all-pairs; cosine >= 0.3 keeps genuinely close vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     bucket = sum(
         (F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(0))
         for i in range(6)

@@ -160,7 +160,7 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit, word-frequency weighted) near-dup pairs with
     Hamming <= 4 (planted dups sit at <=1-6; random pairs median 19)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     sigs = dedup.simhash_signatures(docs, "text", "doc_id")
     return (
         dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=4)
@@ -195,7 +195,7 @@ def similarity_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vectors against the whole corpus. Inner product accumulates
     in DECIMAL so both engines agree exactly; queries broadcast, corpus
     never shuffles (see operators/similarity.py for the LSH scale path)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.where(F.col("vec_id") < 5)
     return similarity.brute_force_topk(emb, queries_df, k=3, exact=True).orderBy(
         "query_id", "rank"
@@ -208,7 +208,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid, queries probe their 2 closest centroid lists only (the
     other 100 TB ANN path next to LSH). Approximate by design → no SQL
     oracle; driver checks rows/schema."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.where(F.col("vec_id") < 5)
     return similarity.ivf_topk(
         emb, queries_df, k=3, n_centroids=16, n_probe=2
@@ -224,7 +224,7 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroid literals in the expression tree); the mean step's
     exchange carries only partitions x centroids x dim rows after
     map-side partial aggregation."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.where(F.col("vec_id") < 5)
     return similarity.ivf_topk(
         emb, queries_df, k=3, n_centroids=16, n_probe=2, refine_iters=2
@@ -236,7 +236,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane cosine): the
     100 TB path — candidates restricted to the query's sign-bucket.
     Approximate by design → no SQL oracle; driver checks rows/schema."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.where(F.col("vec_id") < 5)
     return similarity.lsh_bucketed_topk(
         emb, queries_df, k=3, num_planes=4, dim=64
