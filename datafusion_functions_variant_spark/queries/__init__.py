@@ -89,6 +89,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import clusters  # noqa: F401
     from . import extras  # noqa: F401
     from . import llmdata  # noqa: F401
+    from . import pipelines  # noqa: F401
     from . import relational  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import tpch_extra  # noqa: F401

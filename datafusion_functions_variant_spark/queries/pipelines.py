@@ -1,0 +1,214 @@
+"""Dimension-maintenance and corpus-scoring pipelines: SCD-2 history
+build, MERGE-style upsert, TF-IDF term ranking. These are the
+warehouse-side operations a training-data platform runs around the
+analytics core — all pure DataFrame plans, no custom execution.
+
+Reference parity note: the reference implements none of this (its
+relational layer is the TODO DataFusion crate, /root/reference/
+README.md:15-16); these extend SURVEY.md §2 Part B with the mutation /
+history patterns Spark expresses as joins + windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import query
+
+
+@query(
+    "scd2_user_status_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type AS status,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_us,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def scd2_user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from an event stream:
+    collapse consecutive repeats of each user's event_type (gaps-and-
+    islands via LAG), then LEAD gives each surviving row its validity
+    interval; the open row is flagged current. Both windows share ONE
+    partitioning (user_id) so Catalyst plans a single sort+shuffle and
+    runs both window frames over it — the standard way to snapshot
+    per-entity state history at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+            F.when(F.lead("ts").over(w).isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+@query(
+    "merge_upsert_customer_balance",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_custkey < (SELECT MAX(c_custkey) / 2 FROM customer)
+    ),
+    source AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS order_total,
+             COUNT(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= DATE '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT COALESCE(t.c_custkey, s.o_custkey) AS custkey,
+           CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                WHEN s.o_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           CAST(CAST(COALESCE(t.c_acctbal, 0) AS DECIMAL(18,2))
+                + COALESCE(s.order_total, 0) AS DOUBLE) AS new_balance,
+           CAST(COALESCE(s.n_orders, 0) AS BIGINT) AS n_orders
+    FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.o_custkey
+    ORDER BY custkey
+    """,
+)
+def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation on plain parquet (no table format in this
+    container): a stale dimension snapshot (low half of customers)
+    full-outer-joined with fresh per-customer order totals. Matched
+    rows 'update' (balance += total), unmatched-source rows 'insert',
+    unmatched-target rows 'keep' — exactly the three MERGE branches,
+    computed as ONE shuffle-join pass + COALESCE projections. On a
+    cluster the same plan is what Delta/Iceberg MERGE compiles to,
+    minus the transactional file rewrite.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    half = cust.agg((F.max("c_custkey") / 2).alias("h"))
+    target = (
+        cust.join(F.broadcast(half))
+        .where(F.col("c_custkey") < F.col("h"))
+        .select("c_custkey", "c_acctbal")
+    )
+    source = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("order_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    merged = target.join(source, target.c_custkey == source.o_custkey, "full_outer")
+    return merged.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("o_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        (
+            F.coalesce(F.col("c_acctbal"), F.lit(0)).cast("decimal(18,2)")
+            + F.coalesce(F.col("order_total"), F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("new_balance"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    ).orderBy("custkey")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lower(w) AS w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 3
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w, tf.tf, df.df,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (w), n
+    )
+    SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, w) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tokenize → term frequency per
+    doc → document frequency per term (one distinct-agg) → join +
+    window top-k. The document-frequency side aggregates to vocabulary
+    size and is broadcast back onto the TF stream — the TF stream
+    itself shuffles once on the term for the join, then once on doc_id
+    for the ranking window. tfidf is rounded to 6 decimals BEFORE
+    ranking so the cross-engine rank order can't flip on a last-ulp
+    libm difference in ln().
+    """
+    from ..operators.dedup import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .where(F.length("w") >= 3)
+        .select("doc_id", F.lower("w").alias("w"))
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )
