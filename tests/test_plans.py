@@ -171,3 +171,50 @@ def test_q22_anti_join_and_inplan_scalar(spark):
     assert "LeftAnti" in plan
     # the global average joins in as a broadcast, not a collected literal
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q2_broadcasts_dims_and_windows_once(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    # part + supplier/nation/region chains broadcast; the correlated
+    # MIN is ONE window (one exchange on ps_partkey), not an agg+join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Window") == 1
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    plan = plan_of(spark, "q16_supplier_variety")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_sort_rank_never_single_partitions(spark):
+    # the whole point: no SinglePartition exchange anywhere — the
+    # naive row_number() OVER (ORDER BY ...) would plan one
+    plan = plan_of(spark, "global_sort_rank")
+    assert "SinglePartition" not in plan
+
+
+def test_merge_upsert_is_one_join_pass(spark):
+    plan = plan_of(spark, "merge_upsert_customer_balance")
+    assert "FullOuter" in plan
+    # three MERGE branches from ONE join: no union of per-action scans
+    assert "Union" not in plan
+
+
+def test_scd2_windows_share_one_shuffle(spark):
+    # lag (change detection) + lead (validity interval) both partition
+    # by user_id: exactly one exchange for the window stack
+    plan = plan_of(spark, "scd2_user_status_history")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_minhash_signatures_have_no_gram_exchange(spark):
+    # narrow gram path: the only exchanges are the doc-level agg and
+    # the band bucket agg -- the raw gram stream itself never shuffles
+    from datafusion_functions_variant_spark.operators import dedup
+    from datafusion_functions_variant_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id")
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the groupBy(doc_id)
