@@ -79,10 +79,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
 
-    Scale: customer(filtered) is tiny relative to lineitem → broadcast
-    it explicitly; orders⋈lineitem shuffles on orderkey once and the
-    groupBy reuses that partitioning (no second shuffle). LIMIT after
-    ORDER BY is a TakeOrderedAndProject — no global sort materialized.
+    Scale: customer(filtered) is the dimension → broadcast it; the
+    date filter keeps ~half of ORDERS (a fact table — hinting it
+    broadcast would OOM the executors at 100 TB), so orders⋈lineitem
+    shuffles on orderkey once and the groupBy reuses that partitioning
+    (hashpartitioning(l_orderkey) satisfies the (l_orderkey,
+    o_orderdate) clustering — no second exchange). AQE is free to
+    promote the join to broadcast at small SF; we don't force it.
+    LIMIT after ORDER BY is a TakeOrderedAndProject — no global sort.
     """
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
@@ -92,7 +96,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
                l.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))

@@ -103,8 +103,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned item reporting): 4-way join with
-    selective date + returnflag filters, revenue agg, top-20. Nation
-    and the filtered orders broadcast; lineitem never shuffles twice."""
+    selective date + returnflag filters, revenue agg, top-20. Customer
+    and nation broadcast (dimensions); the 6-month orders slice is a
+    constant FRACTION of a fact table, so it shuffle-joins lineitem on
+    orderkey — AQE may promote it to broadcast at small SF, but hinting
+    it would pin an unbounded build side at 100 TB."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders").where(
@@ -113,7 +116,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
