@@ -161,3 +161,68 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    WITH rows AS (
+      SELECT i AS id,
+             (('0x' || substr(md5('row:' || i), 1, 2))::INT) % 8 AS bucket,
+             (('0x' || substr(md5('row:' || i), 3, 8))::UBIGINT)::DOUBLE
+               / 4294967296.0 AS score,
+             (['alpha','beta','gamma','delta'])
+               [(('0x' || substr(md5('row:' || i), 11, 1))::INT) % 4 + 1] AS tag
+      FROM range(0, 2000) t(i)
+    )
+    SELECT tag, COUNT(*) AS n, MIN(score) AS min_score, MAX(score) AS max_score
+    FROM rows GROUP BY tag ORDER BY tag
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING source (SimpleDataSourceStreamReader):
+    the deterministic generator replayed as micro-batches of 500 rows.
+    Offsets are id positions, so exactly-once replay after failure is
+    just regeneration (readBetweenOffsets). The stream drains its 2000
+    rows into a memory sink, then the batch aggregate runs on the
+    drained table — the oracle regenerates the identical rows in SQL.
+    """
+    import time as _time
+
+    from ..sources import pysource
+    from ..streaming.core import _SINK_COUNTER, _SINK_LOCK
+
+    pysource.register(spark)
+    with _SINK_LOCK:
+        _SINK_COUNTER[0] += 1
+        name = f"pysrc_sink_{_SINK_COUNTER[0]}"
+    st = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 2000)
+        .option("batch_rows", 500)
+        .load()
+    )
+    q = (
+        st.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table(name).count() >= 2000:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("tag")
+    )

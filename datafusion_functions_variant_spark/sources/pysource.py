@@ -13,7 +13,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -65,6 +70,29 @@ class _Reader(DataSourceReader):
             yield row_for(i)
 
 
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same deterministic generator: each
+    batch advances the id offset by ``batch_rows`` until ``n_rows`` is
+    reached, after which batches are empty. Offsets are plain dicts, so
+    checkpoint/restart replays exactly (readBetweenOffsets regenerates
+    any committed range — the generator IS the write-ahead log)."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch_rows = int(options.get("batch_rows", 250))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        s = int(start["i"])
+        e = min(s + self.batch_rows, self.n_rows)
+        return iter([row_for(i) for i in range(s, e)]), {"i": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([row_for(i) for i in range(int(start["i"]), int(end["i"]))])
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -75,6 +103,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema):
         return _Reader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _StreamReader(self.options)
 
 
 def register(spark) -> None:
