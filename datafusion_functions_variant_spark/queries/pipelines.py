@@ -212,3 +212,85 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                            AND CURRENT ROW) AS DOUBLE) AS hour_sum,
+           CAST(COUNT(*)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS hour_n
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: each event's trailing-1-hour
+    per-user activity (sum + count). Spark's rangeBetween needs a
+    numeric ordering column, so the frame runs over unix_micros(ts)
+    with a ±3.6e9 µs bound — semantically identical to DuckDB's
+    ``RANGE INTERVAL 1 HOUR PRECEDING`` (both include peer rows at
+    equal timestamps). One shuffle on user_id; the frame itself is a
+    streaming in-partition scan, never a self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hour_n"),
+    ).orderBy("event_id")
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH long_form AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM long_form GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) of four lineitem measures,
+    then a grouped rollup of the long form. Unpivot is a per-row
+    generator (Expand node — 4 output rows per input, NO shuffle,
+    NO union of 4 re-scans like the naive SQL); the only exchange is
+    the final (returnflag, measure) aggregation, and partial
+    aggregation collapses it map-side first.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long_form = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long_form.groupBy("l_returnflag", "measure")
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,4)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
