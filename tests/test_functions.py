@@ -111,3 +111,43 @@ def test_ivf_recall_vs_brute_force(spark):
         got = {(r.query_id, r.vec_id) for r in R[name].build(spark, sf).collect()}
         recall = len(got & exact) / len(exact)
         assert recall >= 0.6, f"{name} recall@3={recall}"
+
+
+def test_gram_array_short_text_guard(spark):
+    """Texts shorter than n must yield an EMPTY gram set — Spark's
+    sequence(1, x) descends for x < 1 and would emit garbage substrings
+    without the guard. Exactly-n texts yield the single full gram."""
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_variant_spark.operators.dedup import gram_array
+
+    df = spark.createDataFrame(
+        [("ab",), ("abcdefgh",), ("abcdefghi",), ("",)], ["text"]
+    ).select(gram_array("text", 8).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == []
+    assert rows[1] == ["abcdefgh"]
+    assert rows[2] == ["abcdefgh", "bcdefghi"]
+    assert rows[3] == []
+
+
+def test_fan_out_repartitions_only_narrow_inputs(spark):
+    from datafusion_functions_variant_spark.operators.dedup import fan_out
+
+    one = spark.range(100).coalesce(1)
+    assert fan_out(one).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    wide = spark.range(100).repartition(64)
+    assert fan_out(wide).rdd.getNumPartitions() == 64  # untouched
+
+
+def test_minhash_text_matches_grams_formulation(spark):
+    """The narrow signature path must produce IDENTICAL signatures to
+    the grams-relation formulation (min is duplicate-insensitive)."""
+    from datafusion_functions_variant_spark.operators import dedup
+    from datafusion_functions_variant_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    grams = dedup.char_ngrams(docs, "text", "doc_id", n=8)
+    a = dedup.minhash_signatures(grams, "doc_id", num_hashes=4)
+    b = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=4)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
