@@ -294,3 +294,50 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+@query(
+    "timeseries_multires_rollup",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           CASE WHEN GROUPING(EXTRACT(HOUR FROM ts)) = 0
+                THEN CAST(EXTRACT(HOUR FROM ts) AS INT) END AS hour,
+           CASE WHEN GROUPING(event_type) = 0 THEN event_type END AS event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (time_bucket(INTERVAL '1 day', ts)),
+      (time_bucket(INTERVAL '1 day', ts), EXTRACT(HOUR FROM ts)),
+      (time_bucket(INTERVAL '1 day', ts), EXTRACT(HOUR FROM ts), event_type))
+    ORDER BY day, hour NULLS FIRST, event_type NULLS FIRST
+    """,
+)
+def timeseries_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: day, day+hour, and
+    day+hour+type aggregates of the event stream materialized in ONE
+    pass — a ROLLUP over (day, hour, event_type) minus the grand total,
+    expressed as GROUPING SETS. Catalyst compiles it to a single
+    Expand (3 output rows per input) + one aggregation exchange, versus
+    the naive three separate scan+agg jobs a continuous-aggregate
+    hierarchy would otherwise run; at 100 TB the scan happens once.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    ev.createOrReplaceTempView("ev_rollup_src")
+    return ev.sparkSession.sql(
+        """
+        SELECT day,
+               CASE WHEN GROUPING(hour) = 0 THEN hour END AS hour,
+               CASE WHEN GROUPING(event_type) = 0 THEN event_type END AS event_type,
+               COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) AS sum_value
+        FROM ev_rollup_src
+        GROUP BY GROUPING SETS ((day), (day, hour), (day, hour, event_type))
+        ORDER BY day, hour ASC NULLS FIRST, event_type ASC NULLS FIRST
+        """
+    )
