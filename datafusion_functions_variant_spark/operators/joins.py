@@ -76,3 +76,62 @@ def range_band_join(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col)),
         "left",
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the payload of the EARLIEST right row
+    with ``right_time >= left_time`` on the same key (forward as-of,
+    inclusive), optionally only when it lands within ``tolerance_us``
+    microseconds. Same union-merge design as asof_join_backward — ONE
+    shuffle on the key, a forward-looking window frame instead of a
+    sort-merge self-join — so the plan scales identically. Adds a
+    ``_matched_t`` carry column internally to evaluate the tolerance
+    without a second join.
+
+    Requires right to be unique per (key, time).
+    """
+    l2 = (
+        left.withColumn("_k", F.col(left_on))
+        .withColumn("_t", F.col(left_time))
+        .withColumn("_side", F.lit(0))
+    )
+    r2 = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        # cast: parquet may surface the right time as TIMESTAMP_NTZ
+        # while the left is TIMESTAMP; unix_micros needs the latter
+        F.col(right_time).cast("timestamp").alias("_rt"),
+        *[F.col(c) for c in payload_cols],
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    # left rows sort before right rows at equal time (_side 0 < 1), so
+    # an exactly-simultaneous right row IS visible forward.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = u.withColumn("_matched_t", F.first("_rt", ignorenulls=True).over(w))
+    for c in payload_cols:
+        u = u.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 0)
+    if tolerance_us is not None:
+        in_tol = (
+            F.unix_micros(F.col("_matched_t")) - F.unix_micros(F.col("_t"))
+        ) <= F.lit(tolerance_us)
+        for c in payload_cols:
+            out = out.withColumn(c, F.when(in_tol, F.col(c)))
+        out = out.withColumn("_matched_t", F.when(in_tol, F.col("_matched_t")))
+    return out.withColumnRenamed("_matched_t", "matched_time").drop(
+        "_k", "_t", "_side", "_rt"
+    )

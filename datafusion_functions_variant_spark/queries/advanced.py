@@ -268,3 +268,69 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "asof_join_forward_tolerance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             TIMESTAMP '1995-01-01' + (event_id % 2500) * INTERVAL 1 DAY AS asof_t
+      FROM events
+    ),
+    o AS (
+      SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN o.o_orderdate <= e.asof_t + INTERVAL 30 DAY
+                THEN o.o_orderkey END AS next_orderkey,
+           CASE WHEN o.o_orderdate <= e.asof_t + INTERVAL 30 DAY
+                THEN (epoch_us(o.o_orderdate) - epoch_us(e.asof_t))
+                     // 86400000000 END AS days_wait
+    FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey
+                           AND e.asof_t <= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join WITH tolerance: each event matches its
+    user's NEXT order at-or-after the as-of time, kept only when it
+    arrives within 30 days. Same union-merge single-shuffle plan as
+    the backward variant, with a forward-looking window frame and the
+    matched time carried through so the tolerance is a projection, not
+    a second join. Oracle: DuckDB native ASOF LEFT JOIN (<=) + CASE.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestamp(date_add(to_date('1995-01-01'), cast(event_id % 2500 AS int)))"
+        ).alias("asof_t"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    res = joins.asof_join_forward(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="asof_t",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey"],
+        tolerance_us=30 * 86_400_000_000,
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        (
+            (F.unix_micros("matched_time") - F.unix_micros("asof_t"))
+            / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("days_wait"),
+    ).orderBy("event_id")
