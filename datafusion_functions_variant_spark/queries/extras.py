@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import fan_out
 from ..operators.similarity import _dot_decimal, _dot_double
 from ..sources.tables import load_table, register_views
-from . import dsum, query
+from . import dsum, dsum_sql, query
 
 #: Scratch dir for sink/source roundtrips (inside the repo; overwritten
 #: on every run — never a correctness input, only a roundtrip target).
@@ -605,4 +605,42 @@ def percentile_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sink_compaction",
+    oracle=f"""
+    SELECT 64 AS n_files_small, 4 AS n_files_compacted,
+           COUNT(*) AS n_rows,
+           {dsum_sql("l_quantity", "sum_qty")}
+    FROM lineitem
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the operational fix for the classic
+    100 TB killer (a day of streaming micro-batches leaves millions of
+    KB-sized files; every reader then pays per-file open cost). Stage
+    1 deliberately fragments lineitem into 64 shards; stage 2 compacts
+    by rewriting with a 16× lower partition count (on a cluster the
+    target would be computed from bytes/file, and the swap would be a
+    transactional table-format commit). The file counts are asserted
+    INTO the result row, and the row-count + quantity checksum prove
+    the rewrite lost nothing.
+    """
+    small = os.path.join(_IO_DIR, "lineitem_small_files")
+    packed = os.path.join(_IO_DIR, "lineitem_compacted")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(64).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(packed)
+
+    def _nfiles(p: str) -> int:
+        return len([f for f in os.listdir(p) if f.endswith(".parquet")])
+
+    back = spark.read.parquet(packed)
+    return back.agg(
+        F.lit(_nfiles(small)).alias("n_files_small"),
+        F.lit(_nfiles(packed)).alias("n_files_compacted"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
     )
