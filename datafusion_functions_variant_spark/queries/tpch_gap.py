@@ -311,32 +311,14 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     requiring every row to be globally ranked. The oracle uses the
     naive window because DuckDB runs single-node anyway.
     """
+    from ..operators.ranking import global_rank
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    bounds = sorted(set(o.approxQuantile("o_totalprice", [i / 16 for i in range(1, 16)], 0.01)))
-    # descending sort → bucket = how many bounds exceed the price
-    # (monotone non-increasing in price; ties share a bucket)
-    barr = F.array(*[F.lit(b) for b in bounds])
-    bucketed = o.withColumn(
-        "bucket", F.size(F.filter(barr, lambda b: b > F.col("o_totalprice")))
+    ranked = global_rank(
+        o, "o_totalprice", "o_orderkey", ascending=False, buckets=16
     )
-
-    counts = {
-        r["bucket"]: r["cnt"]
-        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, running = {}, 0
-    for b in sorted(counts):
-        offsets[b] = running
-        running += counts[b]
-    offset_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("bucket"),
-    )
-
-    w = Window.partitionBy("bucket").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        bucketed.withColumn("rank", (F.row_number().over(w) + offset_col).cast("bigint"))
-        .where((F.col("rank") - 1) % 100 == 0)
+        ranked.where((F.col("rank") - 1) % 100 == 0)
         .select("rank", "o_orderkey", "o_totalprice")
         .orderBy("rank")
     )

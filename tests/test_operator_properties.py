@@ -1,0 +1,79 @@
+"""Property tests for hand-built operators against brute-force naive
+formulations on seeded random data — covering edge regions the
+synthetic tables can't guarantee (ties straddling range-bucket
+boundaries, empty forward-match sets, exact tolerance boundaries).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_global_rank_matches_naive_with_heavy_ties(spark):
+    from datafusion_functions_variant_spark.operators.ranking import global_rank
+
+    rng = random.Random(7)
+    # 3 distinct values over 400 rows → every bucket boundary lands on
+    # a tie run; ranks must still be exactly the naive window's
+    rows = [(i, float(rng.choice([1.0, 2.0, 3.0]))) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(8)
+
+    for ascending in (False, True):
+        got = {
+            (r.id, r.rank)
+            for r in global_rank(
+                df, "v", "id", ascending=ascending, buckets=16
+            ).collect()
+        }
+        order = [F.asc("v") if ascending else F.desc("v"), F.asc("id")]
+        naive = {
+            (r.id, r.rank)
+            for r in df.withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy(*order)).cast("bigint"),
+            ).collect()
+        }
+        assert got == naive
+
+
+def test_asof_forward_matches_brute_force(spark):
+    from datafusion_functions_variant_spark.operators.joins import asof_join_forward
+
+    rng = random.Random(11)
+    lefts = [(i, i % 5, rng.randint(0, 1000)) for i in range(150)]
+    rights = []
+    seen = set()
+    for j in range(200):
+        k, t = rng.randint(0, 5), rng.randint(0, 1000)  # key 5: no lefts
+        if (k, t) not in seen:  # operator requires unique (key, time)
+            seen.add((k, t))
+            rights.append((k, t, j))
+    tol_us = 100 * 1_000_000
+
+    ldf = spark.createDataFrame(lefts, ["lid", "k", "t"]).select(
+        "lid", "k", F.timestamp_seconds("t").alias("lt")
+    )
+    rdf = spark.createDataFrame(rights, ["k", "t", "payload"]).select(
+        "k", F.timestamp_seconds("t").alias("rt"), "payload"
+    )
+    got = {
+        (r.lid, r.payload)
+        for r in asof_join_forward(
+            ldf, rdf, "k", "k", "lt", "rt", ["payload"], tolerance_us=tol_us
+        ).collect()
+    }
+
+    rmap: dict[int, list[tuple[int, int]]] = {}
+    for k, t, j in rights:
+        rmap.setdefault(k, []).append((t, j))
+    expected = set()
+    for lid, k, t in lefts:
+        cands = [(rt, j) for rt, j in rmap.get(k, []) if rt >= t]
+        if cands and (min(cands)[0] - t) * 1_000_000 <= tol_us:
+            expected.add((lid, min(cands)[1]))
+        else:
+            expected.add((lid, None))
+    assert got == expected
