@@ -218,3 +218,40 @@ def test_minhash_signatures_have_no_gram_exchange(spark):
     sigs = dedup.minhash_signatures_text(docs, "text", "doc_id")
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # only the groupBy(doc_id)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """At 100 TB a selective dim filter should also prune the FACT scan
+    — Spark's runtime bloom filter (might_contain on the join key)
+    does exactly that for shuffle joins. The thresholds gate it to
+    big application-side scans, so we lower them to demonstrate the
+    mechanism on test data; production keeps the defaults."""
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_variant_spark.sources.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
