@@ -170,3 +170,48 @@ def variant_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), davg("value", "avg_value"))
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "variant_array_paths",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             '[' || event_id || ',' || event_id * 2
+                 || ',{"a":' || event_id % 7 || '}]' AS js
+      FROM events WHERE event_id < 3000
+    )
+    SELECT event_id,
+           CAST(js->>'$[0]' AS BIGINT) AS e0,
+           CAST(js->>'$[1]' AS BIGINT) AS e1,
+           CAST(js->>'$[2].a' AS BIGINT) AS nested_a,
+           CAST(js->>'$[9]' AS BIGINT) AS oob
+    FROM src ORDER BY event_id
+    """,
+)
+def variant_array_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-index path access (reference A21 get_array / A28
+    get_element, read.rs:78-80,260-267): variant_get with ``$[i]``
+    steps, a nested ``$[i].key`` walk, and the out-of-bounds → NULL
+    contract (read.rs:267 returns None OOB). The JSON array is
+    constructed per row so every element branch is exercised; all
+    expressions stay in whole-stage codegen.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    js = F.concat(
+        F.lit("["),
+        F.col("event_id").cast("string"),
+        F.lit(","),
+        (F.col("event_id") * 2).cast("string"),
+        F.lit(',{"a":'),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("}]"),
+    )
+    v = F.parse_json(js)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$[0]", "bigint").alias("e0"),
+        F.variant_get(v, "$[1]", "bigint").alias("e1"),
+        F.variant_get(v, "$[2].a", "bigint").alias("nested_a"),
+        F.variant_get(v, "$[9]", "bigint").alias("oob"),
+    ).orderBy("event_id")
