@@ -255,3 +255,17 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_unpivot_is_expand_not_union(spark):
+    plan = plan_of(spark, "unpivot_lineitem_measures")
+    assert "Expand" in plan
+    assert plan.count("lineitem.parquet") == 1  # one scan, not 4
+
+
+def test_asof_forward_single_shuffle_per_side(spark):
+    # union-merge as-of: exactly one exchange on the key for the
+    # window, never a sort-merge range self-join
+    plan = plan_of(spark, "asof_join_forward_tolerance")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
