@@ -486,3 +486,44 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(docs, "payload", "doc_id", every_n=3).orderBy(
         "asset_id", "frame_idx"
     )
+
+
+@query(
+    "dataset_split_assignment",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             (('0x' || substr(md5('split:' || doc_id), 1, 2))::INT) % 10 AS h
+      FROM documents
+    )
+    SELECT CASE WHEN h < 8 THEN 'train'
+                WHEN h = 8 THEN 'val' ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM assigned
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test splitting — the reproducibility
+    primitive of a training-data pipeline. Membership is a pure
+    function of the salted doc id hash (md5 'split:<id>' → bucket
+    0-9 → 80/10/10), so the split is stable across runs, machines and
+    engine versions, needs no stored assignment table, and any join
+    against it is reproducible. Narrow projection + one grouped count;
+    never a sample() (nondeterministic under partition reordering).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 2), 16, 10)
+        .cast("int")
+        % 10
+    )
+    return (
+        docs.select(
+            F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias("split"),
+            "lang",
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
