@@ -84,17 +84,22 @@ def isum_sql(expr: str, alias: str) -> str:
 
 def load_all_queries() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registry fill)."""
+    # Import order = registry (insertion) order = driver verification
+    # order. The driver oracle-checks the first 50 entries, so modules
+    # whose queries have not yet earned a driver-green correctness row
+    # come FIRST; modules fully verified in rounds 1-2 (advanced,
+    # catalog, clusters, extras, llmdata) rotate to the back.
+    from . import variant_queries  # noqa: F401
+    from . import relational  # noqa: F401
+    from . import tpch_extra  # noqa: F401
+    from . import tpch_gap  # noqa: F401
+    from . import tpch_wide  # noqa: F401
+    from . import streaming_queries  # noqa: F401
+    from . import pipelines  # noqa: F401
     from . import advanced  # noqa: F401
     from . import catalog  # noqa: F401
     from . import clusters  # noqa: F401
     from . import extras  # noqa: F401
     from . import llmdata  # noqa: F401
-    from . import pipelines  # noqa: F401
-    from . import relational  # noqa: F401
-    from . import streaming_queries  # noqa: F401
-    from . import tpch_extra  # noqa: F401
-    from . import tpch_gap  # noqa: F401
-    from . import tpch_wide  # noqa: F401
-    from . import variant_queries  # noqa: F401
 
     return REGISTRY
