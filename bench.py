@@ -4,10 +4,16 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed with a count-consuming action (noop write would
-skew toward output cost; ``count`` after a deterministic plan forces
-full execution of scans, joins, aggs, windows). Wall-clock per query,
-total reported as the headline value.
+Timed action: a value-consuming checksum — ``SUM(CRC32(TO_JSON(
+STRUCT(*))))`` over the query's full result. ``count()`` is NOT used:
+Catalyst prunes aggregate/window expressions whose values a bare count
+never reads, so count-based timings understate real cost. The checksum
+forces every output column of every row to be materialized while
+keeping the consumption JVM-side (one scalar returns to the driver).
+
+Each query is timed ``BENCH_RUNS`` times (default 3) and the median is
+reported, bounding the run-to-run noise (page cache / JIT) that made
+byte-identical code swing ~30% between rounds 1 and 2.
 """
 
 from __future__ import annotations
@@ -59,15 +65,29 @@ def main() -> None:
     # warm up the JVM + parquet footers once with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    from pyspark.sql import functions as F
+
+    def consume(df) -> None:
+        # Materialize EVERY output column of EVERY row: checksum the
+        # row struct and fold to one scalar. Unlike count(), Catalyst
+        # cannot prune any expression feeding the result.
+        df.select(
+            F.sum(F.crc32(F.to_json(F.struct(*df.columns)).cast("binary")))
+        ).collect()
+
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
             continue
-        df = spec.build(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            df = spec.build(spark, sf_dir)
+            t0 = time.perf_counter()
+            consume(df)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
