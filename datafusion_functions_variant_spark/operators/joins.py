@@ -35,6 +35,12 @@ def asof_join_backward(
 
     Requires right to be unique per (key, time); pre-aggregate
     duplicates first or the tie-winner is unspecified.
+
+    All payload columns ride through the window as ONE struct so every
+    output column comes from the SAME matched right row. Carrying each
+    column independently via ``last(c, ignorenulls=True)`` would let a
+    NULL field of the matched row be back-filled from an older row,
+    silently mixing payloads across rows.
     """
     l2 = (
         left.withColumn("_k", F.col(left_on))
@@ -45,7 +51,7 @@ def asof_join_backward(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
     # right rows sort before left rows at equal time (_side 0 < 1), so
@@ -55,9 +61,11 @@ def asof_join_backward(
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_payload", F.last("_payload", ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 1)
     for c in payload_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.where(F.col("_side") == 1).drop("_k", "_t", "_side")
+        out = out.withColumn(c, F.col("_payload")[c])
+    return out.drop("_k", "_t", "_side", "_payload")
 
 
 def range_band_join(
@@ -93,9 +101,12 @@ def asof_join_forward(
     inclusive), optionally only when it lands within ``tolerance_us``
     microseconds. Same union-merge design as asof_join_backward — ONE
     shuffle on the key, a forward-looking window frame instead of a
-    sort-merge self-join — so the plan scales identically. Adds a
-    ``_matched_t`` carry column internally to evaluate the tolerance
-    without a second join.
+    sort-merge self-join — so the plan scales identically. The matched
+    right time and all payload columns ride through the window as ONE
+    struct, so the tolerance check and every output column are
+    guaranteed to come from the SAME matched right row (independent
+    ``first(ignorenulls)`` carries could mix rows when a payload field
+    of the matched row is NULL).
 
     Requires right to be unique per (key, time).
     """
@@ -108,10 +119,12 @@ def asof_join_forward(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(1).alias("_side"),
-        # cast: parquet may surface the right time as TIMESTAMP_NTZ
-        # while the left is TIMESTAMP; unix_micros needs the latter
-        F.col(right_time).cast("timestamp").alias("_rt"),
-        *[F.col(c) for c in payload_cols],
+        F.struct(
+            # cast: parquet may surface the right time as TIMESTAMP_NTZ
+            # while the left is TIMESTAMP; unix_micros needs the latter
+            F.col(right_time).cast("timestamp").alias("_rt"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_payload"),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
     # left rows sort before right rows at equal time (_side 0 < 1), so
@@ -121,10 +134,11 @@ def asof_join_forward(
         .orderBy("_t", "_side")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    u = u.withColumn("_matched_t", F.first("_rt", ignorenulls=True).over(w))
-    for c in payload_cols:
-        u = u.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    u = u.withColumn("_payload", F.first("_payload", ignorenulls=True).over(w))
     out = u.where(F.col("_side") == 0)
+    out = out.withColumn("_matched_t", F.col("_payload._rt"))
+    for c in payload_cols:
+        out = out.withColumn(c, F.col("_payload")[c])
     if tolerance_us is not None:
         in_tol = (
             F.unix_micros(F.col("_matched_t")) - F.unix_micros(F.col("_t"))
@@ -133,5 +147,5 @@ def asof_join_forward(
             out = out.withColumn(c, F.when(in_tol, F.col(c)))
         out = out.withColumn("_matched_t", F.when(in_tol, F.col("_matched_t")))
     return out.withColumnRenamed("_matched_t", "matched_time").drop(
-        "_k", "_t", "_side", "_rt"
+        "_k", "_t", "_side", "_payload"
     )

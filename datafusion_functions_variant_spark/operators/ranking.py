@@ -37,6 +37,10 @@ def global_rank(
     """Append an exact global ``row_number`` over
     (value_col ``ascending``, tiebreak_col ASC) — (value, tiebreak)
     must be unique per row for the rank to be well-defined.
+
+    NULL sort keys get a dedicated bucket matching Spark's window
+    ordering defaults (ASC → NULLS FIRST, DESC → NULLS LAST); they
+    never interleave with real values.
     """
     bounds = sorted(
         set(
@@ -47,10 +51,14 @@ def global_rank(
     )
     barr = F.array(*[F.lit(b) for b in bounds])
     if ascending:
-        bucket = F.size(F.filter(barr, lambda b: b < F.col(value_col)))
+        bucket = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+            F.size(F.filter(barr, lambda b: b < F.col(value_col)))
+        )
         order = [F.asc(value_col), F.asc(tiebreak_col)]
     else:
-        bucket = F.size(F.filter(barr, lambda b: b > F.col(value_col)))
+        bucket = F.when(
+            F.col(value_col).isNull(), F.lit(len(bounds) + 1)
+        ).otherwise(F.size(F.filter(barr, lambda b: b > F.col(value_col))))
         order = [F.desc(value_col), F.asc(tiebreak_col)]
     bucketed = df.withColumn("_bucket", bucket)
 

@@ -39,6 +39,66 @@ def test_global_rank_matches_naive_with_heavy_ties(spark):
         assert got == naive
 
 
+def test_global_rank_null_keys_match_spark_window_null_order(spark):
+    """NULL sort keys must rank exactly where Spark's naive window puts
+    them (ASC → NULLS FIRST, DESC → NULLS LAST), never interleaved with
+    real top values. (Regression: nulls fell into bucket 0.)"""
+    from datafusion_functions_variant_spark.operators.ranking import global_rank
+
+    rng = random.Random(13)
+    rows = [
+        (i, None if i % 7 == 0 else float(rng.choice([1.0, 2.0, 3.0])))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id int, v double").repartition(8)
+
+    for ascending in (False, True):
+        got = {
+            (r.id, r.rank)
+            for r in global_rank(
+                df, "v", "id", ascending=ascending, buckets=16
+            ).collect()
+        }
+        order = [F.asc("v") if ascending else F.desc("v"), F.asc("id")]
+        naive = {
+            (r.id, r.rank)
+            for r in df.withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy(*order)).cast("bigint"),
+            ).collect()
+        }
+        assert got == naive
+
+
+def test_asof_payload_null_fields_not_mixed_across_rows(spark):
+    """A NULL payload field in the matched right row must stay NULL —
+    not be back/forward-filled from a DIFFERENT right row. (Regression:
+    per-column last/first(ignorenulls) carries mixed rows.)"""
+    from datafusion_functions_variant_spark.operators.joins import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    ldf = spark.createDataFrame([(1, 1, 25)], ["lid", "k", "t"]).select(
+        "lid", "k", F.timestamp_seconds("t").alias("lt")
+    )
+    rdf = spark.createDataFrame(
+        [(1, 10, 1, "x"), (1, 20, None, "y"), (1, 30, None, "z"), (1, 40, 9, "w")],
+        "k int, t int, a int, b string",
+    ).select("k", F.timestamp_seconds("t").alias("rt"), "a", "b")
+
+    back = asof_join_backward(ldf, rdf, "k", "k", "lt", "rt", ["a", "b"]).collect()
+    assert len(back) == 1
+    # matched row is t=20 → (NULL, 'y'); a=1 from t=10 must NOT leak in
+    assert (back[0].a, back[0].b) == (None, "y")
+
+    fwd = asof_join_forward(ldf, rdf, "k", "k", "lt", "rt", ["a", "b"]).collect()
+    assert len(fwd) == 1
+    # matched row is t=30 → (NULL, 'z'); a=9 from t=40 must NOT leak in
+    assert (fwd[0].a, fwd[0].b) == (None, "z")
+    assert fwd[0].matched_time.second == 30
+
+
 def test_asof_forward_matches_brute_force(spark):
     from datafusion_functions_variant_spark.operators.joins import asof_join_forward
 
