@@ -242,37 +242,33 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Portable construction: token hash = first 15 hex chars of md5
     (60 bits, fits signed 64); bit j of the signature is the majority
-    vote of token-hash bit j weighted by token frequency. Entirely
-    JVM-side: explode words x explode 60 bit positions → one groupBy.
-    (At 100 TB you'd fuse this into a pandas_udf to avoid the 60x row
-    expansion; this formulation is the oracle-checkable reference.)
+    vote of token-hash bit j weighted by token frequency.
+
+    Fused in-row build: one projection folds the token-hash array into
+    a 60-counter vote vector and packs the majority bits — all inside
+    whole-stage codegen via higher-order functions. ZERO shuffle and
+    zero row expansion (the earlier formulation exploded words × 60
+    bit positions, a 60× stage-input multiplier that dominates at
+    100 TB). Docs with no tokens are dropped, matching the exploded
+    formulation (they produced no rows).
     """
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    ).where(F.length("w") > 0)
-    hashed = words.select(
-        id_col,
-        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h"),
+    tokens = (
+        f"transform(filter(split({text_col}, ' '), w -> length(w) > 0),"
+        f" w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
     )
-    bits = hashed.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"),
-    ).select(
-        id_col,
-        "j",
-        F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1).alias("contrib"),
+    votes = (
+        f"aggregate({tokens}, array_repeat(cast(0 as bigint), 60),"
+        f" (acc, h) -> zip_with(acc, sequence(0, 59),"
+        f"  (a, j) -> a + cast((shiftright(h, j) & 1) * 2 - 1 as bigint)))"
     )
-    return (
-        bits.groupBy(id_col, "j")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
+    pack = (
+        f"aggregate(zip_with({votes}, sequence(0, 59),"
+        f"  (s, j) -> if(s > 0, shiftleft(cast(1 as bigint), j),"
+        f"            cast(0 as bigint))),"
+        f" cast(0 as bigint), (a, x) -> a + x)"
+    )
+    return df.where(F.expr(f"size({tokens}) > 0")).select(
+        F.col(id_col), F.expr(pack).alias("simhash")
     )
 
 

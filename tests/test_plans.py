@@ -269,3 +269,17 @@ def test_asof_forward_single_shuffle_per_side(spark):
     plan = plan_of(spark, "asof_join_forward_tolerance")
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_simhash_signature_build_fused_no_shuffle(spark):
+    # the fused in-row signature build must stay a pure projection:
+    # no Exchange, no Generate (explode) — the 60x bit-explode is the
+    # scale regression this pins against
+    from datafusion_functions_variant_spark.operators import dedup
+    from datafusion_functions_variant_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sigs = dedup.simhash_signatures(docs, "text", "doc_id")
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
