@@ -60,6 +60,15 @@ PRIM_TIMESTAMP_MICRO_NTZ = 13
 PRIM_FLOAT32 = 14
 PRIM_BINARY = 15
 PRIM_STRING = 16
+# Dictionary-referencing primitives (values/mod.rs:58-59). The
+# reference DECLARES these ids (and accepts them in TryFrom,
+# values/mod.rs:85-86) but never reads or writes them, so no layout is
+# specified there. Layout chosen here: header byte + u32 LE index into
+# the metadata dictionary; id 18 resolves to the dictionary string, id
+# 17 to that string's UTF-8 bytes. Resolution requires the metadata,
+# mirroring object field names.
+PRIM_BINARY_DICT = 17
+PRIM_STRING_DICT = 18
 
 _PRIM_NAMES = {
     PRIM_NULL: "null",
@@ -79,6 +88,8 @@ _PRIM_NAMES = {
     PRIM_FLOAT32: "float",
     PRIM_BINARY: "binary",
     PRIM_STRING: "string",
+    PRIM_BINARY_DICT: "binary",
+    PRIM_STRING_DICT: "string",
 }
 
 
@@ -271,6 +282,25 @@ def write_binary(buf: bytearray, value: bytes) -> None:
     buf.append(_prim_header(PRIM_BINARY))
     buf += struct.pack("<i", len(value))
     buf += value
+
+
+def write_string_from_dictionary(buf: bytearray, index: int) -> None:
+    """StringFromDictionary (id 18): u32 LE index into the metadata
+    dictionary. The string must already be in the metadata (use
+    ``build_metadata`` / ``Metadata.find_string``)."""
+    if not 0 <= index <= 0xFFFFFFFF:
+        raise VariantError(f"dictionary index out of range: {index}")
+    buf.append(_prim_header(PRIM_STRING_DICT))
+    buf += struct.pack("<I", index)
+
+
+def write_binary_from_dictionary(buf: bytearray, index: int) -> None:
+    """BinaryFromDictionary (id 17): u32 LE index; the referenced
+    dictionary string's UTF-8 bytes are the binary payload."""
+    if not 0 <= index <= 0xFFFFFFFF:
+        raise VariantError(f"dictionary index out of range: {index}")
+    buf.append(_prim_header(PRIM_BINARY_DICT))
+    buf += struct.pack("<I", index)
 
 
 def write_date32(buf: bytearray, days: int) -> None:
@@ -526,6 +556,28 @@ class Variant:
         n = struct.unpack_from("<i", self.buf, 1)[0]
         return bytes(self.buf[5 : 5 + n])
 
+    def get_dictionary_index(self) -> int:
+        """Index payload of a Binary/StringFromDictionary value
+        (ids 17/18, values/mod.rs:58-59)."""
+        tid = self.primitive_type_id
+        if tid not in (PRIM_BINARY_DICT, PRIM_STRING_DICT):
+            raise VariantError(f"not a dictionary reference: type id {tid}")
+        return struct.unpack_from("<I", self.buf, 1)[0]
+
+    def get_string_from_dictionary(self, metadata: "Metadata") -> str:
+        self._expect(PRIM_STRING_DICT)
+        s = metadata.get_string(self.get_dictionary_index())
+        if s is None:
+            raise VariantError("dictionary index out of bounds")
+        return s
+
+    def get_binary_from_dictionary(self, metadata: "Metadata") -> bytes:
+        self._expect(PRIM_BINARY_DICT)
+        s = metadata.get_string(self.get_dictionary_index())
+        if s is None:
+            raise VariantError("dictionary index out of bounds")
+        return s.encode("utf-8")
+
     def get_date32(self) -> int:
         self._expect(PRIM_DATE32)
         return struct.unpack_from("<i", self.buf, 1)[0]
@@ -775,6 +827,10 @@ def to_python(value: Variant, metadata: Metadata) -> Any:
         return value.get_string()
     if tid == PRIM_BINARY:
         return value.get_binary()
+    if tid == PRIM_STRING_DICT:
+        return value.get_string_from_dictionary(metadata)
+    if tid == PRIM_BINARY_DICT:
+        return value.get_binary_from_dictionary(metadata)
     if tid == PRIM_DATE32:
         from datetime import date, timedelta
 
@@ -787,24 +843,41 @@ def to_python(value: Variant, metadata: Metadata) -> Any:
     raise VariantError(f"unsupported type id {tid}")
 
 
-def _json_default(obj):
-    # Decimal renders as a plain number (matches Spark's toJson); a
-    # nonnegative scale byte guarantees str() never uses E-notation.
+def _render_json(v: Any) -> str:
+    """JSON text for a to_python() value, matching Spark's JVM
+    ``to_json(variant)`` rendering: decimals emit as UNQUOTED plain
+    notation (BigDecimal.toPlainString — never E-notation, which
+    str(Decimal) switches to when the adjusted exponent < -6).
+    json.dumps(default=...) can't do this (a returned str gets
+    quoted), hence the hand-rolled walk."""
     from decimal import Decimal
 
-    if isinstance(obj, Decimal):
-        return float(obj) if Decimal(repr(float(obj))) == obj else str(obj)
-    raise TypeError(f"not JSON serializable: {type(obj)}")
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        f = float(v)
+        # decimals that survive a float round-trip render as the float
+        # (shortest repr); others keep all digits, plain notation
+        return json.dumps(f) if Decimal(repr(f)) == v else format(v, "f")
+    if isinstance(v, (int, float)):
+        return json.dumps(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, list):
+        return "[" + ",".join(_render_json(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            json.dumps(k, ensure_ascii=False) + ":" + _render_json(x)
+            for k, x in v.items()
+        ) + "}"
+    raise VariantError(f"not JSON serializable: {type(v)}")
 
 
 def to_json_str(value_buf: bytes, metadata_buf: bytes) -> str:
     """Variant pair → canonical JSON text."""
-    return json.dumps(
-        to_python(Variant(value_buf), Metadata(metadata_buf)),
-        separators=(",", ":"),
-        ensure_ascii=False,
-        default=_json_default,
-    )
+    return _render_json(to_python(Variant(value_buf), Metadata(metadata_buf)))
 
 
 def get_path(

@@ -611,7 +611,11 @@ def percentile_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_compaction",
     oracle=f"""
-    SELECT 64 AS n_files_small, 4 AS n_files_compacted,
+    -- LEAST: Spark writes no file for an empty partition, so with
+    -- fewer rows than the repartition count the file count is the
+    -- row count, not the partition count
+    SELECT CAST(LEAST(64, COUNT(*)) AS INT) AS n_files_small,
+           CAST(LEAST(4, COUNT(*)) AS INT) AS n_files_compacted,
            COUNT(*) AS n_rows,
            {dsum_sql("l_quantity", "sum_qty")}
     FROM lineitem

@@ -292,3 +292,64 @@ def test_type_names():
             assert v is None
         else:
             assert c.Variant(v).type_name() == expect
+
+
+# --- dictionary-referencing primitives (values/mod.rs:58-59, ids 17/18) ---
+
+
+def test_string_from_dictionary_roundtrip():
+    meta = c.Metadata(c.build_metadata(["alpha", "beta", "gamma"]))
+    idx = meta.find_string("beta")
+    buf = bytearray()
+    c.write_string_from_dictionary(buf, idx)
+    v = c.Variant(bytes(buf))
+    assert v.primitive_type_id == c.PRIM_STRING_DICT
+    assert v.type_name() == "string"
+    assert v.get_dictionary_index() == idx
+    assert v.get_string_from_dictionary(meta) == "beta"
+    assert c.to_python(v, meta) == "beta"
+
+
+def test_binary_from_dictionary_roundtrip():
+    meta = c.Metadata(c.build_metadata(["payload"]))
+    buf = bytearray()
+    c.write_binary_from_dictionary(buf, 0)
+    v = c.Variant(bytes(buf))
+    assert v.primitive_type_id == c.PRIM_BINARY_DICT
+    assert v.type_name() == "binary"
+    assert v.get_binary_from_dictionary(meta) == b"payload"
+    assert c.to_python(v, meta) == b"payload"
+
+
+def test_dictionary_reference_errors():
+    meta = c.Metadata(c.build_metadata(["only"]))
+    buf = bytearray()
+    c.write_string_from_dictionary(buf, 5)  # out of bounds for this dict
+    v = c.Variant(bytes(buf))
+    with pytest.raises(c.VariantError):
+        v.get_string_from_dictionary(meta)
+    with pytest.raises(c.VariantError):
+        c.write_string_from_dictionary(bytearray(), 1 << 32)
+    s = bytearray()
+    c.write_string(s, "plain")
+    with pytest.raises(c.VariantError):
+        c.Variant(bytes(s)).get_dictionary_index()
+
+
+def test_decimal_plain_notation_rendering():
+    """Decimals past float precision with adjusted exponent < -6 must
+    render unquoted in plain notation — str(Decimal) would E-notate,
+    json default= would quote. Spark-verified expected text."""
+    meta = c.build_metadata(["x"])
+    m = c.Metadata(meta)
+    buf = bytearray()
+    ob = c.ObjectBuilder(m)
+    inner = bytearray()
+    c.write_decimal(inner, 1234567890123456789, 26)  # 1.2345…e-8, 19 digits
+    ob.append_value("x", bytes(inner))
+    buf += ob.finish()
+    # matches JVM Spark: to_json(parse_json('{"x":0.00000001234567890123456789}'))
+    assert (
+        c.to_json_str(bytes(buf), meta)
+        == '{"x":0.00000001234567890123456789}'
+    )
