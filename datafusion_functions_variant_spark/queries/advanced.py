@@ -254,17 +254,35 @@ def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", oracle=None)  # approximate by design
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_3rsd
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approximate distinct (sketch aggregation): distinct
-    users per event_type, exact count alongside for reference. No SQL
-    oracle — HLL implementations differ across engines by design."""
+    """HyperLogLog approximate distinct (sketch aggregation) per
+    event_type. HLL values differ across engines by design, so the
+    hash-checked output carries the exact count plus an error-bound
+    boolean: |approx - exact| <= 3*rsd*exact (rsd=0.02 → 6%; measured
+    error <= 0.4% at sf0.001-0.1)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.06 * F.col("exact_users")
+            ).alias("approx_within_3rsd"),
         )
         .orderBy("event_type")
     )

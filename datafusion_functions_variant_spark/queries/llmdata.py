@@ -202,20 +202,53 @@ def similarity_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ivf_topk", oracle=None)  # approximate: rows-only check
+# Hash-checkable oracle for the approximate ANN queries: the driver
+# can't reproduce an approximate neighbor list, but it CAN check a
+# recall bound. Each query computes its neighbors AND the exact
+# brute-force top-k in one plan, reduces to (n_queries, recall_ok),
+# and the oracle reproduces that summary exactly. Thresholds sit well
+# under the deterministic measured recalls (seeded planes/centroids):
+# LSH 0.33-0.53, IVF 1.0, IVF+k-means 0.87-0.93 at sf0.001/sf0.01.
+_ANN_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+def _ann_recall_summary(
+    emb: DataFrame, queries_df: DataFrame, approx: DataFrame, min_recall: float
+) -> DataFrame:
+    exact = similarity.brute_force_topk(emb, queries_df, k=3, exact=True)
+    hits = approx.select("query_id", "vec_id").join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    ex = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).cast("double").alias("_n_exact"),
+    )
+    ht = hits.agg(F.count(F.lit(1)).cast("double").alias("_n_hits"))
+    return ex.crossJoin(ht).select(
+        "n_queries",
+        (F.col("_n_hits") / F.col("_n_exact") >= F.lit(min_recall)).alias(
+            "recall_ok"
+        ),
+    )
+
+
+@query("similarity_ivf_topk", oracle=_ANN_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-k: corpus clustered to nearest
     centroid, queries probe their 2 closest centroid lists only (the
-    other 100 TB ANN path next to LSH). Approximate by design → no SQL
-    oracle; driver checks rows/schema."""
+    other 100 TB ANN path next to LSH). Verified quantitatively:
+    recall@3 vs the exact brute-force top-3 must clear 0.8 (measured
+    1.0 at sf0.001/sf0.01)."""
     emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.where(F.col("vec_id") < 5)
-    return similarity.ivf_topk(
-        emb, queries_df, k=3, n_centroids=16, n_probe=2
-    ).orderBy("query_id", "rank")
+    approx = similarity.ivf_topk(emb, queries_df, k=3, n_centroids=16, n_probe=2)
+    return _ann_recall_summary(emb, queries_df, approx, min_recall=0.8)
 
 
-@query("similarity_ivf_kmeans_topk", oracle=None)  # approximate: rows-only check
+@query("similarity_ivf_kmeans_topk", oracle=_ANN_ORACLE)
 def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with k-means-refined centroids: 2 distributed Lloyd
     iterations rebalance the seeded inverted lists before probing —
@@ -223,24 +256,26 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same n_probe budget. Assignment is a zero-shuffle codegen pass
     (centroid literals in the expression tree); the mean step's
     exchange carries only partitions x centroids x dim rows after
-    map-side partial aggregation."""
+    map-side partial aggregation. Recall@3 bound 0.8 (measured
+    0.87-0.93)."""
     emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.where(F.col("vec_id") < 5)
-    return similarity.ivf_topk(
+    approx = similarity.ivf_topk(
         emb, queries_df, k=3, n_centroids=16, n_probe=2, refine_iters=2
-    ).orderBy("query_id", "rank")
+    )
+    return _ann_recall_summary(emb, queries_df, approx, min_recall=0.8)
 
 
-@query("similarity_lsh_topk", oracle=None)  # approximate: rows-only check
+@query("similarity_lsh_topk", oracle=_ANN_ORACLE)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane cosine): the
     100 TB path — candidates restricted to the query's sign-bucket.
-    Approximate by design → no SQL oracle; driver checks rows/schema."""
+    Recall@3 bound 0.2 (measured 0.33-0.53 — a single-probe 16-bucket
+    scheme trades recall for a 16x candidate cut by design)."""
     emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.where(F.col("vec_id") < 5)
-    return similarity.lsh_bucketed_topk(
-        emb, queries_df, k=3, num_planes=4, dim=64
-    ).orderBy("query_id", "rank")
+    approx = similarity.lsh_bucketed_topk(emb, queries_df, k=3, num_planes=4, dim=64)
+    return _ann_recall_summary(emb, queries_df, approx, min_recall=0.2)
 
 
 @query(
