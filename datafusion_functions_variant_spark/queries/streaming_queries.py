@@ -284,3 +284,58 @@ def stream_variant_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = core.run_to_batch(agg, "append")
     return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_stream_variant_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           CAST(p.props->>'$.k' AS BIGINT) AS k
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND CAST(p.props->>'$.k' AS BIGINT) = CAST(v.props->>'$.k' AS BIGINT)
+     AND v.ts BETWEEN p.ts - INTERVAL '24 hours' AND p.ts
+    ORDER BY purchase_id, view_id
+    """,
+)
+def stream_stream_variant_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join on VARIANT-EXTRACTED keys: parse_json →
+    variant_get runs on BOTH streams and the extracted $.k is the join
+    key — the reference's codec capability composed with Spark's
+    watermarked interval join (the capability x streaming cross
+    product). Each purchase pairs with views sharing its k from the
+    preceding 24 hours; watermarks plus the time-range predicate bound
+    the join state on both sides, so state stays O(window), not
+    O(stream). Inner-join matches emit per micro-batch (watermark only
+    drives state eviction), so AvailableNow produces the full batch
+    answer deterministically."""
+    purchases = (
+        core.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .withColumn("k", F.variant_get(F.parse_json("props"), "$.k", "bigint"))
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("k"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    views = (
+        core.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .withColumn("vk", F.variant_get(F.parse_json("props"), "$.k", "bigint"))
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("vk"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("k") == F.col("vk"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 hours"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "view_id", "k")
+    out = core.run_to_batch(joined, "append")
+    return out.orderBy("purchase_id", "view_id")
