@@ -98,19 +98,34 @@ def test_ivf_recall_vs_brute_force(spark):
     """Both IVF variants (seeded, k-means-refined) must keep recall@3
     >= 0.6 against the exact brute-force top-k — guards the index
     build (assignment metric, probe metric, Lloyd refinement) against
-    silent drift."""
+    silent drift. (Exercises the operators directly; the registry
+    queries now emit the recall SUMMARY for the driver's oracle, and
+    that path is asserted alongside.)"""
+    from datafusion_functions_variant_spark.operators import dedup, similarity
     from datafusion_functions_variant_spark.queries import load_all_queries
+    from datafusion_functions_variant_spark.sources.tables import load_table
 
     R = load_all_queries()
     sf = "/root/testdata/sf0.001"
+    emb = dedup.fan_out(load_table(spark, sf, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5)
     exact = {
         (r.query_id, r.vec_id)
-        for r in R["similarity_dot_topk"].build(spark, sf).collect()
+        for r in similarity.brute_force_topk(
+            emb, queries_df, k=3, exact=True
+        ).collect()
     }
-    for name in ("similarity_ivf_topk", "similarity_ivf_kmeans_topk"):
-        got = {(r.query_id, r.vec_id) for r in R[name].build(spark, sf).collect()}
+    for refine, qname in ((0, "similarity_ivf_topk"), (2, "similarity_ivf_kmeans_topk")):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in similarity.ivf_topk(
+                emb, queries_df, k=3, n_centroids=16, n_probe=2, refine_iters=refine
+            ).collect()
+        }
         recall = len(got & exact) / len(exact)
-        assert recall >= 0.6, f"{name} recall@3={recall}"
+        assert recall >= 0.6, f"ivf refine_iters={refine} recall@3={recall}"
+        summary = R[qname].build(spark, sf).collect()
+        assert len(summary) == 1 and summary[0].recall_ok
 
 
 def test_gram_array_short_text_guard(spark):
