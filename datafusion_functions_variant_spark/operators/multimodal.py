@@ -21,7 +21,8 @@ content-hash prefix before decode so batches are uniform.
 
 from __future__ import annotations
 
-from typing import Iterator
+from dataclasses import dataclass
+from typing import Callable, Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -47,53 +48,157 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
+@dataclass(frozen=True)
+class MediaDecoder:
+    """A pluggable payload decoder.
+
+    ``fn(payload) -> dict`` must return exactly the keys named by
+    ``fields`` (one value per field, Python scalars matching the Spark
+    type). The struct is declared up front because Spark needs a static
+    output schema — the decoder's columns are appended to
+    MEDIA_META_SCHEMA by featurize_binary.
+
+    The callable is shipped to executors inside the mapInPandas
+    closure, so it must be picklable and must import its heavy deps
+    (PIL/av/librosa) lazily inside the call, never at module scope.
+    """
+
+    name: str
+    fields: StructType
+    fn: Callable[[bytes], dict]
+
+
+#: kind (e.g. "image", "audio", "video") → registered MediaDecoder.
+_DECODERS: dict[str, MediaDecoder] = {}
+
+
+def register_decoder(kind: str, decoder: MediaDecoder) -> None:
+    """Install a real decoder for a media kind. Deployments with
+    PIL/av present call this once at startup; everything downstream
+    (featurize_binary, frame_sample_plan) picks it up."""
+    _DECODERS[kind] = decoder
+
+
+def get_decoder(kind: str) -> Optional[MediaDecoder]:
+    return _DECODERS.get(kind)
+
+
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload. The image libs are not available in
-    this environment — call sites must go through the deterministic
-    fake in featurize_binary or catch this."""
+    """Decode an image payload via the registered "image" decoder.
+    No decoder libs ship in this container, so without a registration
+    this raises — call sites either register a decoder or use the
+    deterministic metadata-only path in featurize_binary."""
+    dec = _DECODERS.get("image")
+    if dec is not None:
+        return dec.fn(payload)
     raise NotImplementedError(
-        "image decoding requires PIL/libvips, not present in this container"
+        "image decoding requires PIL/libvips, not present in this container; "
+        "register one via register_decoder('image', MediaDecoder(...))"
     )
 
 
-def featurize_binary(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+def _try_autoregister_pil() -> None:
+    """If PIL is importable (not in this container, but in a real
+    deployment), auto-register an image decoder exposing
+    width/height/mode. Import failure is the expected path here."""
+    try:
+        import PIL.Image  # noqa: F401
+    except Exception:
+        return
+
+    def _pil_decode(payload: bytes) -> dict:
+        import io
+
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            return {"width": im.width, "height": im.height, "mode": im.mode}
+
+    register_decoder(
+        "image",
+        MediaDecoder(
+            name="pil",
+            fields=StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("mode", StringType()),
+                ]
+            ),
+            fn=_pil_decode,
+        ),
+    )
+
+
+_try_autoregister_pil()
+
+
+def featurize_binary(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    decoder: Optional[MediaDecoder] = None,
+) -> DataFrame:
     """Extract metadata features from a binary payload column via
     Arrow-batched mapInPandas (no per-row Python objects for the
     payload — pandas keeps them as bytes).
 
-    Uses hashlib (deterministic) in place of a real decoder; the
-    decode hook is ``decode_image`` above.
+    Without ``decoder`` the output is the metadata-only
+    MEDIA_META_SCHEMA (hashlib stands in for a real decoder). With a
+    ``MediaDecoder`` — passed explicitly or registered via
+    register_decoder — its declared fields are appended to the schema
+    and its ``fn`` runs once per payload inside the same Arrow batch
+    loop, so plugging in PIL changes no plan shape: same single
+    mapInPandas stage, wider output struct.
     """
+    out_schema = MEDIA_META_SCHEMA
+    if decoder is not None:
+        out_schema = StructType(list(MEDIA_META_SCHEMA.fields) + list(decoder.fields))
+    decode_fn = decoder.fn if decoder is not None else None
+    extra_names = [f.name for f in decoder.fields] if decoder is not None else []
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
             payloads = pdf[payload_col]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf[id_col],
-                    "mime": [
-                        "image/png" if p[:4] == b"\x89PNG" else "application/octet-stream"
-                        for p in payloads
-                    ],
-                    "n_bytes": [len(p) for p in payloads],
-                    "content_md5": [hashlib.md5(p).hexdigest() for p in payloads],
-                    "magic_hex": [p[:4].hex() for p in payloads],
-                }
-            )
+            cols = {
+                "asset_id": pdf[id_col],
+                "mime": [
+                    "image/png" if p[:4] == b"\x89PNG" else "application/octet-stream"
+                    for p in payloads
+                ],
+                "n_bytes": [len(p) for p in payloads],
+                "content_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                "magic_hex": [p[:4].hex() for p in payloads],
+            }
+            if decode_fn is not None:
+                decoded = [decode_fn(p) for p in payloads]
+                for fname in extra_names:
+                    cols[fname] = [d[fname] for d in decoded]
+            yield pd.DataFrame(cols)
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        _featurize, MEDIA_META_SCHEMA
+        _featurize, out_schema
     )
 
 
-def frame_sample_plan(df: DataFrame, payload_col: str, id_col: str, every_n: int = 30) -> DataFrame:
+def frame_sample_plan(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every_n: int = 30,
+    frame_extractor: Optional[Callable[[bytes, int], list]] = None,
+) -> DataFrame:
     """Plumbing for video frame sampling: emits one row per sampled
-    frame index with the parent asset id. The actual frame decode is
-    stubbed (no av/ffmpeg here); frame count is derived
-    deterministically from payload length so the fan-out shape — the
-    part that matters for partitioning — is real."""
+    frame index with the parent asset id.
+
+    ``frame_extractor(payload, every_n) -> [(frame_idx, frame_bytes)]``
+    is the av/ffmpeg seam; a deployment with a container demuxer
+    registers it (or registers a "video" MediaDecoder whose fn wraps
+    it). Without one, frame count is derived deterministically from
+    payload length (1 fake frame per 64 bytes) so the fan-out shape —
+    the part that matters for partitioning — is real either way."""
     schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -108,6 +213,12 @@ def frame_sample_plan(df: DataFrame, payload_col: str, id_col: str, every_n: int
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                if frame_extractor is not None:
+                    for fi, fbytes in frame_extractor(p, every_n):
+                        ids.append(aid)
+                        idxs.append(fi)
+                        hashes.append(hashlib.md5(fbytes).hexdigest())
+                    continue
                 n_frames = max(1, len(p) // 64)  # fake: 1 frame per 64 bytes
                 for fi in range(0, n_frames, every_n):
                     ids.append(aid)

@@ -166,3 +166,76 @@ def test_minhash_text_matches_grams_formulation(spark):
     a = dedup.minhash_signatures(grams, "doc_id", num_hashes=4)
     b = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=4)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_multimodal_decoder_seam(spark):
+    """The MediaDecoder seam: without a decoder featurize_binary emits
+    exactly MEDIA_META_SCHEMA (the oracle-checked default must not
+    drift); with one, the decoder's declared fields are appended and
+    its fn runs per payload inside the same mapInPandas stage."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from datafusion_functions_variant_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"\x89PNGxxxx"), (2, b"plain-bytes")], ["asset_id", "payload"]
+    ).withColumn("payload", F.col("payload").cast("binary"))
+
+    base = mm.featurize_binary(df, "payload", "asset_id")
+    assert base.schema == mm.MEDIA_META_SCHEMA
+
+    fake = mm.MediaDecoder(
+        name="fake",
+        fields=StructType([StructField("fake_width", IntegerType())]),
+        fn=lambda p: {"fake_width": len(p) * 10},
+    )
+    rows = {
+        r.asset_id: r
+        for r in mm.featurize_binary(df, "payload", "asset_id", decoder=fake).collect()
+    }
+    assert rows[1].fake_width == 80 and rows[2].fake_width == 110
+    assert rows[1].mime == "image/png" and rows[2].mime == "application/octet-stream"
+
+
+def test_multimodal_decoder_registry_and_frame_extractor(spark):
+    """decode_image raises without a registered decoder, dispatches to
+    one when registered; frame_sample_plan's frame_extractor seam
+    replaces the fake length-derived fan-out."""
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_variant_spark.operators import multimodal as mm
+
+    assert mm.get_decoder("image") is None  # no PIL in this container
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"anything")
+    probe = mm.MediaDecoder(
+        name="probe",
+        fields=mm.MEDIA_META_SCHEMA,  # unused by decode_image dispatch
+        fn=lambda p: {"n": len(p)},
+    )
+    mm.register_decoder("image", probe)
+    try:
+        assert mm.decode_image(b"abc") == {"n": 3}
+    finally:
+        mm._DECODERS.pop("image", None)
+
+    df = spark.createDataFrame([(7, b"0123456789")], ["asset_id", "payload"]).withColumn(
+        "payload", F.col("payload").cast("binary")
+    )
+
+    def two_frames(payload, every_n):
+        return [(0, payload[:5]), (every_n, payload[5:])]
+
+    got = (
+        mm.frame_sample_plan(df, "payload", "asset_id", every_n=4, frame_extractor=two_frames)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [(r.frame_idx, r.frame_md5) for r in got] == [
+        (0, hashlib.md5(b"01234").hexdigest()),
+        (4, hashlib.md5(b"56789").hexdigest()),
+    ]
