@@ -239,3 +239,50 @@ def test_multimodal_decoder_registry_and_frame_extractor(spark):
         (0, hashlib.md5(b"01234").hexdigest()),
         (4, hashlib.md5(b"56789").hexdigest()),
     ]
+
+
+def test_shredded_write_read_residual(spark, tmp_path):
+    """write_shredded: typed columns materialize, top-level shredded
+    keys leave the residual, nested shredded paths do NOT (their
+    parent stays), fully-shredded rows get a NULL residual, and
+    shredded_col serves typed / casts / falls back to residual."""
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_variant_spark.sources import shredded
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "tag": "a", "deep": {"x": 9}}'),
+            (2, '{"k": 7}'),
+            (3, '{"tag": "b"}'),
+        ],
+        ["id", "payload"],
+    )
+    out = str(tmp_path / "store")
+    shredded.write_shredded(
+        df,
+        "payload",
+        {"k": ("$.k", "bigint"), "deep_x": ("$.deep.x", "bigint")},
+        out,
+    )
+    back, spec = shredded.read_shredded(spark, out)
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].k == 5 and rows[1].deep_x == 9
+    assert rows[2].k == 7 and rows[2].deep_x is None
+    assert rows[3].k is None
+    import json as _json
+
+    r1 = _json.loads(rows[1]._residual)
+    assert "k" not in r1  # top-level shredded key removed
+    assert r1["tag"] == "a" and r1["deep"] == {"x": 9}  # nested parent kept
+    assert rows[2]._residual is None  # fully shredded -> no residual
+    assert _json.loads(rows[3]._residual) == {"tag": "b"}
+
+    got = back.select(
+        "id",
+        shredded.shredded_col(spec, "$.k", "string").alias("k_str"),
+        shredded.shredded_col(spec, "$.tag", "string").alias("tag"),
+    ).collect()
+    got = {r.id: r for r in got}
+    assert got[1].k_str == "5" and got[1].tag == "a"
+    assert got[3].k_str is None and got[3].tag == "b"

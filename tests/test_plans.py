@@ -283,3 +283,13 @@ def test_simhash_signature_build_fused_no_shuffle(spark):
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_shredded_storage_pushes_path_filter(spark):
+    # the $.k range predicate must reach the parquet scan of the
+    # shredded store as native column filters — the whole point of
+    # shredding at write time
+    plan = formatted(spark, "variant_shredded_storage")
+    pushed = plan.split("PushedFilters")[-1][:300]
+    assert "GreaterThanOrEqual(k,10)" in pushed
+    assert "LessThanOrEqual(k,49)" in pushed
