@@ -82,13 +82,59 @@ def isum_sql(expr: str, alias: str) -> str:
     return f"CAST(SUM({expr}) AS BIGINT) AS {alias}"
 
 
+#: Registry (= driver verification) order. The driver oracle-checks
+#: the FIRST 50 entries per round, so the 50 highest-priority
+#: not-yet-driver-green queries are pinned here explicitly: the
+#: flagship variant set, all 22 TPC-H shapes, the batch window set,
+#: every streaming query without a green row, the approximate queries
+#: (upgraded to hash-checked recall/error bounds), and one
+#: representative each for the categories with zero driver rows
+#: (top-k, set ops, scalar functions). Queries NOT listed keep module
+#: order behind these — already-green rounds-1/2 entries plus a dozen
+#: locally-parity-tested leftovers that rotate into the next round's
+#: window.
+_DRIVER_PRIORITY = [
+    # reference flagship: JSON → variant → typed extraction, both tracks
+    "variant_events_agg",
+    "variant_explicit_codec",
+    "variant_get_typed",
+    "variant_filter_pushdown",
+    "variant_tolerant_parse",
+    "variant_shredded_storage",
+    "variant_array_paths",
+    # all 22 TPC-H shapes
+    *[f"q{i}_" for i in range(1, 23)],  # prefix-matched below
+    # batch window set
+    "window_top3_orders_per_customer",
+    "window_running_total",
+    "window_lag_lead_events",
+    "window_time_range_frame",
+    # streaming set (static-join + python-datasource already green)
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_stream_join",
+    "stream_dedup_count",
+    "stream_foreachbatch_sink",
+    "stream_stateful_running_max",
+    "stream_variant_tumbling",
+    "stream_stream_variant_join",
+    # approximate queries, now bound-checked against the oracle
+    "approx_distinct_users",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_ivf_kmeans_topk",
+    # zero-driver-coverage categories: top-k, set ops, scalars
+    "topk_expensive_parts",
+    "setops_nation_coverage",
+    "scalar_functions_showcase",
+    "date_functions_orders",
+]
+
+
 def load_all_queries() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: registry fill)."""
-    # Import order = registry (insertion) order = driver verification
-    # order. The driver oracle-checks the first 50 entries, so modules
-    # whose queries have not yet earned a driver-green correctness row
-    # come FIRST; modules fully verified in rounds 1-2 (advanced,
-    # catalog, clusters, extras, llmdata) rotate to the back.
+    """Import every query module (side effect: registry fill), then
+    order the registry: _DRIVER_PRIORITY first, module order after."""
     from . import variant_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import tpch_extra  # noqa: F401
@@ -102,4 +148,15 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import extras  # noqa: F401
     from . import llmdata  # noqa: F401
 
+    def rank(name: str) -> int:
+        for i, pat in enumerate(_DRIVER_PRIORITY):
+            if name == pat or (pat.endswith("_") and name.startswith(pat)):
+                return i
+        return len(_DRIVER_PRIORITY)
+
+    ordered = sorted(REGISTRY, key=lambda n: (rank(n),))
+    # stable sort: un-prioritized names keep their module insertion order
+    reordered = {n: REGISTRY[n] for n in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
     return REGISTRY
