@@ -889,24 +889,51 @@ def get_path(
     (binary search) — the reference's amortization point
     (open-variant/README.md:55-57). Returns a Python value or None if the
     path is absent.
+
+    Batch callers (the pandas UDFs) should instead parse the path once
+    with ``parse_json_path``, resolve field ids once per metadata blob
+    with ``resolve_steps``, and evaluate rows via ``walk_path`` /
+    ``get_path_prepared`` — in a batch every row shares the metadata,
+    so per-row Metadata construction + dictionary lookups are pure
+    overhead (this was ~5x the cost of the actual decode).
     """
     metadata = Metadata(metadata_buf)
     steps = parse_json_path(path)
+    return get_path_prepared(value_buf, metadata, steps, resolve_steps(metadata, steps))
+
+
+def resolve_steps(metadata: "Metadata", steps: list) -> list:
+    """Pre-resolve the string steps of a parsed path against one
+    metadata dictionary: field id, or None when the key is absent
+    (→ the path misses for every row sharing this metadata)."""
+    return [
+        metadata.find_string(s) if isinstance(s, str) else None for s in steps
+    ]
+
+
+def walk_path(value_buf: bytes, steps: list, fids: list) -> "Variant | None":
+    """Walk pre-parsed steps (with pre-resolved field ids) down a
+    value buffer; returns the Variant at the path or None."""
     v: Variant | None = Variant(value_buf)
-    for step in steps:
+    for step, fid in zip(steps, fids):
         if v is None:
             return None
         if isinstance(step, str):
-            if v.basic_type != BASIC_OBJECT:
-                return None
-            fid = metadata.find_string(step)
-            if fid is None:
+            if v.basic_type != BASIC_OBJECT or fid is None:
                 return None
             v = v.get_object().get_field(fid)
         else:
             if v.basic_type != BASIC_ARRAY:
                 return None
             v = v.get_array().get_element(step)
+    return v
+
+
+def get_path_prepared(
+    value_buf: bytes, metadata: "Metadata", steps: list, fids: list
+) -> Any:
+    """``get_path`` with all row-invariant work hoisted out."""
+    v = walk_path(value_buf, steps, fids)
     if v is None:
         return None
     return to_python(v, metadata)

@@ -110,37 +110,75 @@ _GETTER_TYPES = {
 def variant_get(col, path: str, dtype: str = "string") -> Column:
     """Typed path extraction from an explicit variant struct column.
 
-    The JSON path is parsed once per *batch* and keys resolve through
-    the shared dictionary's binary search — the reference's read path
+    All row-invariant work is hoisted: the JSON path parses once per
+    UDF, and per distinct metadata blob (shared across a batch — the
+    reference's amortization, open-variant/README.md:55-57) the
+    Metadata is constructed and the path's field ids are binary-
+    searched exactly once; rows only pay the value-buffer walk
     (metadata.rs:162-184 + values/read.rs:87-93).
     """
-    if dtype not in _GETTER_TYPES:
-        raise ValueError(f"dtype must be one of {sorted(_GETTER_TYPES)}")
-    spark_type = _GETTER_TYPES[dtype]
+    return variant_extract(col, {"v": (path, dtype)})["v"]
 
-    @pandas_udf(spark_type)
-    def _get(v: pd.DataFrame) -> pd.Series:
+
+def variant_extract(col, fields: dict[str, tuple[str, str]]) -> Column:
+    """Fused multi-path extraction: ONE pandas UDF (one Arrow transfer
+    of the variant struct, one row loop) serves any number of typed
+    getters. ``fields`` maps output name → (json_path, dtype); dtype
+    ``"typeof"`` yields the runtime type name at the path
+    (VariantRef::basic_type/primitive_type_id, values/read.rs:22-30).
+
+    This is the batch twin of chaining single getters — N separate
+    getter UDFs each re-ship metadata+value bytes over the Arrow
+    channel and re-walk the buffers; fused, both costs are paid once.
+    """
+    specs: list[tuple[str, list, str]] = []
+    out_fields: list[StructField] = []
+    for name, (path, dtype) in fields.items():
+        if dtype != "typeof" and dtype not in _GETTER_TYPES:
+            raise ValueError(f"dtype must be 'typeof' or one of {sorted(_GETTER_TYPES)}")
+        specs.append((name, codec.parse_json_path(path), dtype))
+        out_fields.append(
+            StructField(name, StringType() if dtype == "typeof" else _GETTER_TYPES[dtype])
+        )
+
+    @pandas_udf(StructType(out_fields))
+    def _extract(v: pd.DataFrame) -> pd.DataFrame:
         metas = v["metadata"]
         vals = v["value"]
-        out = []
-        # metadata is shared per batch: parse it once when constant
-        meta_cache: dict[bytes, codec.Metadata] = {}
+        # per distinct metadata blob: Metadata parse + field-id
+        # resolution for every spec, exactly once
+        cache: dict[bytes, tuple[codec.Metadata, list[list]]] = {}
+        data: dict[str, list] = {name: [] for name, _, _ in specs}
         for mb, vb in zip(metas, vals):
             if vb is None or mb is None:
-                out.append(None)
+                for name, _, _ in specs:
+                    data[name].append(None)
                 continue
             mkey = bytes(mb)
-            m = meta_cache.get(mkey)
-            if m is None:
-                m = meta_cache[mkey] = codec.Metadata(mkey)
-            try:
-                py = codec.get_path(bytes(vb), mkey, path)
-            except codec.VariantError:
-                py = None
-            out.append(_coerce(py, dtype))
-        return pd.Series(out, dtype=object)
+            ent = cache.get(mkey)
+            if ent is None:
+                m = codec.Metadata(mkey)
+                ent = cache[mkey] = (
+                    m,
+                    [codec.resolve_steps(m, steps) for _, steps, _ in specs],
+                )
+            m, fid_lists = ent
+            vbytes = bytes(vb)
+            for (name, steps, dtype), fids in zip(specs, fid_lists):
+                try:
+                    node = codec.walk_path(vbytes, steps, fids)
+                    if node is None:
+                        py = None
+                    elif dtype == "typeof":
+                        py = node.type_name()
+                    else:
+                        py = _coerce(codec.to_python(node, m), dtype)
+                except codec.VariantError:
+                    py = None
+                data[name].append(py)
+        return pd.DataFrame(data)
 
-    return _get(_col(col))
+    return _extract(_col(col))
 
 
 def _coerce(py, dtype: str):

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import explicit
+from ..operators.dedup import fan_out
 from ..sources import shredded
 from ..sources.tables import load_table
 from . import davg_sql, dsum, dsum_sql, isum, isum_sql, query
@@ -43,8 +44,11 @@ def variant_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary-lookup + tree-walk read path (metadata.rs:162-184,
     read.rs:87-93). Scale: parse+extract are per-row, shuffle only
     carries the 5 grouping keys' partial aggregates (map-side combine).
+    fan_out spreads the per-row parse across cores when the source
+    arrives in fewer splits than the cluster has slots (a no-op once
+    the input is already wide, as a 100 TB scan is).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     return (
         ev.withColumn("k", F.variant_get(F.parse_json("props"), "$.k", "bigint"))
         .groupBy("event_type")
@@ -119,15 +123,23 @@ def variant_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def variant_explicit_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Track C end-to-end: pandas-UDF JSON→variant kernel with a
-    batch-shared dictionary (json.rs:51-63), typed path extraction and
-    typeof through OUR binary codec — gated by the same SQL oracle."""
-    ev = load_table(spark, sf_dir, "events")
+    batch-shared dictionary (json.rs:51-63), then fused typed path
+    extraction + typeof through OUR binary codec (one decode UDF for
+    all three outputs — one Arrow transfer of the variant struct, one
+    buffer walk per row) — gated by the same SQL oracle. fan_out
+    parallelizes the Python kernels on narrow local inputs (no-op on
+    an already-wide 100 TB scan)."""
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     v = ev.withColumn("var", explicit.variant_from_json(F.col("props")))
+    ex = explicit.variant_extract(
+        "var",
+        {"k": ("$.k", "bigint"), "k_str": ("$.k", "string"), "t": ("$", "typeof")},
+    )
     return v.select(
         "event_id",
-        explicit.variant_get("var", "$.k", "bigint").alias("k"),
-        explicit.variant_get("var", "$.k", "string").alias("k_str"),
-        (explicit.variant_typeof(F.col("var")) == F.lit("object")).alias("root_is_obj"),
+        ex["k"].alias("k"),
+        ex["k_str"].alias("k_str"),
+        (ex["t"] == F.lit("object")).alias("root_is_obj"),
     ).orderBy("event_id")
 
 
