@@ -82,11 +82,15 @@ def main() -> None:
         if spec is None:
             continue
         samples = []
-        for _ in range(runs):
+        # one untimed warm-up: JIT + page cache + shuffle-file reuse
+        # otherwise land in the first timed sample and skew a 3-run
+        # median upward by ~2x on the UDF-heavy queries
+        for i in range(runs + 1):
             df = spec.build(spark, sf_dir)
             t0 = time.perf_counter()
             consume(df)
-            samples.append(time.perf_counter() - t0)
+            if i:
+                samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)

@@ -136,12 +136,23 @@ def variant_global_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.pandas.functions import pandas_udf
 
     ev = load_table(spark, sf_dir, "events")
-    # pass 1: key universe (JVM-side JSON key extraction, distinct agg)
+    # pass 1: key universe (JVM-side JSON key extraction, distinct agg).
+    # The global dict IS driver state, but it must be BOUNDED: collect
+    # at most cap+1 keys and refuse beyond that — an unbounded key
+    # space (e.g. ids-as-keys) should use the per-batch dictionaries of
+    # Track C (functions/explicit.py), not a global one.
+    cap = 1 << 16
     keys_rows = (
         ev.select(F.explode(F.json_object_keys("props")).alias("k"))
         .distinct()
+        .limit(cap + 1)
         .collect()
     )
+    if len(keys_rows) > cap:
+        raise ValueError(
+            f"global dictionary key universe exceeds {cap} keys; "
+            "use per-batch dictionaries (explicit.variant_from_json) instead"
+        )
     key_universe = sorted(r["k"] for r in keys_rows)
     meta = codec.build_metadata(key_universe)
 
