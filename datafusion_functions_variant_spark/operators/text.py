@@ -109,6 +109,67 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: PII patterns — kept to syntax valid in BOTH Java regex (Spark) and
+#: RE2 (DuckDB oracle) so the redaction is engine-portable.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    "phone": (r"\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    "ssn": (r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+}
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails,
+    phone numbers, and SSN-shaped tokens in one projection. Counts are
+    taken BEFORE replacement (each pattern against the original text);
+    replacements apply in the fixed PII_PATTERNS order so overlapping
+    shapes (phone 3-3-4 vs SSN 3-2-4) resolve deterministically. Pure
+    JVM regex — no Python in the row path, scan-parallel at any scale.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    redacted = c
+    for name, (pat, repl) in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select(
+        F.col(id_col), *counts, F.md5(redacted).alias("redacted_md5")
+    )
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style document quality rules as one projection: word
+    count bounds, mean word length bounds, alphabetic-character ratio
+    floor — and the conjunction as the keep flag. The cheap rule
+    bundle that gates a pretraining corpus before any model-based
+    scoring; all flags are plain column expressions (oracle-portable,
+    whole-stage codegen)."""
+    w = words(text_col)
+    n_words = F.size(w).cast("long")
+    # total in-word chars = non-space chars (words() drops empties)
+    n_word_chars = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    mean_word_len = n_word_chars.cast("double") / n_words
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), "[^a-z]", "")).cast("double")
+        / F.length(text_col)
+    )
+    ok_words = (n_words >= 20) & (n_words <= 100000)
+    ok_mwl = (mean_word_len >= 3.0) & (mean_word_len <= 12.0)
+    ok_alpha = alpha_ratio > 0.5
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mwl"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_words & ok_mwl & ok_alpha).alias("keep"),
+    )
+
+
 def fingerprints(
     df: DataFrame, text_col: str, id_col: str, n: int = 8, k: int = 5
 ) -> DataFrame:

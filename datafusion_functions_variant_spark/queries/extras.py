@@ -609,6 +609,32 @@ def percentile_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_orc_roundtrip",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {dsum_sql("l_quantity", "sum_qty")},
+           {dsum_sql("l_extendedprice", "sum_price")}
+    FROM lineitem WHERE l_quantity < 10
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink coverage: write lineitem columns to ORC, read
+    back through Spark's native vectorized ORC reader with a predicate
+    that prunes via stripe min/max stats, and prove losslessness with
+    count + exact decimal checksums against the original parquet."""
+    path = os.path.join(_IO_DIR, "lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).where(F.col("l_quantity") < 10)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+    )
+
+
+@query(
     "sink_compaction",
     oracle=f"""
     -- LEAST: Spark writes no file for an empty partition, so with

@@ -489,6 +489,89 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+               WHEN 1 THEN ' call 555-867-5309 or 555-123-4567'
+               ELSE ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}'))::BIGINT AS n_phone,
+           len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}'))::BIGINT AS n_ssn,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+               '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+               '\d{3}-\d{2}-\d{4}', '[SSN]', 'g')) AS redacted_md5
+    FROM aug ORDER BY doc_id
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus (operators/text.py:pii_redact):
+    deterministic synthetic PII is appended per doc (so every pattern
+    class is exercised), then emails/phones/SSN-shaped tokens are
+    counted and redacted in one JVM-regex projection. redacted_md5
+    proves both engines produced byte-identical scrubbed text."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit(" call 555-867-5309 or 555-123-4567"))
+            .otherwise(
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                )
+            ),
+        ),
+    )
+    return text.pii_redact(aug, "t", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_gopher_rules",
+    oracle=r"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> len(w) > 0))::BIGINT AS n_words,
+             len(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+               / len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS mean_word_len,
+             len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / len(text) AS alpha_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_ratio,
+           n_words BETWEEN 20 AND 100000 AS ok_words,
+           mean_word_len BETWEEN 3.0 AND 12.0 AS ok_mwl,
+           alpha_ratio > 0.5 AS ok_alpha,
+           (n_words BETWEEN 20 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 12.0)
+             AND alpha_ratio > 0.5 AS keep
+    FROM stats ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule bundle (operators/text.py:
+    gopher_rules): word-count bounds, mean-word-length bounds,
+    alpha-ratio floor, and the conjunction keep flag — the cheap
+    pre-model corpus gate, one codegen projection per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rules(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
     "multimodal_binary_meta",
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS asset_id,
