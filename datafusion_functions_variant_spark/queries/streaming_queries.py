@@ -339,3 +339,72 @@ def stream_stream_variant_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "view_id", "k")
     out = core.run_to_batch(joined, "append")
     return out.orderBy("purchase_id", "view_id")
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    WITH mx AS (
+      -- global watermark = MIN of the per-side watermarks; each side's
+      -- watermark tracks only the events that flow through ITS
+      -- watermark node (post-filter), so the sides advance separately
+      SELECT LEAST(
+        (SELECT max(ts) FROM events WHERE event_type = 'error'),
+        (SELECT max(ts) FROM events WHERE event_type = 'click')) AS mt),
+    errors AS (SELECT event_id AS error_id, user_id, ts
+               FROM events WHERE event_type = 'error'),
+    clicks AS (SELECT event_id AS click_id, user_id, ts
+               FROM events WHERE event_type = 'click')
+    SELECT e.error_id, COALESCE(c.click_id, -1) AS click_id, e.user_id
+    FROM errors e
+    LEFT JOIN clicks c
+      ON c.user_id = e.user_id
+     AND c.ts BETWEEN e.ts - INTERVAL '10 minutes' AND e.ts, mx
+    WHERE c.click_id IS NOT NULL OR e.ts < mt - INTERVAL '1 minute'
+    ORDER BY error_id, click_id
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the state-eviction
+    semantics the inner join never exercises: matches emit per
+    micro-batch, but an unmatched error can only emit its
+    null-extended row once the click-side watermark passes its upper
+    join bound (no future click can match), i.e. in the final
+    watermark-flush batch. Errors inside the last watermark-delay
+    sliver of the input are withheld (state not yet evictable at
+    end-of-input) — the oracle reproduces exactly that cutoff.
+    NULL click_id is surfaced as -1 so both engines sort and hash
+    identically."""
+    errors = (
+        core.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+    )
+    clicks = (
+        core.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "left_outer",
+    ).select(
+        "error_id",
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        "user_id",
+    )
+    out = core.run_to_batch(joined, "append")
+    return out.orderBy("error_id", "click_id")
