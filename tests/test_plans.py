@@ -293,3 +293,12 @@ def test_shredded_storage_pushes_path_filter(spark):
     pushed = plan.split("PushedFilters")[-1][:300]
     assert "GreaterThanOrEqual(k,10)" in pushed
     assert "LessThanOrEqual(k,49)" in pushed
+
+
+def test_orc_roundtrip_pushes_predicate(spark):
+    # the l_quantity predicate must reach the ORC scan (stripe min/max
+    # pruning) just as it would a parquet scan
+    plan = formatted(spark, "source_orc_roundtrip")
+    scan_part = plan.split("Scan orc")[-1]
+    assert "PushedFilters" in scan_part
+    assert "l_quantity" in scan_part.split("PushedFilters")[1][:200]
