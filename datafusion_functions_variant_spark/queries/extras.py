@@ -60,7 +60,10 @@ _IO_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
       WHERE t.i <= len(a.embedding)
       GROUP BY a.vec_id, b.vec_id, a.nrm, b.nrm
     )
-    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+    -- ROUND(9): decimal->double cast rounding differs between engines
+    -- in the last ulp; 9 digits is far above the 1e-16 noise floor
+    SELECT id_a, id_b, ROUND(cosine, 9) AS cosine FROM pairs
+    WHERE ROUND(cosine, 9) >= 0.3
     ORDER BY id_a, id_b
     """,
 )
@@ -93,7 +96,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double prefilter (margin >> fp error) culls ~99% of candidates
     # before the exact BigDecimal dot — identical final result.
     fast_cos = _dot_double("va", "vb") / (F.col("na") * F.col("nb"))
-    cos = (_dot_decimal("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine")
+    # ROUND(9) before emit/filter: the decimal->double cast rounds
+    # differently across engines in the final ulp (1e-16); 9 digits is
+    # orders of magnitude above that noise, so both engines agree.
+    cos = F.round(
+        _dot_decimal("va", "vb") / (F.col("na") * F.col("nb")), 9
+    ).alias("cosine")
     return (
         pairs.where(fast_cos >= 0.3 - 1e-6)
         .select("id_a", "id_b", cos)

@@ -181,7 +181,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE t.i <= len(e.embedding)
       GROUP BY 1, 2
     )
-    SELECT query_id, vec_id, CAST(dot_dec AS DOUBLE) AS dot, rank FROM (
+    -- ROUND(9): engines round the decimal->double cast differently in
+    -- the last ulp; ranking still uses the exact decimal
+    SELECT query_id, vec_id, ROUND(CAST(dot_dec AS DOUBLE), 9) AS dot, rank FROM (
       SELECT query_id, vec_id, dot_dec,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY dot_dec DESC, vec_id) AS rank
@@ -197,9 +199,11 @@ def similarity_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles (see operators/similarity.py for the LSH scale path)."""
     emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.where(F.col("vec_id") < 5)
-    return similarity.brute_force_topk(emb, queries_df, k=3, exact=True).orderBy(
-        "query_id", "rank"
-    )
+    out = similarity.brute_force_topk(emb, queries_df, k=3, exact=True)
+    # ROUND(9) on the emitted score only (rank already fixed by the
+    # exact decimal): decimal->double casts differ across engines in
+    # the final ulp
+    return out.withColumn("dot", F.round("dot", 9)).orderBy("query_id", "rank")
 
 
 # Hash-checkable oracle for the approximate ANN queries: the driver
