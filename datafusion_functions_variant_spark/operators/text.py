@@ -170,6 +170,49 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def chunk_text(
+    df: DataFrame, text_col: str, id_col: str, size: int = 512, overlap: int = 64
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the retrieval/embedding prep step of an LLM pipeline. Chunk starts
+    are generated IN-ROW (sequence + posexplode), so the plan is a
+    single Generate over the scan with no shuffle; chunk_idx is the
+    0-based position. Empty docs emit one empty chunk (stable row
+    count per doc >= 1)."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    c = F.col(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1)), F.lit(stride))
+    return df.select(
+        F.col(id_col),
+        c.alias("_t"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_t").substr(F.col("_start"), F.lit(size)).alias("chunk"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame, token_col: str, order_col: str, part_col: str, target: int = 2048
+) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in a
+    deterministic order and cut into fixed token budgets; each doc is
+    assigned the sequence its FIRST token lands in (concatenate-then-
+    chunk semantics — boundary docs span into the next sequence, as in
+    standard pretraining packing). seq_id = floor(start_offset /
+    target) from a running-sum window. Packing is PER part_col
+    partition (source shard), so the window never needs a global
+    single-partition sort — the 100 TB shape is one shuffle by shard."""
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    start_offset = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn(
+        "seq_id", F.floor(start_offset / target).cast("long")
+    )
+
+
 def fingerprints(
     df: DataFrame, text_col: str, id_col: str, n: int = 8, k: int = 5
 ) -> DataFrame:

@@ -576,6 +576,84 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunking",
+    oracle="""
+    WITH chunks AS (
+      -- fixed range + WHERE (DuckDB's table functions reject lateral
+      -- bounds); 100 chunk slots cover docs up to 19k chars
+      SELECT d.doc_id, t.i AS chunk_idx,
+             substr(d.text, (1 + t.i * 192)::INT, 256) AS chunk
+      FROM documents d, range(0, 100) t(i)
+      WHERE 1 + t.i * 192 <= greatest(len(d.text), 1)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           md5(chunk) AS chunk_md5, CAST(len(chunk) AS BIGINT) AS n_chars
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for retrieval/embedding prep (operators/
+    text.py:chunk_text): 256-char chunks with 64-char overlap,
+    generated in-row (sequence + posexplode — one Generate over the
+    scan, no shuffle). chunk_md5 proves both engines cut identical
+    byte ranges."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.chunk_text(docs, "text", "doc_id", size=256, overlap=64)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk").alias("chunk_md5"),
+        F.length("chunk").cast("long").alias("n_chars"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "text_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), w -> len(w) > 0))::BIGINT AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
+                        / 2048.0) AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT source, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY source, seq_id ORDER BY source, seq_id
+    """,
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/text.py:pack_sequences):
+    whitespace token counts, docs concatenated per source shard in
+    doc_id order and cut into 2048-token budgets; each doc belongs to
+    the sequence holding its first token. Packing windows partition by
+    source — never a global single-partition sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(text.words("text")).cast("long").alias("n_tok"),
+    )
+    packed = text.pack_sequences(toks, "n_tok", "doc_id", "source", target=2048)
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+@query(
     "multimodal_binary_meta",
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS asset_id,

@@ -286,3 +286,46 @@ def test_shredded_write_read_residual(spark, tmp_path):
     got = {r.id: r for r in got}
     assert got[1].k_str == "5" and got[1].tag == "a"
     assert got[3].k_str is None and got[3].tag == "b"
+
+
+def test_chunk_text_edges(spark):
+    """Empty doc -> one empty chunk; doc shorter than size -> one
+    chunk; overlap stitches: chunk i+1 starts (size-overlap) after
+    chunk i and repeats the last `overlap` chars."""
+    from datafusion_functions_variant_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "short"), (3, "a" * 10 + "b" * 10 + "c" * 4)],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): r.chunk
+        for r in T.chunk_text(df, "text", "doc_id", size=10, overlap=4).collect()
+    }
+    assert out[(1, 0)] == "" and (1, 1) not in out
+    assert out[(2, 0)] == "short" and (2, 1) not in out
+    assert out[(3, 0)] == "a" * 10
+    assert out[(3, 1)] == "a" * 4 + "b" * 6          # starts at 7
+    assert out[(3, 2)] == "b" * 8 + "c" * 2          # starts at 13
+    assert out[(3, 3)] == "b" * 2 + "c" * 4          # starts at 19, short tail
+    assert (3, 4) not in out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.chunk_text(df, "text", "doc_id", size=4, overlap=4)
+
+
+def test_pack_sequences_first_token_rule(spark):
+    """A doc belongs to the sequence holding its FIRST token; docs
+    spanning a boundary stay in the earlier sequence (concatenate-
+    then-chunk semantics)."""
+    from datafusion_functions_variant_spark.operators import text as T
+
+    rows = [(i, "s", n) for i, n in enumerate([5, 5, 5, 5, 5])]  # cum starts 0,5,10,15,20
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    got = {
+        r.doc_id: r.seq_id
+        for r in T.pack_sequences(df, "n_tok", "doc_id", "source", target=12).collect()
+    }
+    # starts 0,5,10 -> seq 0; starts 15,20 -> seq 1
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
