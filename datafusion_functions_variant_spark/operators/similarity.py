@@ -121,6 +121,62 @@ def cosine_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = round(x_i/scale) ∈ [-127, 127]. At 100 TB this is the
+    difference between shipping 4 bytes and 1 byte per dimension
+    through every shuffle and cache tier — the standard first
+    compression step for embedding search. Zero-vector rows keep
+    scale 1 (all-zero codes). Pure codegen expressions."""
+    c = F.col(vec_col)
+    amax = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(c, lambda x: F.round(x.cast("double") / scale).cast("int"))
+    return df.select(
+        F.col(id_col), q.alias("qvec"), scale.cast("double").alias("qscale")
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over int8-quantized vectors: the inner
+    product runs in EXACT integer arithmetic (sum of int products into
+    a long — engine- and order-independent), then de-quantizes by the
+    two per-vector scales for ranking. Same broadcast-queries /
+    corpus-never-shuffles shape as brute_force_topk, at a quarter of
+    the bytes per vector."""
+    qz = quantize_int8(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("_qq"),
+        F.col("qscale").alias("_qs"),
+    )
+    cz = quantize_int8(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("qvec").alias("_cq"),
+        F.col("qscale").alias("_cs"),
+    )
+    prods = F.zip_with("_qq", "_cq", lambda x, y: (x * y).cast("long"))
+    idot = F.aggregate(prods, F.lit(0).cast("long"), lambda a, v: a + v)
+    scored = cz.crossJoin(F.broadcast(qz)).select(
+        "query_id",
+        "vec_id",
+        (idot.cast("double") * F.col("_qs") * F.col("_cs")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane from md5 bytes
     (no RNG: reproducible across runs and engines)."""

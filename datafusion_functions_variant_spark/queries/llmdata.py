@@ -270,6 +270,20 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(emb, queries_df, approx, min_recall=0.8)
 
 
+@query("similarity_quantized_topk", oracle=_ANN_ORACLE)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized top-k (operators/similarity.py:quantized_topk):
+    per-vector symmetric quantization (4x fewer bytes per vector
+    through shuffle/cache), inner products in exact integer
+    arithmetic, de-quantized by the two scales for ranking. Recall@3
+    bound 0.8 vs the exact brute force (measured 0.93-1.0 at
+    sf0.001/sf0.01)."""
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5)
+    approx = similarity.quantized_topk(emb, queries_df, k=3)
+    return _ann_recall_summary(emb, queries_df, approx, min_recall=0.8)
+
+
 @query("similarity_lsh_topk", oracle=_ANN_ORACLE)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane cosine): the

@@ -329,3 +329,15 @@ def test_pack_sequences_first_token_rule(spark):
     }
     # starts 0,5,10 -> seq 0; starts 15,20 -> seq 1
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_quantize_int8_codes_and_zero_vector(spark):
+    from datafusion_functions_variant_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    rows = {r.vec_id: r for r in similarity.quantize_int8(df, "embedding", "vec_id").collect()}
+    assert rows[1].qvec == [64, -127, 32]  # scale = 2/127
+    assert abs(rows[1].qscale - 2.0 / 127.0) < 1e-15
+    assert rows[2].qvec == [0, 0, 0] and rows[2].qscale == 1.0
