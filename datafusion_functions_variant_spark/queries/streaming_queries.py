@@ -408,3 +408,66 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = core.run_to_batch(joined, "append")
     return out.orderBy("error_id", "click_id")
+
+
+@query(
+    "stream_multibatch_late_data",
+    oracle="""
+    WITH wmflt AS (
+      -- late-row filter watermark for batch 2: Spark's filter lags the
+      -- eviction watermark by one batch, so batch 2 filters with the
+      -- watermark displayed at batch 1 = max BATCH-0 ts - delay.
+      -- Batches 0 and 1 filter with the earlier displayed watermarks
+      -- (-inf) and never drop.
+      SELECT max(ts) - INTERVAL '1 minute' AS w FROM events WHERE event_id % 2 = 0),
+    wmf AS (SELECT max(ts) - INTERVAL '1 minute' AS w FROM events),
+    rows_w AS (
+      SELECT event_id, value, time_bucket(INTERVAL '1 hour', ts) AS ws FROM events),
+    kept AS (
+      SELECT r.* FROM rows_w r, wmflt
+      WHERE NOT (r.event_id % 4 = 3 AND r.ws + INTERVAL '1 hour' <= wmflt.w)),
+    agg AS (
+      SELECT ws, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM kept GROUP BY ws)
+    SELECT strftime(a.ws, '%Y-%m-%d %H:%M:%S') AS window_start, a.n, a.sum_value
+    FROM agg a, wmf
+    WHERE a.ws + INTERVAL '1 hour' <= wmf.w
+    ORDER BY window_start
+    """,
+)
+def stream_multibatch_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE late-data dropping across micro-batches: the events
+    table streams as three time-interleaved batches (even event_ids,
+    then odd %4==1, then odd %4==3), so later batches arrive behind
+    the watermark earlier batches advanced. Spark's late-row FILTER
+    lags the eviction watermark by one batch (measured via
+    numRowsDroppedByWatermark): eviction in batch N uses max event
+    time through batch N-1, but the filter uses the watermark
+    displayed at batch N-1, i.e. max through batch N-2 — so batch 1's
+    stale rows still merge and only batch 2's are dropped. Rows whose
+    1-hour window was finalized under that lagged watermark drop;
+    everything else merges; evictions emit merged counts. The oracle
+    derives every rule exactly — semantics a single-batch AvailableNow
+    run can never exercise."""
+    import os as _os
+
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "events_split")
+    st = core.read_multibatch_events_stream(spark, sf_dir, split_dir)
+    agg = (
+        st.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    out = core.run_to_batch(agg, "append")
+    return out.orderBy("window_start")

@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 #: Physical schema of events.parquet as Spark reads it (ts = raw nanos).
@@ -185,4 +186,68 @@ def stateful_running_max(stream: DataFrame, delay: str = "1 minute") -> DataFram
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def read_multibatch_events_stream(
+    spark: SparkSession, sf_dir: str, split_dir: str
+) -> DataFrame:
+    """Events as a MULTI-micro-batch stream: the table is split into
+    THREE time-interleaved single-file batches (even event_ids, then
+    odd ids % 4 == 1, then odd ids % 4 == 3) streamed with
+    maxFilesPerTrigger=1 — the only way to exercise genuine late-row
+    dropping (a single-file AvailableNow run never drops anything).
+
+    Three batches because Spark's late-row filter lags one batch: the
+    watermark applied in batch N derives from max event time through
+    batch N-1 (verified: batch 1's stale rows merge with dropped=0;
+    batch 2's are dropped). Events are time-ordered by event_id, so
+    each later batch interleaves the whole time range already covered
+    — nearly all its windows sit behind the advanced watermark.
+    The split write is harness setup, not an operator; file order is
+    pinned via mtimes (FileStreamSource orders by modification time)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import load_table
+
+    os.makedirs(split_dir, exist_ok=True)
+    full = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    selectors = [
+        F.col("event_id") % 2 == 0,
+        F.col("event_id") % 4 == 1,
+        F.col("event_id") % 4 == 3,
+    ]
+    paths = []
+    for parity, sel in enumerate(selectors):
+        pdf = full.where(sel).toPandas()
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        ts_idx = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            ts_idx, "ts", tbl.column("ts").cast(pa.timestamp("us"))
+        )
+        p = os.path.join(split_dir, f"batch{parity}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+    base = 1_700_000_000
+    for i, p in enumerate(paths):
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(split_dir)
     )
