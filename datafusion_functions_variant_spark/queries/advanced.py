@@ -352,3 +352,46 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_wait"),
     ).orderBy("event_id")
+
+
+@query(
+    "hll_sketch_mergeable",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches `hll_sketch_agg` /
+    `hll_union_agg`): per-shard partial sketches are built
+    independently, then UNIONED without touching raw rows again —
+    the pattern that makes distinct-count maintainable at 100 TB
+    (daily shard sketches merge into a rolling total in O(#shards),
+    not O(#rows); re-aggregation needs no re-scan). Here 16 hash
+    shards per event_type are sketched and merged; the output carries
+    the exact count plus a bound check (lgConfigK=12 → rsd ≈ 1.6%,
+    bound 3·rsd ≈ 5%) so the hash compare is engine-portable.
+    Sketch values themselves are never emitted (binary differs across
+    engines by design)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_shard = ev.groupBy(
+        "event_type", (F.crc32(F.col("user_id").cast("string")) % 16).alias("shard")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    merged = per_shard.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", False)).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_within_bound"),
+        )
+        .orderBy("event_type")
+    )

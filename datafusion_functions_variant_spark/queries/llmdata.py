@@ -741,3 +741,49 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "dataset_rebalance_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5('sample:' || doc_id)
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked WHERE rn <= 60
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def dataset_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample — cap every language at N
+    docs to rebalance a skewed corpus (data-mixing primitive: 'at most
+    60 docs per lang, chosen reproducibly'). Selection order is the
+    salted md5 of the doc id, so the kept set is a pure function of
+    the data: stable across runs, engines and partitionings, unlike
+    sample()/sampleBy(). One shuffle on lang for the per-stratum
+    window. At 100 TB a hot stratum ('en') would bottleneck one
+    reducer; the scale path is two-phase: rank within (lang, salt)
+    shards, keep ceil(N/shards) per shard, then exact-cap the ≤
+    N*shards survivors — same semantics, no single-reducer stratum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit("sample:"), F.col("doc_id")))
+    w = Window.partitionBy("lang").orderBy(order_key)
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 60)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )

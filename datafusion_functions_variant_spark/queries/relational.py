@@ -478,3 +478,45 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("first_key"))
         .orderBy("yr", "mo")
     )
+
+
+@query(
+    "array_hof_showcase",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qtys) AS INT) AS n_items,
+           CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+           CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_large,
+           CAST(qtys[1] AS INT) AS min_qty,
+           CAST(qtys[-1] AS INT) AS max_qty,
+           CAST(list_sum(list_transform(qtys, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(len(list_filter(qtys, x -> x <= 0)) = 0 AS BOOLEAN) AS all_positive
+    FROM g ORDER BY l_orderkey
+    """,
+)
+def array_hof_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (Part B scalar surface): collect →
+    sort_array for a deterministic element order, then transform /
+    filter / aggregate / forall run as JVM codegen'd lambda
+    expressions — the idiomatic replacement for exploding an array to
+    rows and re-grouping (which would cost a second shuffle). One
+    groupBy shuffle; every HOF is a per-row projection after it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("qtys")
+    )
+    zero = F.lit(0).cast("long")
+    return g.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_items"),
+        F.aggregate("qtys", zero, lambda a, x: a + x).alias("total_qty"),
+        F.size(F.filter("qtys", lambda x: x > 25)).alias("n_large"),
+        F.element_at("qtys", 1).alias("min_qty"),
+        F.element_at("qtys", -1).alias("max_qty"),
+        F.aggregate("qtys", zero, lambda a, x: a + x * x).alias("sum_sq"),
+        F.forall("qtys", lambda x: x > 0).alias("all_positive"),
+    ).orderBy("l_orderkey")
