@@ -682,3 +682,65 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_quantity", "sum_qty"),
     )
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders o
+    JOIN (SELECT o_orderstatus FROM (
+            SELECT o_orderstatus,
+                   COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS share
+            FROM orders GROUP BY 1)
+          WHERE share > 0.1) s
+      ON o.o_orderstatus = s.o_orderstatus
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, the star-schema shape: the fact side
+    is a parquet table partitioned on the join key; the dim side is a
+    MATERIALIZED dim table (status, share-of-orders) filtered on the
+    non-key attribute ``share > 0.1``. Because the attribute only
+    exists in the dim parquet, constraint propagation cannot turn the
+    predicate into a static partition filter on the fact (a filter on
+    the join key itself would be pushed through the equi-join and DPP
+    would be unnecessary — verified: that variant plans a static
+    PartitionFilter). Catalyst instead injects a dynamic pruning
+    subquery into the fact scan, reusing the broadcast exchange, and
+    skips whole partition directories before reading a row. This is
+    THE mechanism that keeps star-schema joins over a 100 TB
+    partitioned fact from scanning dead partitions. Plan-audited in
+    tests/test_plans.py (dynamicpruningexpression)."""
+    path = os.path.join(_IO_DIR, "orders_dpp")
+    dim_path = os.path.join(_IO_DIR, "orders_status_dim")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    # dim build: per-status share of all orders (1 tiny window over
+    # #statuses rows); materialized so the read-back scan is opaque
+    # to constant folding, as a real dim table would be
+    (
+        o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "share", F.col("cnt") * 1.0 / F.sum("cnt").over(Window.partitionBy())
+        )
+        .select("o_orderstatus", "share")
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    back = spark.read.parquet(path)
+    dim = (
+        spark.read.parquet(dim_path)
+        .where(F.col("share") > 0.1)
+        .select("o_orderstatus")
+    )
+    return (
+        back.join(F.broadcast(dim), "o_orderstatus")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )

@@ -302,3 +302,10 @@ def test_orc_roundtrip_pushes_predicate(spark):
     scan_part = plan.split("Scan orc")[-1]
     assert "PushedFilters" in scan_part
     assert "l_quantity" in scan_part.split("PushedFilters")[1][:200]
+
+
+def test_join_dpp_injects_dynamic_pruning(spark):
+    # the partitioned fact scan must carry a runtime pruning subquery
+    # fed by the dim join keys — not a full scan of every partition
+    plan = plan_of(spark, "join_dynamic_partition_pruning")
+    assert "dynamicpruningexpression" in plan.lower()
