@@ -744,3 +744,123 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "cogroup_order_event_coverage",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS user_id, o_orderkey,
+             TIMESTAMP '2024-01-01' + (o_orderkey % 720) * INTERVAL 1 HOUR AS t0
+      FROM orders),
+    cov AS (
+      SELECT user_id, o_orderkey,
+             CASE WHEN EXISTS (SELECT 1 FROM events e
+                               WHERE e.user_id = o.user_id
+                                 AND e.ts >= o.t0
+                                 AND e.ts < o.t0 + INTERVAL 6 HOUR)
+                  THEN 1 ELSE 0 END AS c
+      FROM o)
+    SELECT user_id, COUNT(*) AS n_orders, CAST(SUM(c) AS BIGINT) AS n_covered
+    FROM cov GROUP BY 1 ORDER BY 1
+    """,
+)
+def cogroup_order_event_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas (``cogroup().applyInPandas``) — the one grouped
+    API where BOTH sides of a key arrive in the same Python function.
+    Per customer: how many orders had at least one event inside a
+    6-hour window after the (synthetic) order time. The kernel is a
+    vectorized double ``np.searchsorted`` against the user's sorted
+    event times — no per-row Python, no per-order join explosion.
+    Scale: one shuffle per side on the key (identical to a join);
+    group payloads stream through Arrow batches, so executor memory
+    holds one user's slice, not the table. The SQL twin is a
+    correlated EXISTS — the cogroup form wins when the per-group
+    kernel outgrows SQL (merge_asof, curve fitting, dedup heuristics).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0, cast(o_orderkey % 720 as int),0,0)"
+        ).alias("t0"),
+    )
+
+    def coverage(key, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:
+            return pd.DataFrame({"user_id": [], "n_orders": [], "n_covered": []})
+        ets = np.sort(edf["ts"].to_numpy(dtype="datetime64[us]"))
+        t0 = odf["t0"].to_numpy(dtype="datetime64[us]")
+        t1 = t0 + np.timedelta64(6, "h")
+        lo = np.searchsorted(ets, t0, side="left")
+        hi = np.searchsorted(ets, t1, side="left")
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_orders": [len(odf)],
+                "n_covered": [int((hi > lo).sum())],
+            }
+        )
+
+    return (
+        orders.groupBy("user_id")
+        .cogroup(ev.groupBy("user_id"))
+        .applyInPandas(coverage, "user_id bigint, n_orders bigint, n_covered bigint")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "source_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id % 10 = 0
+    ORDER BY doc_id
+    """,
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-asset ingestion via the ``binaryFile`` source — how image /
+    audio / video payloads enter the engine as opaque bytes with file
+    metadata (path, length, content). Fixture files are materialized
+    executor-side with foreachPartition (each task writes its own
+    partition's docs — no driver collect; on a cluster the target
+    would be shared storage, same code). The read-back proves the
+    bytes survive intact: doc id parsed from the file name, md5 +
+    length computed JVM-side on the binary column. At 100 TB the scan
+    parallelizes per-file and never decodes — pair with the
+    operators/multimodal.py mapInPandas stages for decode."""
+    import shutil
+
+    out_dir = os.path.join(_IO_DIR, "bin_docs")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+
+    def write_part(rows):
+        for r in rows:
+            with open(os.path.join(out_dir, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    docs.foreachPartition(write_part)
+    back = spark.read.format("binaryFile").load(out_dir)
+    return (
+        back.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.md5("content").alias("content_md5"),
+            F.col("length").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )
