@@ -520,3 +520,82 @@ def array_hof_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("qtys", zero, lambda a, x: a + x * x).alias("sum_sq"),
         F.forall("qtys", lambda x: x > 0).alias("all_positive"),
     ).orderBy("l_orderkey")
+
+
+@query(
+    "lateral_join_top2_per_nation",
+    oracle="""
+    SELECT n.n_name, l.c_custkey, l.c_acctbal
+    FROM nation n
+    JOIN LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) l ON TRUE
+    ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey
+    """,
+)
+def lateral_join_top2_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL surface): per-nation top-2
+    customers by balance, expressed as a LATERAL subquery with its own
+    ORDER BY ... LIMIT. Catalyst decorrelates it into the same
+    window/top-k shape a hand-written row_number query plans — the
+    point is the SQL front door exists and optimizes; no per-nation
+    re-scan survives in the physical plan."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, l.c_acctbal
+        FROM nation n
+        JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) l
+        ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey
+        """
+    )
+
+
+@query(
+    "recursive_cte_key_tree",
+    oracle="""
+    WITH RECURSIVE walk(k, root, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 2
+      UNION ALL
+      SELECT c.c_custkey, w.root, w.depth + 1
+      FROM customer c JOIN walk w ON c.c_custkey // 2 = w.k
+      WHERE c.c_custkey >= 2
+    )
+    SELECT depth, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+)
+def recursive_cte_key_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk the implicit
+    binary tree parent(k)=k DIV 2 over customer keys, emitting each
+    node's depth — the declarative twin of the hand-rolled iterative
+    loop in dedup_connected_components. Scale: each of the log2(N)
+    iterations is one distributed join of the frontier against the
+    base table (the frontier is broadcast-able once small); no driver
+    materialization of intermediate levels. DuckDB runs the identical
+    statement (`//` vs DIV integer division is the only dialect
+    difference)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(k, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 2
+          UNION ALL
+          SELECT c.c_custkey, w.root, w.depth + 1
+          FROM customer c JOIN walk w ON c.c_custkey DIV 2 = w.k
+          WHERE c.c_custkey >= 2
+        )
+        SELECT depth, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )

@@ -309,3 +309,20 @@ def test_join_dpp_injects_dynamic_pruning(spark):
     # fed by the dim join keys — not a full scan of every partition
     plan = plan_of(spark, "join_dynamic_partition_pruning")
     assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_lateral_join_decorrelates_to_window_topk(spark):
+    # Catalyst must decorrelate the LATERAL subquery into a per-group
+    # window top-k (WindowGroupLimit prunes map-side) joined once —
+    # never a nested-loop re-scan of customer per nation row
+    plan = plan_of(spark, "lateral_join_top2_per_nation")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recursive_cte_is_distributed_joins(spark):
+    # each recursion level is a distributed join of the frontier
+    # against the base scan — no collect-based driver loop
+    plan = plan_of(spark, "recursive_cte_key_tree")
+    assert "UnionLoop" in plan or "Join" in plan
