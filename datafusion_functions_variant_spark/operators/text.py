@@ -232,3 +232,56 @@ def fingerprints(
         topk.groupBy(id_col)
         .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("fingerprint"))
     )
+
+
+def word_ngrams(text_col, n: int = 5) -> F.Column:
+    """Distinct word n-grams of a text column as an in-row array:
+    tokenize, slide an n-window via sequence+transform, array_distinct.
+    Everything happens inside one projection (a single Generate when
+    exploded downstream) — no per-gram shuffle ever exists. Docs with
+    fewer than n words yield an empty array (guarded: Spark's
+    sequence(1, k) would count DOWN for k < 1)."""
+    t = words(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(F.array()))
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra: list[str] | None = None,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): flag every
+    training document sharing at least one word n-gram with a held-out
+    benchmark set; emit (id, *extra, overlap_grams) for contaminated
+    docs.
+
+    100 TB shape: the benchmark side is small by definition — its
+    distinct gram set BROADCASTS, so the training corpus never
+    shuffles at gram granularity. Train-side grams are generated and
+    deduplicated in-row (word_ngrams), exploded once, joined against
+    the broadcast, and the only Exchange in the plan is the final
+    per-document count. At production scale, xxhash64 the grams to 8
+    bytes before the join to shrink the broadcast; raw gram strings
+    are kept here so the DuckDB oracle reproduces the join exactly.
+    """
+    extra = extra or []
+    bench_grams = (
+        bench.select(F.explode(word_ngrams(text_col, n)).alias("g")).distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), *[F.col(c) for c in extra],
+        F.explode(word_ngrams(text_col, n)).alias("g"),
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col, *extra)
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+        .orderBy(id_col)
+    )

@@ -787,3 +787,38 @@ def dataset_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, lang, array_to_string(t[r.i:r.i+4], ' ') AS g
+      FROM toks, range(1, 5001) r(i)
+      WHERE r.i <= len(t) - 4
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+    SELECT g2.doc_id, g2.lang, COUNT(*) AS overlap_grams
+    FROM grams g2 JOIN bench b USING (g)
+    WHERE g2.doc_id % 17 <> 0
+    GROUP BY g2.doc_id, g2.lang
+    ORDER BY doc_id
+    """,
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 17th document plays the
+    held-out benchmark; training docs sharing any word 5-gram with it
+    are flagged with their distinct-overlap count. The benchmark gram
+    set broadcasts (small by definition); train grams are in-row
+    distinct so the only shuffle is the final per-doc count —
+    `operators/text.py decontaminate`. The reference has no corpus
+    tooling at all; this is north-star scope."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return text.decontaminate(train, bench, "text", "doc_id", extra=["lang"], n=5)

@@ -326,3 +326,15 @@ def test_recursive_cte_is_distributed_joins(spark):
     # against the base scan — no collect-based driver loop
     plan = plan_of(spark, "recursive_cte_key_tree")
     assert "UnionLoop" in plan or "Join" in plan
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    # the benchmark gram set must broadcast; the training corpus must
+    # reach the join straight from its Generate (no gram-level
+    # exchange on the big side — its only Exchange is the final
+    # per-doc count)
+    plan = plan_of(spark, "text_decontamination")
+    assert "BroadcastHashJoin" in plan
+    join_part = plan.split("BroadcastHashJoin")[1]
+    big_side = join_part.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in big_side
