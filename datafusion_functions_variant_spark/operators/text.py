@@ -285,3 +285,59 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("overlap_grams"))
         .orderBy(id_col)
     )
+
+
+def _dup_gram_char_fraction(t: F.Column, n: int) -> F.Column:
+    """Fraction of n-gram characters belonging to grams occurring
+    more than once in the document (Gopher's duplicate-n-gram
+    repetition signal). Denominator = total chars over ALL gram
+    instances; numerator = chars over instances of duplicated grams.
+
+    Computed fully IN-ROW in O(G log G): sort the gram multiset, then
+    an instance is duplicated iff it equals a sorted neighbor — no
+    explode, no gram-level shuffle, scales with document count not
+    gram count. NULL when the doc has fewer than n words."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    s = F.array_sort(grams)
+    sz = F.size(s)
+    at = lambda i: F.element_at(s, i)  # noqa: E731  (1-based)
+    dup_len = F.aggregate(
+        F.sequence(F.lit(1), sz),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            ((i > 1) & (at(i) == at(i - 1))) | ((i < sz) & (at(i) == at(i + 1))),
+            F.length(at(i)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    tot_len = F.aggregate(
+        s, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    return F.when(
+        F.size(t) >= n, dup_len.cast("double") / tot_len.cast("double")
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document duplicate-2-gram
+    and duplicate-3-gram character fractions plus the keep flag
+    (both < 0.75 — synthetic corpus vocabulary is tiny, so the
+    published 0.2 threshold would reject everything). One projection,
+    no shuffle; the fractions are exact integer-ratio doubles, so the
+    oracle reproduces them bit-for-bit."""
+    t = words(F.lower(F.col(text_col)))
+    d2 = _dup_gram_char_fraction(t, 2)
+    d3 = _dup_gram_char_fraction(t, 3)
+    return df.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_words"),
+        d2.alias("dup_2gram_char_frac"),
+        d3.alias("dup_3gram_char_frac"),
+        (
+            (F.coalesce(d2, F.lit(0.0)) < 0.75)
+            & (F.coalesce(d3, F.lit(0.0)) < 0.75)
+        ).alias("keep"),
+    )

@@ -822,3 +822,47 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 17 == 0)
     train = docs.where(F.col("doc_id") % 17 != 0)
     return text.decontaminate(train, bench, "text", "doc_id", extra=["lang"], n=5)
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS t
+      FROM documents
+    ),
+    inst AS (
+      SELECT doc_id, n, array_to_string(t[r.i:r.i+n-1], ' ') AS g
+      FROM toks, (VALUES (2), (3)) nn(n), range(1, 5001) r(i)
+      WHERE r.i <= len(t) - n + 1
+    ),
+    cnt AS (
+      SELECT doc_id, n, g, COUNT(*) AS c, len(g) AS l
+      FROM inst GROUP BY doc_id, n, g
+    ),
+    frac AS (
+      SELECT doc_id, n,
+             CAST(SUM(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(c * l) AS DOUBLE) AS f
+      FROM cnt GROUP BY doc_id, n
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_words,
+           f2.f AS dup_2gram_char_frac,
+           f3.f AS dup_3gram_char_frac,
+           (COALESCE(f2.f, 0) < 0.75 AND COALESCE(f3.f, 0) < 0.75) AS keep
+    FROM toks tk
+    LEFT JOIN frac f2 ON f2.doc_id = tk.doc_id AND f2.n = 2
+    LEFT JOIN frac f3 ON f3.doc_id = tk.doc_id AND f3.n = 3
+    ORDER BY tk.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules: duplicate-2/3-gram character fractions
+    per document, computed in-row via sorted-neighbor detection (no
+    explode, no gram shuffle — `operators/text.py repetition_stats`).
+    The oracle uses the equivalent explode+GROUP BY formulation; both
+    reduce to the same exact integer ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "text", "doc_id").orderBy("doc_id")
