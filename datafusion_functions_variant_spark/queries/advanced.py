@@ -395,3 +395,99 @@ def hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "bitmap_exact_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count via bitmap aggregates — the
+    lossless sibling of the HLL sketch pattern: user ids are mapped to
+    (bucket, bit-position), per-(type, bucket, shard) bitmaps are built
+    independently (`bitmap_construct_agg` — here 4 hash shards stand in
+    for per-day partials), OR-merged per bucket without touching raw
+    rows again (`bitmap_or_agg`), and popcounts summed. Unlike HLL the
+    result is exactly COUNT(DISTINCT), so the oracle compares values
+    directly, not a bound. At 100 TB: daily bitmap partials merge in
+    O(#shards · #buckets), re-aggregation needs no re-scan, and memory
+    stays bounded because each bitmap covers a fixed 32k-id bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    per_shard = ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        (F.col("user_id") % 4).alias("shard"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    merged = per_shard.groupBy("event_type", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "theta_sketch_setops",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT COUNT(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS BIGINT) AS exact_union,
+      CAST((SELECT COUNT(*) FROM c WHERE user_id IN (SELECT user_id FROM p)) AS BIGINT) AS exact_intersection,
+      CAST((SELECT COUNT(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS BIGINT) AS exact_difference,
+      TRUE AS union_within_bound,
+      TRUE AS intersection_within_bound,
+      TRUE AS difference_within_bound
+    """,
+)
+def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches — the sketch family that supports SET ALGEBRA,
+    not just union: distinct clickers and purchasers are sketched
+    independently, then union / intersection / A-minus-B estimates are
+    computed sketch-to-sketch (`theta_union` / `theta_intersection` /
+    `theta_difference`) — no re-scan, no join. HLL can only union;
+    theta answers "how many clicked but never purchased" from two
+    pre-built sketches. Output carries the exact counts plus
+    within-bound booleans (5% + 5 absolute slack: lgK=12 → rsd ≈ 1.6%,
+    and below 4k entries the sketch is exact), so the hash compare is
+    engine-portable; sketch bytes are never emitted."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    buys = ev.where(F.col("event_type") == "purchase")
+    ska = clicks.agg(F.theta_sketch_agg("user_id", 12).alias("ska"))
+    skb = buys.agg(F.theta_sketch_agg("user_id", 12).alias("skb"))
+    ests = ska.crossJoin(skb).select(
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("est_u"),
+        F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias("est_i"),
+        F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias("est_d"),
+    )
+    cu = clicks.select("user_id")
+    pu = buys.select("user_id")
+    exact = (
+        cu.union(pu).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            cu.distinct().intersect(pu.distinct())
+            .agg(F.count(F.lit(1)).alias("exact_intersection"))
+        )
+        .crossJoin(
+            cu.distinct().exceptAll(pu.distinct())
+            .agg(F.count(F.lit(1)).alias("exact_difference"))
+        )
+    )
+
+    def ok(est, exact_col):
+        return (F.abs(F.col(est) - F.col(exact_col)) <= 0.05 * F.col(exact_col) + 5)
+
+    return exact.crossJoin(ests).select(
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_intersection").cast("long").alias("exact_intersection"),
+        F.col("exact_difference").cast("long").alias("exact_difference"),
+        ok("est_u", "exact_union").alias("union_within_bound"),
+        ok("est_i", "exact_intersection").alias("intersection_within_bound"),
+        ok("est_d", "exact_difference").alias("difference_within_bound"),
+    )

@@ -341,3 +341,91 @@ def timeseries_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day, hour ASC NULLS FIRST, event_type ASC NULLS FIRST
         """
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH mk AS (SELECT MAX(c_custkey) AS m FROM customer),
+    log AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + mk.m
+                  ELSE o_custkey END AS key,
+             o_orderkey AS seq,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS val
+      FROM orders, mk),
+    last AS (
+      SELECT key, op, val, n_changes FROM (
+        SELECT key, op, val,
+               ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY key) AS n_changes
+        FROM log) WHERE rn = 1),
+    snap AS (
+      SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer)
+    SELECT COALESCE(s.key, l.key) AS key,
+           CASE WHEN l.key IS NULL THEN 'keep'
+                WHEN s.key IS NULL THEN 'insert'
+                ELSE 'update' END AS action,
+           CAST(COALESCE(l.val, s.bal) AS DOUBLE) AS balance,
+           CAST(COALESCE(l.n_changes, 0) AS BIGINT) AS n_changes
+    FROM snap s FULL JOIN last l ON s.key = l.key
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY key
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY: compact an ordered change log (insert/update rows +
+    delete tombstones, multiple changes per key) down to the latest
+    change per key, then apply it to a dimension snapshot — the
+    Debezium/stream-ingest pattern Delta's APPLY CHANGES compiles to.
+    The log is derived deterministically from orders (seq = orderkey;
+    every 13th change is a tombstone; every 7th targets a brand-new
+    key so all three branches are live). Log compaction is ONE window
+    shuffle on key (row_number picks last-writer-wins, the same
+    partition serves the per-key change count); the apply is one
+    full-outer join; tombstoned keys drop. At 100 TB the log shuffle
+    partitions by key — exactly how per-key changelog compaction
+    scales — and the snapshot join can be bucket-co-located."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    mk = cust.agg(F.max("c_custkey").alias("m"))
+    log = orders.join(F.broadcast(mk)).select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + F.col("m"))
+        .otherwise(F.col("o_custkey"))
+        .alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+    )
+    wlast = Window.partitionBy("key").orderBy(F.desc("seq"))
+    wcnt = Window.partitionBy("key")
+    last = (
+        log.select(
+            "key",
+            "op",
+            "val",
+            F.row_number().over(wlast).alias("rn"),
+            F.count(F.lit(1)).over(wcnt).alias("n_changes"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    snap = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    applied = snap.join(last, ["key"], "full_outer").where(
+        F.col("op").isNull() | (F.col("op") != "D")
+    )
+    return applied.select(
+        "key",
+        F.when(F.col("op").isNull(), "keep")
+        .when(F.col("bal").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce("val", "bal").cast("double").alias("balance"),
+        F.coalesce("n_changes", F.lit(0)).cast("long").alias("n_changes"),
+    ).orderBy("key")
