@@ -28,6 +28,11 @@ from pyspark.sql import SparkSession
 #: test driver created) before reading the test tables.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamp[us] with isAdjustedToUTC=false would otherwise
+    # read as TIMESTAMP_NTZ (Spark 4 default), breaking unix_micros()
+    # and diverging from DuckDB's naive-as-UTC reading. With the UTC
+    # session timezone below, reading as TIMESTAMP is epoch-identical.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -270,8 +270,9 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet NANOS to micros on read; Spark keeps raw nanos (bigint),
     floored here with integer division."""
     ev = load_table(spark, sf_dir, "events")
-    # integer div, NOT `/`: double division loses precision above 2^53
-    ev = ev.withColumn("ts_us", F.expr("ts_ns div 1000"))
+    # unix_micros on the normalized TIMESTAMP — integer micros, exact
+    # (double division would lose precision above 2^53)
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return ev.select(
         "event_id",

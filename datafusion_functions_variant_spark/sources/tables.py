@@ -36,14 +36,31 @@ TABLE_NAMES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)  # the driver's session may lack nanosAsLong etc.
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize the two physical timestamp encodings the test driver
+    has generated over time to one logical shape:
+
+    * ``ts`` as parquet NANOS → Spark reads a raw BIGINT (with
+      ``nanosAsLong``); expose TIMESTAMP (micros, floor-truncated like
+      DuckDB) and keep the raw value as ``ts_ns``.
+    * any TIMESTAMP_NTZ (parquet micros, isAdjustedToUTC=false, read
+      before the session conf disabled NTZ inference) → cast to
+      TIMESTAMP, epoch-identical under the UTC session timezone.
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts", F.expr("timestamp_micros(ts_ns div 1000)")
         )
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)  # the driver's session may lack nanosAsLong etc.
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -7,7 +7,8 @@ event-time stream; for the driver's batch-comparison gate we execute
 the stream with ``Trigger.AvailableNow`` into a memory sink and hand
 back the materialized result. Semantics that matter:
 
-* Event time = events.ts (parquet NANOS → LongType → timestamp_micros).
+* Event time = events.ts normalized to TIMESTAMP (micros) whatever
+  the physical parquet encoding (see sources.tables).
 * Watermark delay bounds state: append-mode windows emit only once
   the watermark (max event time - delay) passes the window end —
   windows still inside the delay at end-of-input are withheld. The
@@ -35,38 +36,34 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-#: Physical schema of events.parquet as Spark reads it (ts = raw nanos).
-EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 _SINK_COUNTER = [0]
 _SINK_LOCK = threading.Lock()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file stream with a proper event-time col."""
+    """events.parquet as a file stream with a proper event-time col.
+
+    FileStreamSource needs an explicit schema; take it from the batch
+    reader's parquet footer so the stream adapts to whichever physical
+    encoding of ``ts`` (NANOS→bigint or micros→timestamp) the test
+    driver generated, then apply the same normalization as the batch
+    catalog (``tables.normalize_timestamps``).
+    """
     from ..plans.session import tune
+    from ..sources.tables import normalize_timestamps
 
     tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    file_schema = spark.read.parquet(path).schema
     # FileStreamSource requires a directory; pathGlobFilter narrows it
     # to the events table only.
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(file_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.expr("timestamp_micros(ts_ns div 1000)")
-    )
+    return normalize_timestamps(raw)
 
 
 def run_to_batch(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
