@@ -147,6 +147,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import clusters  # noqa: F401
     from . import extras  # noqa: F401
     from . import llmdata  # noqa: F401
+    from . import analysis  # noqa: F401
 
     def rank(name: str) -> int:
         for i, pat in enumerate(_DRIVER_PRIORITY):

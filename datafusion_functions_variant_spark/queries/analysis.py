@@ -1,0 +1,247 @@
+"""Collection-analytics queries: BM25 ranked retrieval, exact
+heavy-hitter token mining, and one-pass column profiling.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §2 Part B
+north-star extensions) with the collection-statistics operators a
+training-data curation stack needs: scoring documents against a term
+set (retrieval / relevance filtering), mining the global
+high-frequency vocabulary (tokenizer construction, stopword
+discovery), and profiling a table's columns in a single scan (schema
+drift / data-quality monitoring).
+
+Scale notes (100 TB): every query here is one scan + one reduce to a
+tiny (≤ vocabulary-sized) aggregate; the per-document work is a pure
+JVM projection. BM25's collection statistics collapse to ONE row that
+re-enters the plan via a broadcast cross-join — the corpus is never
+shuffled. Heavy hitters is a map-side-combined groupBy on token; the
+support threshold comparison joins against a 1-row aggregate, again
+broadcast. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import words
+from ..sources.tables import load_table
+from . import query
+
+# BM25 parameters (Robertson–Walker defaults) and the fixed query-term
+# set (terms known to occur in the synthetic corpus).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ["query", "spark", "merge"]
+
+_DOC_WORDS_SQL = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+
+def _tf_sql(term: str) -> str:
+    return f"len(list_filter({_DOC_WORDS_SQL}, x -> x = '{term}'))"
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(len({_DOC_WORDS_SQL}) AS BIGINT) AS dl,
+             {", ".join(f"CAST({_tf_sql(t)} AS BIGINT) AS tf{i}" for i, t in enumerate(BM25_TERMS))}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_dl,
+             {", ".join(f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(BM25_TERMS)))}
+      FROM docs
+    ),
+    scored AS (
+      SELECT doc_id, dl,
+             {" + ".join(
+                 f"ln((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+                 f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+                 f" * (CAST(tf{i} AS DOUBLE) * ({BM25_K1} + 1.0))"
+                 f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B}"
+                 f" + {BM25_B} * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+                 f" / CAST(total_dl AS DOUBLE)))"
+                 for i in range(len(BM25_TERMS))
+             )} AS score
+      FROM docs, stats
+    )
+    SELECT doc_id, dl, ROUND(score, 6) AS score_r
+    FROM scored
+    ORDER BY ROUND(score, 6) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term set, end-to-end in one
+    declarative plan: per-doc (dl, tf_t) projection → 1-row collection
+    stats (N, Σdl, df_t) → broadcast cross-join → score → top-20 via
+    TakeOrderedAndProject. The corpus never shuffles; the only
+    exchange carries one row of statistics. Scores rounded to 6
+    decimals to absorb ln() ulp drift between JVM and libm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = words("text")
+
+    # NOTE: F.filter treats a 2-arg lambda as (element, index) — bind
+    # the term via closure, keep the lambda unary (see operators/text.py).
+    def eq_term(t):
+        return lambda x: x == F.lit(t)
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(w, eq_term(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long").alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(BM25_TERMS)):
+        n, df_, tf = (
+            F.col("n_docs").cast("double"),
+            F.col(f"df{i}").cast("double"),
+            F.col(f"tf{i}").cast("double"),
+        )
+        idf = F.log((n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)) + F.lit(1.0))
+        norm = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B)
+            * F.col("dl").cast("double")
+            * n
+            / F.col("total_dl").cast("double")
+        )
+        term_score = idf * (tf * F.lit(BM25_K1 + 1.0)) / norm
+        score = term_score if score is None else score + term_score
+    return (
+        scored.select("doc_id", "dl", F.round(score, 6).alias("score_r"))
+        .orderBy(F.col("score_r").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+    tot AS (
+      SELECT CAST(SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS total
+      FROM documents
+    )
+    SELECT token, cnt
+    FROM counts, tot
+    WHERE cnt >= total // 100
+    ORDER BY cnt DESC, token
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens with support ≥ 1% of the total
+    token stream. explode → map-side-combined groupBy(token) → 1-row
+    total re-broadcast for the threshold. At 100 TB the groupBy state
+    is vocabulary-sized (≪ corpus); for unbounded vocabularies swap
+    the exact count for a count-min sketch but keep this exact twin as
+    the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words("text")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # total token count from per-doc lengths — a cheap second scan of
+    # one column, NOT a recompute of the explode+groupBy subtree (the
+    # plan would otherwise run the vocabulary aggregation twice)
+    total = docs.agg(F.sum(F.size(words("text"))).cast("long").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.expr("total div 100"))
+        .select("token", "cnt")
+        .orderBy(F.col("cnt").desc(), "token")
+    )
+
+
+@query(
+    "profile_lineitem_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           CAST(MIN(l_discount) AS DOUBLE),
+           CAST(MAX(l_discount) AS DOUBLE),
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+    FROM lineitem
+    ORDER BY col_name
+    """,
+)
+def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (data-quality monitoring): null count,
+    exact distinct, min/max, exact sum for three numeric columns in a
+    SINGLE scan + single wide aggregate, then unpivoted to one row per
+    column by exploding a literal struct array over the 1-row result
+    (a Union of per-column selects would re-run the aggregate — and
+    the scan — once per column). The oracle spells it as three scans —
+    same values, the plan shape is the point.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n_rows"),
+            F.count(F.col(c)).cast("long").alias(f"{c}__n_nonnull"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__n_distinct"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min_v"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max_v"),
+            F.sum(F.col(c).cast("decimal(18,2)")).cast("double").alias(f"{c}__sum_v"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n_rows").alias("n_rows"),
+                F.col(f"{c}__n_nonnull").alias("n_nonnull"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min_v").alias("min_v"),
+                F.col(f"{c}__max_v").alias("max_v"),
+                F.col(f"{c}__sum_v").alias("sum_v"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )

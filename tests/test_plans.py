@@ -338,3 +338,30 @@ def test_decontamination_broadcasts_benchmark_side(spark):
     join_part = plan.split("BroadcastHashJoin")[1]
     big_side = join_part.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in big_side
+
+
+def test_bm25_corpus_never_shuffles(spark):
+    # collection stats (1 row) broadcast back over the corpus; the
+    # corpus side reaches the top-k straight from its scan — its only
+    # operators are projection, the broadcast cross-join, and
+    # TakeOrderedAndProject (no hashpartitioning exchange at all)
+    plan = plan_of(spark, "text_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_heavy_hitters_single_vocab_aggregate(spark):
+    # the explode+groupBy vocabulary aggregation must appear exactly
+    # once — the support threshold's total comes from a cheap per-doc
+    # length sum, not a recompute of the token aggregation
+    plan = plan_of(spark, "text_heavy_hitters")
+    assert plan.count("Generate explode") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_profile_is_single_scan(spark):
+    # one wide aggregate over one scan; unpivot happens by exploding
+    # the 1-row aggregate, never by re-running the scan per column
+    plan = plan_of(spark, "profile_lineitem_stats")
+    assert plan.count("FileScan") == 1
