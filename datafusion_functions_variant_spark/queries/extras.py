@@ -932,3 +932,43 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM (
+      SELECT o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+      UNION ALL
+      SELECT o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority NULLS FIRST
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two generations of files in one dataset
+    directory — v1 without o_orderpriority, v2 with it — unified by
+    ``mergeSchema=true`` (v1 rows surface NULL for the added column).
+    This is how a 100 TB table absorbs schema changes WITHOUT
+    rewriting old files; the footer-merge costs one metadata pass, no
+    data movement. (Columns can only be added, matching parquet's
+    merge rules.)"""
+    path = os.path.join(_IO_DIR, "orders_evolving")
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_totalprice")
+    v2 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+    )
