@@ -245,3 +245,36 @@ def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("col_name")
     )
+
+
+@query(
+    "join_strategy_hints",
+    oracle="""
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size > 40
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control via hints: force a SHUFFLED HASH
+    join where the optimizer would default to broadcast (small dim) or
+    sort-merge. At 100 TB this is the escape hatch when BOTH sides are
+    too big to broadcast but one still fits a per-partition hash table
+    — SHJ skips the two sorts a sort-merge join pays. Plan-pinned to
+    ShuffledHashJoin; broadcast and SMJ strategies are pinned by other
+    queries (q5, bucketed_colocated_join).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") > 40)
+    joined = li.join(p.hint("shuffle_hash"), li.l_partkey == p.p_partkey)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )

@@ -365,3 +365,12 @@ def test_profile_is_single_scan(spark):
     # the 1-row aggregate, never by re-running the scan per column
     plan = plan_of(spark, "profile_lineitem_stats")
     assert plan.count("FileScan") == 1
+
+
+def test_join_hint_forces_shuffled_hash(spark):
+    # the shuffle_hash hint must override the optimizer's default
+    # broadcast choice for the small dim — hint-driven strategy
+    # control is the big-side escape hatch at scale
+    plan = plan_of(spark, "join_strategy_hints")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
