@@ -471,3 +471,47 @@ def stream_multibatch_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = core.run_to_batch(agg, "append")
     return out.orderBy("window_start")
+
+
+@query(
+    "stream_dedup_against_corpus",
+    oracle=r"""
+    WITH hist AS (
+      SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+      FROM documents WHERE doc_id % 3 != 0
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'))
+          NOT IN (SELECT h FROM hist)
+    ORDER BY d.doc_id
+    """,
+)
+def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest: a stream of NEW documents (doc_id % 3 = 0)
+    anti-joins the historical corpus' exact-dedup fingerprints
+    (content-hash of normalized text, distinct, broadcast per
+    micro-batch) — only never-seen-before content survives to the
+    sink. Stateless stream-static LEFT ANTI join: no watermark, no
+    state store; at 100 TB the fingerprint table is the compact
+    corpus summary (16 bytes/doc), refreshed per batch.
+    """
+    from ..operators import dedup
+
+    st = core.read_table_stream(spark, sf_dir, "documents")
+    new_docs = st.where(F.col("doc_id") % 3 == 0).withColumn(
+        "content_hash", F.md5(dedup.normalize_text("text"))
+    )
+    from ..sources.tables import load_table
+
+    hist = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 != 0)
+        .select(F.md5(dedup.normalize_text("text")).alias("h"))
+        .distinct()
+    )
+    survivors = new_docs.join(
+        F.broadcast(hist), new_docs.content_hash == hist.h, "left_anti"
+    ).select("doc_id", "lang", "source")
+    return core.run_to_batch(survivors, "append").orderBy("doc_id")

@@ -40,30 +40,36 @@ _SINK_COUNTER = [0]
 _SINK_LOCK = threading.Lock()
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file stream with a proper event-time col.
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A test table as a file stream, schema-normalized like the batch
+    catalog.
 
     FileStreamSource needs an explicit schema; take it from the batch
     reader's parquet footer so the stream adapts to whichever physical
-    encoding of ``ts`` (NANOS→bigint or micros→timestamp) the test
-    driver generated, then apply the same normalization as the batch
-    catalog (``tables.normalize_timestamps``).
+    encoding (e.g. events.ts as NANOS→bigint or micros→timestamp) the
+    test driver generated, then apply the same normalization as the
+    batch catalog (``tables.normalize_timestamps``).
     """
     from ..plans.session import tune
     from ..sources.tables import normalize_timestamps
 
     tune(spark)
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     file_schema = spark.read.parquet(path).schema
     # FileStreamSource requires a directory; pathGlobFilter narrows it
-    # to the events table only.
+    # to the one table.
     raw = (
         spark.readStream.schema(file_schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{name}.parquet")
         .load(sf_dir)
     )
     return normalize_timestamps(raw)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file stream with a proper event-time col."""
+    return read_table_stream(spark, sf_dir, "events")
 
 
 def run_to_batch(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
