@@ -392,3 +392,33 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All neighbors within a similarity radius: (query_id, vec_id,
+    dot) for every corpus vector with inner product ≥ threshold.
+
+    Same 100 TB shape as brute_force_topk: queries broadcast, corpus
+    never shuffles, and a cheap double prefilter (threshold − 1e-6
+    margin) gates the DECIMAL-exact rescore so the heavy arithmetic
+    touches only near-threshold candidates. The emitted dot and the
+    membership test both use the exact decimal rounded to 9 places,
+    so any engine reproduces the same set.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("_fast", _dot_double("_qvec", "_cvec"))
+        .where(F.col("_fast") >= threshold - 1e-6)
+    )
+    rescored = cand.select(
+        "query_id", "vec_id", F.round(_dot_decimal("_qvec", "_cvec"), 9).alias("dot")
+    )
+    return rescored.where(F.col("dot") >= threshold)

@@ -278,3 +278,40 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "window_sliding_distinct_users",
+    oracle="""
+    WITH wins AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '30 minutes', ts)
+               - g.g * INTERVAL '30 minutes' AS ws
+      FROM events, (VALUES (0), (1)) g(g)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM wins
+    GROUP BY ws
+    ORDER BY ws
+    """,
+)
+def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT aggregation (1 h window, 30 min slide):
+    unique users per overlapping window — the combination the tumbling
+    and sliding COUNT queries don't cover. Spark's window() generator
+    emits each row into its two containing windows (an in-row Expand,
+    window_count = size/slide, no self-join); the distinct runs as one
+    hash aggregate per (window, user) then per window. The oracle
+    reproduces the window assignment arithmetic with time_bucket.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_users",
+        )
+        .orderBy("window_start")
+    )

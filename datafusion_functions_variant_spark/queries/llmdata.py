@@ -866,3 +866,35 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to the same exact integer ratio."""
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_stats(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "similarity_radius_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+    prods AS (
+      SELECT q.query_id, e.vec_id,
+             SUM(CAST(CAST(q.embedding[t.i::INT] AS DOUBLE)
+                      * CAST(e.embedding[t.i::INT] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS dot_dec
+      FROM embeddings e, q, range(1, 257) t(i)
+      WHERE t.i <= len(e.embedding)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, ROUND(CAST(dot_dec AS DOUBLE), 9) AS dot
+    FROM prods
+    WHERE ROUND(CAST(dot_dec AS DOUBLE), 9) >= 0.2
+    ORDER BY query_id, vec_id
+    """,
+)
+def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the other standard ANN API besides
+    top-k: every corpus vector with inner product ≥ 0.2 for 3 query
+    vectors. Queries broadcast, corpus never shuffles; a double
+    prefilter gates the decimal-exact rescore (operators/similarity.py
+    radius_search)."""
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 3)
+    return similarity.radius_search(emb, queries_df, threshold=0.2).orderBy(
+        "query_id", "vec_id"
+    )
