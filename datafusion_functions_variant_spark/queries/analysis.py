@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import words
 from ..sources.tables import load_table
-from . import query
+from . import dsum, query
 
 # BM25 parameters (Robertson–Walker defaults) and the fixed query-term
 # set (terms known to occur in the synthetic corpus).
@@ -314,4 +314,114 @@ def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_users",
         )
         .orderBy("window_start")
+    )
+
+
+@query(
+    "stats_numeric_showcase",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 6) AS covar_qp,
+           ROUND(stddev_samp(l_extendedprice), 6) AS std_price,
+           ROUND(var_samp(l_quantity), 6) AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def stats_numeric_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covariance / stddev / variance)
+    per group — single hash aggregate with map-side partials (all four
+    are algebraic: sums of x, y, xy, x², y² merge associatively, so
+    the shuffle carries one partial row per group per partition).
+    Rounded to 6 places: Spark and DuckDB use different but
+    numerically-equivalent update formulas.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias("covar_qp"),
+            F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+    -- DuckDB has no width_bucket; this CASE is its exact definition
+    -- for (min 0, max 500000, 25 buckets): bucket width 20000.
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 26
+                ELSE CAST(FLOOR(o_totalprice / 20000) AS BIGINT) + 1 END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram via the SQL-standard width_bucket — the
+    binning primitive for profiling and skew diagnosis. Fixed bounds
+    keep it one scan + one aggregate (data-derived bounds would add a
+    1-row broadcast like BM25's stats — same shape, still no second
+    pass over the data).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr("CAST(width_bucket(o_totalprice, 0, 500000, 25) AS BIGINT)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "fuzzy_match_blocked",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (data-cleaning / entity-resolution
+    primitive): distinct names, equi-join on a blocking key (first
+    token) so the edit-distance UDF-free levenshtein only runs within
+    blocks — never all-pairs. At 100 TB the blocking key IS the
+    shuffle key; quadratic cost is confined to each block.
+    """
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    joined = a.join(
+        b,
+        (F.split_part(F.col("name_a"), F.lit(" "), F.lit(1))
+         == F.split_part(F.col("name_b"), F.lit(" "), F.lit(1)))
+        & (F.col("name_a") < F.col("name_b")),
+    )
+    return (
+        joined.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .where(F.col("dist").between(1, 3))
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
     )
