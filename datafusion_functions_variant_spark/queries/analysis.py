@@ -425,3 +425,81 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "variant_grouping_sets",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(props->>'$.k' AS BIGINT) % 10 AS BIGINT) AS k_mod,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(CAST(CAST(props->>'$.k' AS BIGINT) % 10 AS BIGINT)) AS INT) AS g_kmod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(CAST(props->>'$.k' AS BIGINT) % 10 AS BIGINT)), ())
+    ORDER BY g_type, g_kmod, event_type NULLS FIRST, k_mod NULLS FIRST
+    """,
+)
+def variant_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over a variant-extracted dimension — the
+    shred-early rule composed with multi-granularity aggregation: $.k
+    becomes a typed column in one projection, then a single Expand
+    pass produces per-type, per-k-mod, and grand-total rows (no
+    re-scan per grouping set).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    shredded = ev.select(
+        "event_type",
+        (F.variant_get(F.parse_json("props"), "$.k", "bigint") % 10).alias("k_mod"),
+        "value",
+    )
+    shredded.createOrReplaceTempView("_ev_shredded")
+    return shredded.sparkSession.sql("""
+        SELECT event_type, k_mod,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(k_mod) AS INT) AS g_kmod,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM _ev_shredded
+        GROUP BY GROUPING SETS ((event_type), (k_mod), ())
+        ORDER BY g_type, g_kmod, event_type NULLS FIRST, k_mod NULLS FIRST
+    """)
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 6) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    ORDER BY e.event_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per group: tiny per-group (mu, sigma)
+    statistics broadcast back over the events — two scans but zero
+    fact-side shuffle (the alternative, a window over event_type,
+    would shuffle ALL events by a low-cardinality — i.e. skewed —
+    key). Emits |z| > 3 rows, z rounded to absorb engine-formula
+    drift in stddev.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+        .orderBy("event_id")
+    )
