@@ -374,3 +374,19 @@ def test_join_hint_forces_shuffled_hash(spark):
     plan = plan_of(spark, "join_strategy_hints")
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_zscore_broadcasts_group_stats(spark):
+    # the per-group (mu, sigma) side must broadcast; no window over
+    # the low-cardinality (skewed) event_type key
+    plan = plan_of(spark, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_variant_grouping_sets_single_expand(spark):
+    # all three grouping sets come from ONE Expand pass over the
+    # shredded projection — not a re-scan per set
+    plan = plan_of(spark, "variant_grouping_sets")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
