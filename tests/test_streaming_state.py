@@ -122,3 +122,85 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == n_a + n_b  # batch 0 NOT re-emitted
     assert out.select("event_id").distinct().count() == n_a + n_b
+
+
+def test_checkpoint_restart_stateful_window_counts(spark, tmp_path):
+    """Stateful restart: a watermarked tumbling-count query runs over
+    the first half of the events, stops, and is restarted with the
+    SAME checkpoint after the second half arrives. Watermark and
+    window state must survive the restart: the union of both runs'
+    append-mode emissions must equal the batch-computed set of windows
+    closed by the FINAL watermark, with no window emitted twice."""
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_variant_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    chk_dir = str(tmp_path / "chk")
+
+    ev = load_table(spark, SF_DIR, "events").select("ts", "event_type", "value")
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        ).alias("m")
+    ).collect()[0]["m"]
+    a = ev.where(F.col("ts") <= F.lit(mid))
+    b = ev.where(F.col("ts") > F.lit(mid))
+
+    a.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def run_once():
+        counts = (
+            spark.readStream.schema(schema)
+            .parquet(in_dir)
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("win.start").alias("window_start"), "event_type", "n"
+            )
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first > 0  # run 1 already closed some windows
+
+    # second half of the stream arrives after the stop
+    stage = str(tmp_path / "stage")
+    b.coalesce(1).write.mode("overwrite").parquet(stage)
+    import os as _os
+    import shutil
+
+    part = next(p for p in _os.listdir(stage) if p.endswith(".parquet"))
+    shutil.copy(f"{stage}/{part}", f"{in_dir}/gen2.parquet")
+
+    run_once()
+    got = spark.read.parquet(out_dir)
+    # exactly-once: each (window, type) emitted by at most one run
+    assert got.count() == got.select("window_start", "event_type").distinct().count()
+    assert got.count() > n_first  # run 2 closed the windows in between
+
+    # batch oracle: windows closed by the FINAL watermark
+    final_wm = ev.agg(F.max("ts")).collect()[0][0]
+    expected = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(
+            F.col("win.end") <= F.lit(final_wm) - F.expr("INTERVAL 1 MINUTE")
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
