@@ -503,3 +503,37 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "stats_regression_median",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(median(l_quantity), 6) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def stats_regression_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard linear-regression aggregates (slope / intercept /
+    R²) plus exact interpolated median, per group. The regr_* family
+    is algebraic (merges via sum partials — one shuffle of one partial
+    row per group per partition); median is the one genuinely
+    holistic aggregate here, handled by Spark's sort-based percentile
+    within each (small) group. Rounded to absorb formula-order drift.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
