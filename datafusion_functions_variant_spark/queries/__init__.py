@@ -132,9 +132,48 @@ _DRIVER_PRIORITY = [
 ]
 
 
+def _driver_verified_names() -> set[str]:
+    """Names already driver-verified in ANY past round's
+    CORRECTNESS_r*.json: hash-green, or rows-only-checked for queries
+    that (still) have no oracle — if a formerly rows-only query gained
+    an oracle since, it stays front for a real hash check. The driver
+    only checks the first 50 registry entries per round, so
+    auto-rotating verified names to the back makes the window sweep
+    every query over successive rounds without manual reordering.
+    Failed or missing rows stay front so they are retried."""
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                results = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(results, dict):
+            continue
+        for name, row in results.items():
+            if not isinstance(row, dict):
+                continue
+            spec = REGISTRY.get(name)
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and spec is not None
+                and spec.oracle is None
+            ):
+                verified.add(name)
+    return verified
+
+
 def load_all_queries() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registry fill), then
-    order the registry: _DRIVER_PRIORITY first, module order after."""
+    order the registry: never-driver-verified queries first (within
+    that, _DRIVER_PRIORITY order, then module order), already-verified
+    ones behind them."""
     from . import variant_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import tpch_extra  # noqa: F401
@@ -149,14 +188,16 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import llmdata  # noqa: F401
     from . import analysis  # noqa: F401
 
+    verified = _driver_verified_names()
+
     def rank(name: str) -> int:
         for i, pat in enumerate(_DRIVER_PRIORITY):
             if name == pat or (pat.endswith("_") and name.startswith(pat)):
                 return i
         return len(_DRIVER_PRIORITY)
 
-    ordered = sorted(REGISTRY, key=lambda n: (rank(n),))
-    # stable sort: un-prioritized names keep their module insertion order
+    ordered = sorted(REGISTRY, key=lambda n: (n in verified, rank(n)))
+    # stable sort: ties keep their module insertion order
     reordered = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()
     REGISTRY.update(reordered)

@@ -341,3 +341,23 @@ def test_quantize_int8_codes_and_zero_vector(spark):
     assert rows[1].qvec == [64, -127, 32]  # scale = 2/127
     assert abs(rows[1].qscale - 2.0 / 127.0) < 1e-15
     assert rows[2].qvec == [0, 0, 0] and rows[2].qscale == 1.0
+
+
+def test_registry_rotation_prioritizes_unverified():
+    """The driver checks only the first 50 registry entries; the
+    registry must order every never-driver-verified query before every
+    already-verified one so the window sweeps the whole registry over
+    successive rounds."""
+    from datafusion_functions_variant_spark.queries import (
+        _driver_verified_names,
+        load_all_queries,
+    )
+
+    names = list(load_all_queries())
+    verified = _driver_verified_names()
+    seen_verified = False
+    for n in names:
+        if n in verified:
+            seen_verified = True
+        else:
+            assert not seen_verified, f"unverified {n} ordered after a verified query"
