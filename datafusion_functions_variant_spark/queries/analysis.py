@@ -537,3 +537,36 @@ def stats_regression_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "nested_array_agg",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           to_json(list_sort(list(CAST(l_quantity AS BIGINT)))) AS quantities
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def nested_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested (array-valued) aggregation: each order's line quantities
+    collected into a SORTED array, emitted as canonical JSON so both
+    engines compare byte-identically — collect_list alone is
+    partition-order-dependent; sort_array makes it deterministic. The
+    denormalize-into-arrays step every document/feature store needs;
+    group state is bounded by lines-per-order, not corpus size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 500 == 0)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.to_json(
+                F.sort_array(F.collect_list(F.col("l_quantity").cast("bigint")))
+            ).alias("quantities"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -226,3 +226,43 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag")
     )
+
+
+@query(
+    "python_datasource_sink",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4 connector API),
+    completing the connector story next to the custom reader: a JSONL
+    sink with staged-commit (write to _staging, rename on driver
+    commit) exactly-once semantics. Orders subset → custom sink →
+    read-back → aggregate, checked against the orders oracle."""
+    import os
+
+    from ..sources import pysource
+
+    pysource.register_sink(spark)
+    path = os.path.join(_IO_DIR, "orders_jsonl_sink")
+    os.makedirs(path, exist_ok=True)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format("jsonl_sink")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    back = spark.read.json(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderstatus")
+    )

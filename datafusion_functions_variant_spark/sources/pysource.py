@@ -16,8 +16,10 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -110,3 +112,69 @@ class SyntheticEventsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, staged: str):
+        self.staged = staged
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Per-task JSONL writer with staged-commit (write-rename) exactly-
+    once semantics: each task writes to ``_staging/<uuid>.jsonl``; only
+    the driver-side commit renames the staged files into the target
+    directory, so a failed/retried task leaves no partial output
+    visible. The same protocol every production sink uses."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+        return _JsonlCommit(staged)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        if self.overwrite:
+            for entry in os.listdir(self.path):
+                if entry.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, entry))
+        for m in messages:
+            final = os.path.join(self.path, os.path.basename(m.staged))
+            shutil.move(m.staged, final)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class JsonlSinkDataSource(DataSource):
+    """Custom Python DataSource WRITER (Spark 4 connector API) — the
+    write-side counterpart of SyntheticEventsDataSource's reader."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
