@@ -204,3 +204,31 @@ def test_checkpoint_restart_stateful_window_counts(spark, tmp_path):
         .select(F.col("win.start").alias("window_start"), "event_type", "n")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_rocksdb_state_store_tumbling_counts(spark):
+    """The scale-grade state backend: run a watermarked tumbling
+    aggregation with the RocksDB state store provider (bounded
+    executor memory at 100 TB state, unlike the default in-memory
+    HDFS-backed store) and check it produces the same result as the
+    default provider."""
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_variant_spark.streaming import core
+
+    def run():
+        st = core.read_events_stream(spark, SF_DIR)
+        agg = core.tumbling_counts(st)
+        return sorted(map(tuple, core.run_to_batch(agg, "append").collect()))
+
+    baseline = run()
+    assert len(baseline) > 0
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        assert run() == baseline
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
