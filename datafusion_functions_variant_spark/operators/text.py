@@ -32,19 +32,23 @@ def words(col) -> F.Column:
 def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features: lengths, word stats, character-
     class ratios, stopword ratio. The classic cheap quality filters
-    (C4/Gopher-style) as one projection."""
+    (C4/Gopher-style) as one projection. Ratios are NULL for empty
+    documents (nullif'd denominators — ANSI mode would otherwise raise
+    DIVIDE_BY_ZERO; SQL twins divide by NULLIF the same way)."""
     w = words(text_col)
     n_words = F.size(w)
     n_chars = F.length(text_col)
     alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
     stop_hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    nz_words = F.nullif(n_words.cast("double"), F.lit(0.0))
+    nz_chars = F.nullif(n_chars.cast("double"), F.lit(0.0))
     return df.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars_calc"),
         n_words.cast("long").alias("n_words"),
-        (n_chars.cast("double") / n_words).alias("chars_per_word"),
-        (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
-        (stop_hits.cast("double") / n_words).alias("stopword_ratio"),
+        (n_chars.cast("double") / nz_words).alias("chars_per_word"),
+        (alpha_chars.cast("double") / nz_chars).alias("alpha_ratio"),
+        (stop_hits.cast("double") / nz_words).alias("stopword_ratio"),
         (n_words >= 20).alias("passes_min_len"),
     )
 

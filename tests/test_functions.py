@@ -361,3 +361,30 @@ def test_registry_rotation_prioritizes_unverified():
             seen_verified = True
         else:
             assert not seen_verified, f"unverified {n} ordered after a verified query"
+
+
+def test_observe_quality_metrics(spark):
+    """observe() metrics ride the same job as the action (no second
+    read): the quality bundle reports counts and the assertion helper
+    raises on violated bounds."""
+    import pytest as _pytest
+
+    from datafusion_functions_variant_spark.plans.observe import (
+        assert_observed,
+        observe_quality,
+    )
+    from datafusion_functions_variant_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    observed, obs = observe_quality(o, key_col="o_custkey")
+    n = observed.count()
+    got = assert_observed(obs, n_rows=(1, None), n_null_keys=(0, 0))
+    assert got["n_rows"] == n
+    assert got["approx_distinct_keys"] > 0
+
+    observed2, obs2 = observe_quality(o, key_col="o_custkey")
+    observed2.count()
+    with _pytest.raises(ValueError, match="n_rows"):
+        assert_observed(obs2, n_rows=(n + 1, None))

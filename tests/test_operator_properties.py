@@ -137,3 +137,36 @@ def test_asof_forward_matches_brute_force(spark):
         else:
             expected.add((lid, None))
     assert got == expected
+
+
+def test_token_and_quality_stats_match_python_reference(spark):
+    """Property: token counts and quality ratios computed by the JVM
+    expression pipeline equal a plain-Python reference on randomized
+    inputs (whitespace runs, empty strings, unicode)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_functions_variant_spark.operators import text
+
+    alphabet = st.sampled_from(list("abc xyz  the of\tqu3 "))
+    doc = st.text(alphabet=alphabet, min_size=0, max_size=60)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r
+            for r in text.quality_stats(df, "text", "doc_id").collect()
+        }
+        for i, d in enumerate(docs):
+            words = [w for w in d.split(" ") if w]
+            assert got[i].n_words == len(words)
+            assert got[i].n_chars_calc == len(d)
+            if words:
+                stops = sum(1 for w in words if w in text.STOPWORDS)
+                assert abs(got[i].stopword_ratio - stops / len(words)) < 1e-9
+
+    check()
