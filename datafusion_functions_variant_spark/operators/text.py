@@ -154,10 +154,14 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_words = F.size(w).cast("long")
     # total in-word chars = non-space chars (words() drops empties)
     n_word_chars = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
-    mean_word_len = n_word_chars.cast("double") / n_words
+    # nullif'd denominators: empty documents yield NULL ratios (and a
+    # false keep flag via ok_words) instead of ANSI DIVIDE_BY_ZERO
+    mean_word_len = n_word_chars.cast("double") / F.nullif(
+        n_words.cast("double"), F.lit(0.0)
+    )
     alpha_ratio = (
         F.length(F.regexp_replace(F.col(text_col), "[^a-z]", "")).cast("double")
-        / F.length(text_col)
+        / F.nullif(F.length(text_col).cast("double"), F.lit(0.0))
     )
     ok_words = (n_words >= 20) & (n_words <= 100000)
     ok_mwl = (mean_word_len >= 3.0) & (mean_word_len <= 12.0)

@@ -51,3 +51,21 @@ def test_text_ops_empty(spark):
     assert text.quality_stats(docs, "text", "doc_id").count() == 0
     assert text.lang_id(docs, "text", "doc_id").count() == 0
     assert text.token_counts(docs, "text", "doc_id").count() == 0
+
+
+def test_text_ops_empty_string_docs(spark):
+    """Empty / whitespace-only DOCUMENTS (not just zero rows) must not
+    raise under ANSI mode: ratios surface NULL, keep flags false."""
+    from datafusion_functions_variant_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "   ")], "doc_id long, text string"
+    )
+    q = {r.doc_id: r for r in t.quality_stats(df, "text", "doc_id").collect()}
+    assert q[1].stopword_ratio is None and q[1].n_words == 0
+    g = {r.doc_id: r for r in t.gopher_rules(df, "text", "doc_id").collect()}
+    assert g[1].mean_word_len is None and g[1].keep is False
+    assert g[3].keep is False
+    assert t.lang_id(df, "text", "doc_id").count() == 3
+    assert t.token_counts(df, "text", "doc_id").count() == 3
+    assert t.repetition_stats(df, "text", "doc_id").count() == 3
