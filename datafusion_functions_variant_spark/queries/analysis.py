@@ -478,9 +478,9 @@ def variant_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
-           ROUND((e.value - s.mu) / s.sigma, 6) AS z
+           ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 6) AS z
     FROM events e JOIN stats s ON e.event_type = s.event_type
-    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    WHERE abs((e.value - s.mu) / NULLIF(s.sigma, 0)) > 3
     ORDER BY e.event_id
     """,
 )
@@ -496,7 +496,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # nullif: a constant-valued group has sigma 0 — no outliers, not a
+    # DIVIDE_BY_ZERO (Spark ANSI) or +inf z-score (DuckDB)
+    z = (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .where(F.abs(z) > 3)
