@@ -572,3 +572,47 @@ def nested_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@query(
+    "approx_quantile_bounds",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM lineitem
+    """,
+)
+def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile with a hash-checkable guarantee, in the
+    same style as the ANN recall summaries: percentile_approx (GK
+    sketch, accuracy 1/eps = 1000 → rank error ≤ 0.1%) must land
+    between the EXACT quantiles at q ∓ 2·eps. The plan computes sketch
+    and exact quantiles in ONE aggregate pass; the driver hash-checks
+    the (n_rows, ok, ok) summary. At 100 TB only the sketch path
+    survives (exact percentile is the oracle-side luxury); the GK
+    sketch merges associatively across partitions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    eps = 0.001
+    agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.percentile_approx("l_extendedprice", 0.5, int(1 / eps)).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.9, int(1 / eps)).alias("a90"),
+        F.expr(
+            f"percentile(l_extendedprice, {0.5 - 2 * eps})"
+        ).alias("lo50"),
+        F.expr(
+            f"percentile(l_extendedprice, {0.5 + 2 * eps})"
+        ).alias("hi50"),
+        F.expr(
+            f"percentile(l_extendedprice, {0.9 - 2 * eps})"
+        ).alias("lo90"),
+        F.expr(
+            f"percentile(l_extendedprice, {0.9 + 2 * eps})"
+        ).alias("hi90"),
+    )
+    return agg.select(
+        "n_rows",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias("p50_ok"),
+        ((F.col("a90") >= F.col("lo90")) & (F.col("a90") <= F.col("hi90"))).alias("p90_ok"),
+    )
