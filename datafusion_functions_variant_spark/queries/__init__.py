@@ -83,16 +83,13 @@ def isum_sql(expr: str, alias: str) -> str:
 
 
 #: Registry (= driver verification) order. The driver oracle-checks
-#: the FIRST 50 entries per round, so the 50 highest-priority
-#: not-yet-driver-green queries are pinned here explicitly: the
-#: flagship variant set, all 22 TPC-H shapes, the batch window set,
-#: every streaming query without a green row, the approximate queries
-#: (upgraded to hash-checked recall/error bounds), and one
-#: representative each for the categories with zero driver rows
-#: (top-k, set ops, scalar functions). Queries NOT listed keep module
-#: order behind these — already-green rounds-1/2 entries plus a dozen
-#: locally-parity-tested leftovers that rotate into the next round's
-#: window.
+#: the FIRST 50 entries per round. Ordering is two-level: queries
+#: already verified in a past round (CORRECTNESS_r*.json, see
+#: _driver_verified_names) rotate to the back automatically; among the
+#: never-verified remainder, the names below come first (the flagship
+#: variant set, all 22 TPC-H shapes, the window/streaming/approximate
+#: sets), then module insertion order. So each round's 50-slot window
+#: sweeps further through the registry with no manual reordering.
 _DRIVER_PRIORITY = [
     # reference flagship: JSON → variant → typed extraction, both tracks
     "variant_events_agg",
