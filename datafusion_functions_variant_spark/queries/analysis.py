@@ -616,3 +616,64 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias("p50_ok"),
         ((F.col("a90") >= F.col("lo90")) & (F.col("a90") <= F.col("hi90"))).alias("p90_ok"),
     )
+
+
+@query(
+    "top_ngrams_per_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT lang, w[t.i::INT] || ' ' || w[(t.i + 1)::INT] AS gram
+      FROM toks, range(1, 5001) t(i)
+      WHERE t.i <= len(w) - 1
+    ),
+    counts AS (
+      SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY lang, gram
+    ),
+    ranked AS (
+      SELECT lang, gram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rnk
+      FROM counts
+    )
+    SELECT lang, gram, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY lang, rnk
+    """,
+)
+def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 word bigrams per language — corpus vocabulary analytics.
+    Bigrams are built IN-ROW (zip of the word array with its tail, one
+    Generate — no token-level self-join), counted with a map-side-
+    combined groupBy, then cut per language by a rank window that
+    Catalyst executes as WindowGroupLimit (per-partition top-k before
+    the final shuffle, so the window never sees the full vocabulary).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "gram")
+    )
+    return (
+        counts.withColumn("rnk", rnk.cast("long"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("lang", "rnk")
+    )
