@@ -9,11 +9,16 @@ Scale design (100 TB of documents):
 
 * **Exact dedup** = hash → groupBy → min-keeper. One shuffle on the
   hash; partial aggregation collapses duplicates map-side first.
-* **MinHash-LSH** = shingle explode → 1 groupBy for signatures →
-  band explode → self-join on (band, value). The self-join shuffles
-  on the band value whose cardinality ≈ #docs — no O(n²) pair blowup;
-  only colliding buckets produce pairs. Skewed buckets (giant
-  boilerplate clusters) are handled by AQE skew-join splitting.
+* **MinHash-LSH** = in-row gram hashing → 1 groupBy for signatures →
+  band explode → bucket groupBy on (band, value). Only colliding
+  buckets produce pairs, and per-bucket pair expansion is CAPPED:
+  buckets larger than ``max_bucket`` emit star pairs to the min-id
+  keeper (O(n), same connected component) instead of all-pairs
+  (O(n²)) — a million-document boilerplate cluster stays one bounded
+  task instead of 10¹² pairs. (AQE skew-join splitting does NOT help
+  here: it splits skewed join partitions, not a skewed groupBy whose
+  aggregate is collect_set.) ``lsh_bucket_stats`` surfaces the
+  overflow count as a count-only pre-flight audit.
 * **Verification** re-computes exact Jaccard ONLY for candidate
   pairs — a join of the (small) candidate set back to the shingle
   table, never all-pairs.
@@ -156,21 +161,10 @@ def minhash_signatures_text(
     return pre.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 2
-) -> DataFrame:
-    """Band the signature (r = H/bands rows per band), bucket by band
-    value, and generate pairs WITHIN each bucket.
-
-    Returns (doc_a, doc_b, n_shared_bands) with doc_a < doc_b. The
-    bucket-groupBy formulation computes the (expensive) signature
-    pipeline ONCE — a band-value self-join would re-evaluate the whole
-    shingle→minhash lineage for each join side (2× the dominant cost;
-    measured 2× wall-clock at sf0.1). Collision probability for
-    Jaccard j is 1-(1-j^r)^b — with H=8, b=2, r=4: j=0.98 → 0.996
-    recall, j=0.03 → ~2e-6 false-candidate rate; bucket lists stay
-    tiny, so per-bucket pair expansion is O(dupes²), not O(corpus²).
-    """
+def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_id, band_hash) — one row per (doc, band). The band
+    hash concatenates the band's r minhash values; its cardinality is
+    ≈ #docs, so the downstream bucket groupBy shuffles uniformly."""
     r = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -178,25 +172,96 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat(*parts)).alias("band_hash"))
         )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bnd")
     ).select(id_col, "bnd.band_id", "bnd.band_hash")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Band the signature (r = H/bands rows per band), bucket by band
+    value, and generate pairs WITHIN each bucket — with the expansion
+    CAPPED at ``max_bucket`` members per bucket.
+
+    Returns (doc_a, doc_b, n_shared_bands) with doc_a < doc_b. The
+    bucket-groupBy formulation computes the (expensive) signature
+    pipeline ONCE — a band-value self-join would re-evaluate the whole
+    shingle→minhash lineage for each join side (2× the dominant cost;
+    measured 2× wall-clock at sf0.1). Collision probability for
+    Jaccard j is 1-(1-j^r)^b — with H=8, b=2, r=4: j=0.98 → 0.996
+    recall, j=0.03 → ~2e-6 false-candidate rate.
+
+    Overflow routing: a bucket with more than ``max_bucket`` members
+    means a near-identical boilerplate cluster (a band collision at
+    that multiplicity is astronomically unlikely for genuinely
+    distinct docs). All-pairs there would be O(n²) inside ONE task —
+    the 100 TB scale killer. Instead those buckets emit star pairs
+    (min-id keeper, member): O(n), same connected component under the
+    downstream clustering, and the keeper choice matches
+    ``exact_dedup_groups``'s min-id convention. The CASE lives inside
+    one projection, so the plan stays a single aggregate + expansion
+    pass (no second lineage evaluation). Use ``lsh_bucket_stats`` to
+    audit overflow counts without collecting ids at all.
+    """
+    banded = _banded(sigs, id_col, num_hashes, bands)
     buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    all_pairs = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    star_pairs = (
+        "transform(slice(ids, 2, size(ids) - 1),"
+        " y -> struct(element_at(ids, 1) AS doc_a, y AS doc_b))"
+    )
     pairs = buckets.select(
         F.explode(
             F.expr(
-                "flatten(transform(ids, (x, i) ->"
-                " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                " y -> struct(x AS doc_a, y AS doc_b))))"
+                f"CASE WHEN size(ids) <= {int(max_bucket)} THEN {all_pairs}"
+                f" ELSE {star_pairs} END"
             )
         ).alias("p")
     )
     return pairs.groupBy("p.doc_a", "p.doc_b").agg(
         F.count(F.lit(1)).alias("n_shared_bands")
+    )
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """One-row audit of the LSH bucket-size distribution: (n_buckets,
+    n_colliding_buckets, n_overflow_buckets, max_bucket_size).
+
+    Count-only aggregate — fully map-side combinable, never collects
+    an id list — so it is safe to run as a pre-flight check on the
+    full 100 TB corpus before the pair expansion, and it surfaces how
+    many buckets ``lsh_candidate_pairs`` will route to the star-pair
+    overflow path.
+    """
+    counts = (
+        _banded(sigs, id_col, num_hashes, bands)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_colliding_buckets"),
+        F.sum((F.col("n") > max_bucket).cast("long")).alias("n_overflow_buckets"),
+        F.max("n").alias("max_bucket_size"),
     )
 
 
@@ -272,7 +337,9 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def simhash_near_pairs(sigs: DataFrame, id_col: str, max_hamming: int = 10) -> DataFrame:
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 10, max_bucket: int = 256
+) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming (doc_a < doc_b).
 
     Chunk blocking with a pigeonhole guarantee: the 60-bit signature
@@ -283,6 +350,11 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str, max_hamming: int = 10) -> D
     generation happens inside each bucket (groupBy + list expansion,
     one pipeline pass — see lsh_candidate_pairs); the exact Hamming
     filter then runs on candidates alone.
+
+    Buckets larger than ``max_bucket`` (boilerplate clusters) route to
+    star pairs against the bucket's min-id member instead of all-pairs
+    — same O(n)-not-O(n²) overflow guard as ``lsh_candidate_pairs``;
+    members still pass the exact Hamming check against that keeper.
     """
     n_chunks = max_hamming + 1
     # even bit split (no empty chunk may exist, or it buckets everything)
@@ -311,13 +383,22 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str, max_hamming: int = 10) -> D
         )
         .where(F.size("members") > 1)
     )
+    all_pairs = (
+        "flatten(transform(members, (x, i) ->"
+        " transform(slice(members, i + 2, size(members) - i - 1),"
+        " y -> struct(x.id AS doc_a, y.id AS doc_b,"
+        " x.simhash AS sig_a, y.simhash AS sig_b))))"
+    )
+    star_pairs = (
+        "transform(slice(members, 2, size(members) - 1),"
+        " y -> struct(element_at(members, 1).id AS doc_a, y.id AS doc_b,"
+        " element_at(members, 1).simhash AS sig_a, y.simhash AS sig_b))"
+    )
     pairs = buckets.select(
         F.explode(
             F.expr(
-                "flatten(transform(members, (x, i) ->"
-                " transform(slice(members, i + 2, size(members) - i - 1),"
-                " y -> struct(x.id AS doc_a, y.id AS doc_b,"
-                " x.simhash AS sig_a, y.simhash AS sig_b))))"
+                f"CASE WHEN size(members) <= {int(max_bucket)} THEN {all_pairs}"
+                f" ELSE {star_pairs} END"
             )
         ).alias("p")
     ).select("p.*").distinct()  # a pair may collide in several chunks

@@ -27,7 +27,7 @@ grams AS (
   WHERE t.i <= len(text) - 7
 )"""
 
-_SIGS_CTE = (
+_BANDS_CTE = (
     _GRAMS_CTE
     + """,
 sigs AS (
@@ -45,7 +45,12 @@ bands AS (
   SELECT doc_id, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS band_hash FROM sigs
   UNION ALL
   SELECT doc_id, 1 AS band_id, md5(mh4 || mh5 || mh6 || mh7) AS band_hash FROM sigs
-),
+)"""
+)
+
+_SIGS_CTE = (
+    _BANDS_CTE
+    + """,
 candidates AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
   FROM bands a
@@ -91,6 +96,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@query(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH {_BANDS_CTE},
+    counts AS (
+      SELECT band_id, band_hash, COUNT(*) AS n FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_colliding_buckets,
+           CAST(SUM(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_size
+    FROM counts
+    """,
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight audit of the LSH bucket-size distribution: how many
+    band buckets exist, how many collide, how many exceed the pair-
+    expansion cap (routed to the star-pair overflow path), and the
+    largest bucket. Count-only aggregate — no id collection — so it is
+    the query you run on the full corpus BEFORE the expansion."""
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=8)
+    return dedup.lsh_bucket_stats(sigs, "doc_id", num_hashes=8, bands=2, max_bucket=256)
 
 
 @query(

@@ -170,3 +170,77 @@ def test_token_and_quality_stats_match_python_reference(spark):
                 assert abs(got[i].stopword_ratio - stops / len(words)) < 1e-9
 
     check()
+
+
+def test_lsh_overflow_bucket_emits_star_pairs_not_all_pairs(spark):
+    """A 10k-identical-doc boilerplate cluster lands in ONE band bucket
+    per band. Without the cap that is ~50M pairs expanded in one task
+    (the 100 TB OOM corner); with it, each overflow bucket emits n-1
+    star pairs against the min-id keeper — bounded output, same
+    connected component."""
+    from datafusion_functions_variant_spark.operators import dedup
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate license header text").alias("text"),
+    )
+    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id")
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=8, bands=2, max_bucket=256
+    )
+    rows = pairs.collect()
+    # star expansion: one pair per non-keeper doc, seen in both bands
+    assert len(rows) == n - 1
+    assert all(r.doc_a == 0 and r.n_shared_bands == 2 for r in rows)
+    assert {r.doc_b for r in rows} == set(range(1, n))
+
+    stats = dedup.lsh_bucket_stats(
+        sigs, "doc_id", num_hashes=8, bands=2, max_bucket=256
+    ).collect()[0]
+    assert stats.n_buckets == 2  # one bucket per band
+    assert stats.n_overflow_buckets == 2
+    assert stats.max_bucket_size == n
+
+
+def test_lsh_small_buckets_unaffected_by_cap(spark):
+    """Pairs from buckets at or under the cap are identical with and
+    without the overflow guard (the cap only reroutes oversized
+    buckets)."""
+    from datafusion_functions_variant_spark.operators import dedup
+
+    rng = random.Random(42)
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    rows = []
+    for i in range(40):
+        # 10 clusters of 4 near-identical docs
+        text = base + str(i // 4) * 3
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id")
+    capped = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=8, bands=2, max_bucket=256
+    )
+    uncapped = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=8, bands=2, max_bucket=10**9
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+
+
+def test_simhash_overflow_bucket_emits_star_pairs(spark):
+    """Same overflow guard for the SimHash chunk buckets: identical
+    docs share all chunks; star pairs (keeper=min id) at Hamming 0."""
+    from datafusion_functions_variant_spark.operators import dedup
+
+    n = 2_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical words repeated across every document").alias("text"),
+    )
+    sigs = dedup.simhash_signatures(docs, "text", "doc_id")
+    pairs = dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=4, max_bucket=64)
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r.doc_a == 0 and r.hamming == 0 for r in rows)
