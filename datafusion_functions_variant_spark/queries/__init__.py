@@ -129,22 +129,83 @@ _DRIVER_PRIORITY = [
 ]
 
 
-def _driver_verified_names() -> set[str]:
-    """Names already driver-verified in ANY past round's
-    CORRECTNESS_r*.json: hash-green, or rows-only-checked for queries
-    that (still) have no oracle — if a formerly rows-only query gained
-    an oracle since, it stays front for a real hash check. The driver
-    only checks the first 50 registry entries per round, so
-    auto-rotating verified names to the back makes the window sweep
-    every query over successive rounds without manual reordering.
-    Failed or missing rows stay front so they are retried."""
-    import glob
+#: Driver verification window size and the per-round re-verify sample
+#: (already-verified queries deterministically re-fronted to catch
+#: changes in shared dependencies — operators/, sources/ — that the
+#: per-query spec hash cannot see).
+_WINDOW = 50
+_REVERIFY_SAMPLE = 3
+_SPEC_LEDGER = "QUERY_SPECS.json"
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def spec_hash(spec: QuerySpec) -> str:
+    """Fingerprint of a query's builder source + oracle SQL. Changing
+    either re-fronts the query for driver re-verification. Limitation:
+    changes in modules the builder CALLS (operators/*.py) don't move
+    this hash — the rotating re-verify sample and the local oracle-
+    parity suite cover that gap."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.build)
+    except OSError:  # source unavailable (REPL-defined) — name only
+        src = spec.build.__qualname__
+    return hashlib.md5(
+        (src + "\x00" + (spec.oracle or "")).encode()
+    ).hexdigest()
+
+
+def _load_spec_ledger() -> dict:
+    """QUERY_SPECS.json: {name: {"hash": spec_hash, "round": N}} —
+    the spec fingerprint each query had when it last sat in the
+    driver's verification window (round N). A green CORRECTNESS row
+    only counts as verification of the CURRENT code if the current
+    hash matches the ledger AND the green row is from round >= N."""
     import json
     import os
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    verified: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+    path = os.path.join(_repo_root(), _SPEC_LEDGER)
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except Exception:
+        return {}
+
+
+def _current_round() -> int:
+    """Round currently being built = #existing CORRECTNESS files + 1
+    (the driver writes CORRECTNESS_r{N}.json at the END of round N)."""
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))) + 1
+
+
+def _driver_green_rounds() -> dict[str, int]:
+    """name → latest round with a green driver row (hash-green, or
+    rows-only-checked for queries that still have no oracle — if a
+    formerly rows-only query gained an oracle since, it stays front
+    for a real hash check). Failed or missing rows don't count, so
+    those queries stay front and are retried."""
+    import glob
+    import json
+    import os
+    import re
+
+    green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 results = json.load(f)
@@ -162,8 +223,49 @@ def _driver_verified_names() -> set[str]:
                 and spec is not None
                 and spec.oracle is None
             ):
-                verified.add(name)
+                green[name] = max(green.get(name, 0), rnd)
+    return green
+
+
+def _driver_verified_names() -> set[str]:
+    """Names whose driver verification is still CURRENT: a green
+    CORRECTNESS row exists, the query's spec hash hasn't changed since
+    the round that row verified (per the QUERY_SPECS.json ledger), and
+    the green row is not older than the ledger entry. Pre-ledger
+    greens (no ledger entry) are grandfathered — the local oracle-
+    parity suite covers them. The driver only checks the first
+    ``_WINDOW`` registry entries per round, so rotating verified names
+    to the back makes the window sweep every query over successive
+    rounds; invalidating on spec change makes edited queries sweep
+    AGAIN."""
+    green = _driver_green_rounds()
+    ledger = _load_spec_ledger()
+    verified: set[str] = set()
+    for name, rnd in green.items():
+        entry = ledger.get(name)
+        if entry is None:
+            verified.add(name)  # pre-ledger verification, grandfathered
+            continue
+        spec = REGISTRY.get(name)
+        if (
+            spec is not None
+            and entry.get("hash") == spec_hash(spec)
+            and rnd >= int(entry.get("round", 0))
+        ):
+            verified.add(name)
     return verified
+
+
+def _reverify_sample(verified: set[str]) -> set[str]:
+    """Deterministic rotating sample of already-verified queries to
+    re-front each round: over successive rounds this cycles through
+    the whole verified set, re-checking queries whose shared
+    dependencies may have changed under an unchanged spec hash."""
+    if not verified:
+        return set()
+    names = sorted(verified)
+    start = (_current_round() * _REVERIFY_SAMPLE) % len(names)
+    return {names[(start + i) % len(names)] for i in range(min(_REVERIFY_SAMPLE, len(names)))}
 
 
 def load_all_queries() -> dict[str, QuerySpec]:
@@ -186,6 +288,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import analysis  # noqa: F401
 
     verified = _driver_verified_names()
+    verified -= _reverify_sample(verified)
 
     def rank(name: str) -> int:
         for i, pat in enumerate(_DRIVER_PRIORITY):
@@ -199,3 +302,32 @@ def load_all_queries() -> dict[str, QuerySpec]:
     REGISTRY.clear()
     REGISTRY.update(reordered)
     return REGISTRY
+
+
+def refresh_spec_ledger() -> dict:
+    """Update QUERY_SPECS.json for every query in the UPCOMING driver
+    window (the first ``_WINDOW`` registry entries): those are the
+    specs the driver will verify at end of round, so their ledger
+    entry becomes (current hash, current round). Entries outside the
+    window are left untouched — a changed-but-unswept query must keep
+    its old hash so it stays invalidated until actually re-verified.
+    Run via ``python -m datafusion_functions_variant_spark.queries``
+    before the end-of-round commit; ``tests/test_registry.py``
+    enforces freshness."""
+    import json
+    import os
+
+    reg = load_all_queries()
+    ledger = _load_spec_ledger()
+    ledger = {n: e for n, e in ledger.items() if n in reg}  # prune deleted
+    rnd = _current_round()
+    for name in list(reg)[:_WINDOW]:
+        h = spec_hash(reg[name])
+        entry = ledger.get(name)
+        if entry is None or entry.get("hash") != h:
+            ledger[name] = {"hash": h, "round": rnd}
+    path = os.path.join(_repo_root(), _SPEC_LEDGER)
+    with open(path, "w") as f:
+        json.dump(dict(sorted(ledger.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
+    return ledger

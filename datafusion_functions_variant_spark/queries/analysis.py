@@ -480,7 +480,10 @@ def variant_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type,
            ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 6) AS z
     FROM events e JOIN stats s ON e.event_type = s.event_type
-    WHERE abs((e.value - s.mu) / NULLIF(s.sigma, 0)) > 3
+    -- filter on the ROUNDED z: Spark and DuckDB use different
+    -- avg/stddev update orders, so an unrounded |z| within ulp drift
+    -- of the 3.0 boundary could be a row-set mismatch
+    WHERE abs(ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 6)) > 3
     ORDER BY e.event_id
     """,
 )
@@ -499,9 +502,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nullif: a constant-valued group has sigma 0 — no outliers, not a
     # DIVIDE_BY_ZERO (Spark ANSI) or +inf z-score (DuckDB)
     z = (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
+    # filter on the ROUNDED z (matching the emitted value) so boundary
+    # rows can't differ between engines' stddev formula orderings
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .where(F.abs(z) > 3)
+        .where(F.abs(F.round(z, 6)) > 3)
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
         .orderBy("event_id")
     )
@@ -626,9 +631,10 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     grams AS (
-      SELECT lang, w[t.i::INT] || ' ' || w[(t.i + 1)::INT] AS gram
-      FROM toks, range(1, 5001) t(i)
-      WHERE t.i <= len(w) - 1
+      -- scalar range(): bound derives from the data (no fixed cap
+      -- that silently drops grams in longer regenerated documents)
+      SELECT lang, w[i::INT] || ' ' || w[(i + 1)::INT] AS gram
+      FROM (SELECT lang, w, unnest(range(1, len(w))) AS i FROM toks)
     ),
     counts AS (
       SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -35,8 +35,8 @@ _IO_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     oracle="""
     WITH norms AS (
       SELECT vec_id, embedding,
-             sqrt(CAST(SUM(CAST(CAST(embedding[t.i::INT] AS DOUBLE)
-                                * CAST(embedding[t.i::INT] AS DOUBLE)
+             sqrt(CAST(SUM(CAST(CAST(e[i::INT] AS DOUBLE)
+                                * CAST(e[i::INT] AS DOUBLE)
                                 AS DECIMAL(30,15))) AS DOUBLE)) AS nrm,
              (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
             + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
@@ -44,21 +44,24 @@ _IO_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
             + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
             + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)::INT AS bucket
-      FROM embeddings, range(1, 257) t(i)
-      WHERE t.i <= len(embedding)
+      FROM (SELECT vec_id, embedding, embedding AS e,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
       GROUP BY vec_id, embedding
     ),
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(SUM(CAST(CAST(a.embedding[t.i::INT] AS DOUBLE)
-                           * CAST(b.embedding[t.i::INT] AS DOUBLE)
+      SELECT id_a, id_b,
+             CAST(SUM(CAST(CAST(ea[i::INT] AS DOUBLE)
+                           * CAST(eb[i::INT] AS DOUBLE)
                            AS DECIMAL(30,15))) AS DOUBLE)
-               / (a.nrm * b.nrm) AS cosine
-      FROM norms a
-      JOIN norms b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
-           range(1, 257) t(i)
-      WHERE t.i <= len(a.embedding)
-      GROUP BY a.vec_id, b.vec_id, a.nrm, b.nrm
+               / (nrm_a * nrm_b) AS cosine
+      FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.embedding AS ea, b.embedding AS eb,
+                   a.nrm AS nrm_a, b.nrm AS nrm_b,
+                   unnest(range(1, len(a.embedding) + 1)) AS i
+            FROM norms a
+            JOIN norms b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      GROUP BY id_a, id_b, nrm_a, nrm_b
     )
     -- ROUND(9): decimal->double cast rounding differs between engines
     -- in the last ulp; 9 digits is far above the 1e-16 noise floor

@@ -19,12 +19,14 @@ from ..operators import dedup, multimodal, similarity, text
 from ..sources.tables import load_table
 from . import query
 
-# Shared oracle CTE: distinct char-8-grams per document.
+# Shared oracle CTE: distinct char-8-grams per document. Scalar
+# range() + unnest: the bound derives from each row's text length (a
+# fixed cap would silently drop grams from longer regenerated docs).
 _GRAMS_CTE = """
 grams AS (
-  SELECT DISTINCT doc_id, substr(text, t.i::INT, 8) AS g
-  FROM documents, range(1, 5001) t(i)
-  WHERE t.i <= len(text) - 7
+  SELECT DISTINCT doc_id, substr(text, i::INT, 8) AS g
+  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+        FROM documents)
 )"""
 
 _BANDS_CTE = (
@@ -205,12 +207,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
     prods AS (
-      SELECT q.query_id, e.vec_id,
-             SUM(CAST(CAST(q.embedding[t.i::INT] AS DOUBLE)
-                      * CAST(e.embedding[t.i::INT] AS DOUBLE)
+      SELECT query_id, vec_id,
+             SUM(CAST(CAST(qe[i::INT] AS DOUBLE) * CAST(ee[i::INT] AS DOUBLE)
                       AS DECIMAL(30,15))) AS dot_dec
-      FROM embeddings e, q, range(1, 257) t(i)
-      WHERE t.i <= len(e.embedding)
+      FROM (SELECT q.query_id, e.vec_id, q.embedding AS qe,
+                   e.embedding AS ee,
+                   unnest(range(1, len(e.embedding) + 1)) AS i
+            FROM embeddings e, q)
       GROUP BY 1, 2
     )
     -- ROUND(9): engines round the decimal->double cast differently in
@@ -342,9 +345,9 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exact_kept AS (SELECT q.* FROM q JOIN ex ON q.doc_id = ex.keeper),
     grams AS (
-      SELECT DISTINCT doc_id, substr(text, t.i::INT, 8) AS g
-      FROM exact_kept, range(1, 5001) t(i)
-      WHERE t.i <= len(text) - 7
+      SELECT DISTINCT doc_id, substr(text, i::INT, 8) AS g
+      FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+            FROM exact_kept)
     ),
     sigs AS (
       SELECT doc_id,
@@ -830,9 +833,9 @@ def dataset_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     grams AS (
-      SELECT DISTINCT doc_id, lang, array_to_string(t[r.i:r.i+4], ' ') AS g
-      FROM toks, range(1, 5001) r(i)
-      WHERE r.i <= len(t) - 4
+      SELECT DISTINCT doc_id, lang, array_to_string(t[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) - 3)) AS i
+            FROM toks)
     ),
     bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
     SELECT g2.doc_id, g2.lang, COUNT(*) AS overlap_grams
@@ -865,9 +868,9 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     inst AS (
-      SELECT doc_id, n, array_to_string(t[r.i:r.i+n-1], ' ') AS g
-      FROM toks, (VALUES (2), (3)) nn(n), range(1, 5001) r(i)
-      WHERE r.i <= len(t) - n + 1
+      SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS g
+      FROM (SELECT doc_id, t, n, unnest(range(1, len(t) - n + 2)) AS i
+            FROM toks, (VALUES (2), (3)) nn(n))
     ),
     cnt AS (
       SELECT doc_id, n, g, COUNT(*) AS c, len(g) AS l
@@ -905,12 +908,13 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
     prods AS (
-      SELECT q.query_id, e.vec_id,
-             SUM(CAST(CAST(q.embedding[t.i::INT] AS DOUBLE)
-                      * CAST(e.embedding[t.i::INT] AS DOUBLE)
+      SELECT query_id, vec_id,
+             SUM(CAST(CAST(qe[i::INT] AS DOUBLE) * CAST(ee[i::INT] AS DOUBLE)
                       AS DECIMAL(30,15))) AS dot_dec
-      FROM embeddings e, q, range(1, 257) t(i)
-      WHERE t.i <= len(e.embedding)
+      FROM (SELECT q.query_id, e.vec_id, q.embedding AS qe,
+                   e.embedding AS ee,
+                   unnest(range(1, len(e.embedding) + 1)) AS i
+            FROM embeddings e, q)
       GROUP BY 1, 2
     )
     SELECT query_id, vec_id, ROUND(CAST(dot_dec AS DOUBLE), 9) AS dot

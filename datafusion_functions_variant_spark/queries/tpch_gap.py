@@ -124,16 +124,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum_sql('ps_supplycost', 'part_value', 4)}
     FROM scoped
     GROUP BY 1
-    HAVING SUM(CAST(ps_supplycost AS DECIMAL(18,4))) >
-           (SELECT SUM(CAST(ps_supplycost AS DECIMAL(18,4))) * 0.01
+    -- x1000 keeps the 0.1% threshold compare exact-decimal on both
+    -- engines (a double 0.001 multiplier would make boundary rows
+    -- engine-dependent)
+    HAVING SUM(CAST(ps_supplycost AS DECIMAL(18,4))) * 1000 >
+           (SELECT SUM(CAST(ps_supplycost AS DECIMAL(18,4)))
             FROM scoped)
     ORDER BY part_value DESC, p_partkey
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock): per-part catalog value for two
-    nations' suppliers, keeping parts worth > 1% of the total — a
+    nations' suppliers, keeping parts worth > 0.1% of the total — a
     grouped agg filtered against a SCALAR subquery over the same input.
+    (TPC-H specifies FRACTION = 0.0001/SF; 0.1% keeps the driver's
+    sf0.01 check non-empty — a 0-row hash match would exercise neither
+    the scalar-subquery compare nor the sort.)
     The scoped relation is computed once and reused for both the group
     agg and the global total (Spark caches nothing here, but both aggs
     are partial/map-side combinable, and the 1-row total joins in via
@@ -159,10 +165,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = scoped.groupBy(F.col("ps_partkey").alias("p_partkey")).agg(
         F.sum("v").alias("vsum")
     )
-    total = scoped.agg((F.sum("v") * F.lit(0.01)).alias("threshold"))
+    total = scoped.agg(F.sum("v").alias("total_value"))
     return (
         per_part.join(F.broadcast(total))
-        .where(F.col("vsum") > F.col("threshold"))
+        .where(F.col("vsum") * 1000 > F.col("total_value"))
         .select("p_partkey", F.col("vsum").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), "p_partkey")
     )

@@ -120,11 +120,18 @@ class _JsonlCommit(WriterCommitMessage):
 
 
 class _JsonlWriter(DataSourceWriter):
-    """Per-task JSONL writer with staged-commit (write-rename) exactly-
-    once semantics: each task writes to ``_staging/<uuid>.jsonl``; only
-    the driver-side commit renames the staged files into the target
+    """Per-task JSONL writer with staged-commit (write-rename)
+    semantics: each task writes to ``_staging/<uuid>.jsonl``; only the
+    driver-side commit renames the staged files into the target
     directory, so a failed/retried task leaves no partial output
-    visible. The same protocol every production sink uses."""
+    visible. Scope: the guarantee holds on a local or shared
+    filesystem (tasks and the committing driver must see the same
+    ``path``); on object stores you'd stage in the task and commit via
+    the store's multipart/rename primitive instead. Commit moves the
+    staged files in BEFORE deleting old files in overwrite mode, so a
+    crash mid-commit can leave a mixed directory but never an empty
+    one — still not atomic (that would need a directory swap), and
+    documented as such."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -149,13 +156,18 @@ class _JsonlWriter(DataSourceWriter):
         import os
         import shutil
 
+        staged_names = set()
+        for m in messages:
+            name = os.path.basename(m.staged)
+            staged_names.add(name)
+            shutil.move(m.staged, os.path.join(self.path, name))
+        # overwrite: delete old files AFTER the new ones are in place —
+        # a crash mid-commit leaves a mixed directory, never an empty
+        # or partial-only one (uuid names can't collide with old files)
         if self.overwrite:
             for entry in os.listdir(self.path):
-                if entry.endswith(".jsonl"):
+                if entry.endswith(".jsonl") and entry not in staged_names:
                     os.remove(os.path.join(self.path, entry))
-        for m in messages:
-            final = os.path.join(self.path, os.path.basename(m.staged))
-            shutil.move(m.staged, final)
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
     def abort(self, messages):

@@ -1,0 +1,79 @@
+"""Registry / rotation invariants: the driver verifies the FIRST
+``_WINDOW`` entries of ``queries()`` each round, so the ordering and
+the spec-hash ledger (QUERY_SPECS.json) are correctness
+infrastructure — a stale ledger silently rotates an EDITED query out
+of the window with only outdated verification evidence behind it.
+"""
+
+from __future__ import annotations
+
+from datafusion_functions_variant_spark import queries as Q
+
+
+def test_spec_ledger_fresh_for_upcoming_window():
+    """Every query in the upcoming driver window must have a ledger
+    entry matching its CURRENT spec hash. If this fails you edited a
+    window query's builder or oracle — run
+    ``python -m datafusion_functions_variant_spark.queries`` to
+    re-stamp the ledger before committing."""
+    reg = Q.load_all_queries()
+    ledger = Q._load_spec_ledger()
+    stale = [
+        name
+        for name in list(reg)[: Q._WINDOW]
+        if ledger.get(name, {}).get("hash") != Q.spec_hash(reg[name])
+    ]
+    assert not stale, (
+        f"stale QUERY_SPECS.json entries for window queries: {stale}; "
+        "run `python -m datafusion_functions_variant_spark.queries`"
+    )
+
+
+def test_edited_spec_invalidates_verification():
+    """A green CORRECTNESS row must stop counting as verification once
+    the query's spec hash diverges from the ledger entry."""
+    reg = Q.load_all_queries()
+    green = Q._driver_green_rounds()
+    ledger = Q._load_spec_ledger()
+    # pick any green query with a ledger entry
+    cands = [n for n in green if n in ledger and n in reg]
+    assert cands, "no ledgered green queries to exercise"
+    name = cands[0]
+    verified = Q._driver_verified_names()
+    entry = dict(ledger[name])
+    try:
+        ledger[name] = {"hash": "0" * 32, "round": entry.get("round", 0)}
+        # monkey-patch the loader to serve the tampered ledger
+        orig = Q._load_spec_ledger
+        Q._load_spec_ledger = lambda: ledger
+        assert name not in Q._driver_verified_names()
+    finally:
+        Q._load_spec_ledger = orig
+        ledger[name] = entry
+    # untampered state unchanged
+    assert (name in Q._driver_verified_names()) == (name in verified)
+
+
+def test_reverify_sample_rotates_and_is_deterministic():
+    verified = {f"q{i}" for i in range(20)}
+    s1 = Q._reverify_sample(verified)
+    s2 = Q._reverify_sample(verified)
+    assert s1 == s2 and len(s1) == Q._REVERIFY_SAMPLE
+    assert s1 <= verified
+    assert Q._reverify_sample(set()) == set()
+
+
+def test_unverified_queries_fill_window_first():
+    """Registry order: no verified query may sit in the window while
+    an unverified one waits behind it (the sweep invariant)."""
+    reg = Q.load_all_queries()
+    verified = Q._driver_verified_names() - Q._reverify_sample(
+        Q._driver_verified_names()
+    )
+    names = list(reg)
+    seen_verified = False
+    for n in names:
+        if n in verified:
+            seen_verified = True
+        elif seen_verified:
+            raise AssertionError(f"unverified query {n!r} behind verified ones")
