@@ -272,6 +272,27 @@ def write_decimal(buf: bytearray, unscaled: int, scale: int) -> None:
 
 
 def write_string(buf: bytearray, value: str) -> None:
+    """String writer with the spec's two encodings: UTF-8 payloads
+    under 64 bytes emit ShortString (basic type 1, length embedded in
+    header bits 2-7 — 1-byte header), longer ones the primitive Long
+    String (id 16, u32 LE length — 5-byte header). Matches Spark's
+    native encoder; the reference declares ShortString but only ever
+    writes the long form (values/mod.rs:16), so emitting the compact
+    form is spec-completeness beyond it. ``get_string`` reads both."""
+    raw = value.encode("utf-8")
+    if len(raw) < 64:
+        buf.append(BASIC_SHORT_STRING | (len(raw) << 2))
+        buf += raw
+    else:
+        buf.append(_prim_header(PRIM_STRING))
+        buf += struct.pack("<i", len(raw))
+        buf += raw
+
+
+def write_long_string(buf: bytearray, value: str) -> None:
+    """Always the primitive Long String encoding (id 16), regardless
+    of length — the reference's only string write shape; kept for
+    byte-parity tests and readers that predate ShortString."""
     raw = value.encode("utf-8")
     buf.append(_prim_header(PRIM_STRING))
     buf += struct.pack("<i", len(raw))
@@ -537,6 +558,11 @@ class Variant:
         return int.from_bytes(self.buf[2:18], "little", signed=True)
 
     def get_string(self) -> str:
+        """One logical string type, two encodings: accepts ShortString
+        (basic type 1) and the primitive Long String (id 16) — same
+        duality Spark's reader implements."""
+        if self.basic_type == BASIC_SHORT_STRING:
+            return self.get_short_string()
         self._expect(PRIM_STRING)
         n = struct.unpack_from("<i", self.buf, 1)[0]
         return self.buf[5 : 5 + n].decode("utf-8")

@@ -353,3 +353,54 @@ def test_decimal_plain_notation_rendering():
         c.to_json_str(bytes(buf), meta)
         == '{"x":0.00000001234567890123456789}'
     )
+
+
+def test_short_string_write_read_both_directions():
+    """ShortString (basic type 1) write path: UTF-8 < 64 bytes embeds
+    the length in header bits 2-7; 64+ falls back to Long String
+    (id 16). Reader accepts both via get_string; write_long_string
+    pins the reference's only write shape."""
+    for s in ["", "a", "x" * 63, "ünïcode ✓"]:
+        b = bytearray()
+        c.write_string(b, s)
+        v = c.Variant(bytes(b))
+        assert v.basic_type == c.BASIC_SHORT_STRING
+        assert len(b) == 1 + len(s.encode("utf-8"))  # 1-byte header
+        assert v.get_short_string() == s
+        assert v.get_string() == s  # polymorphic reader
+        assert v.type_name() == "string"
+    # boundary: 64 utf-8 bytes → long form
+    for s in ["x" * 64, "é" * 32]:  # 64 ascii / 64 utf-8 bytes
+        b = bytearray()
+        c.write_string(b, s)
+        v = c.Variant(bytes(b))
+        assert v.basic_type == c.BASIC_PRIMITIVE
+        assert v.primitive_type_id == c.PRIM_STRING
+        assert v.get_string() == s
+    # multi-byte char straddling the boundary: 63 bytes stays short
+    s = "x" * 61 + "é"  # 63 utf-8 bytes
+    b = bytearray()
+    c.write_string(b, s)
+    assert c.Variant(bytes(b)).basic_type == c.BASIC_SHORT_STRING
+    # explicit long form for a short payload still reads fine
+    b = bytearray()
+    c.write_long_string(b, "tiny")
+    v = c.Variant(bytes(b))
+    assert v.primitive_type_id == c.PRIM_STRING
+    assert v.get_string() == "tiny"
+
+
+def test_short_string_inside_containers_roundtrip():
+    meta_keys = {"name", "long"}
+    meta = c.build_metadata(meta_keys)
+    m = c.Metadata(meta)
+    ob = c.ObjectBuilder(m)
+    ob.append_string("name", "short value")
+    ob.append_string("long", "y" * 200)
+    obj = c.Variant(ob.finish()).get_object()
+    short_v = obj.get_field(m.find_string("name"))
+    long_v = obj.get_field(m.find_string("long"))
+    assert short_v.basic_type == c.BASIC_SHORT_STRING
+    assert long_v.primitive_type_id == c.PRIM_STRING
+    assert short_v.get_string() == "short value"
+    assert long_v.get_string() == "y" * 200
