@@ -223,7 +223,11 @@ def frame_sample_plan(
                 for fi in range(0, n_frames, every_n):
                     ids.append(aid)
                     idxs.append(fi)
-                    hashes.append(hashlib.md5(p + fi.to_bytes(4, "little")).hexdigest())
+                    # deterministic fake frame hash: payload ++ ":idx"
+                    # (text-safe suffix so a SQL oracle can reproduce it)
+                    hashes.append(
+                        hashlib.md5(p + b":" + str(fi).encode()).hexdigest()
+                    )
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_md5": hashes})
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(_sample, schema)

@@ -725,10 +725,26 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.featurize_binary(docs, "payload", "doc_id").orderBy("asset_id")
 
 
-@query("multimodal_frame_sample", oracle=None)  # mapInPandas fan-out: rows-only
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(doc_id AS BIGINT) AS asset_id, text,
+             unnest(range(0, greatest(1, octet_length(encode(text)) // 64), 3))
+               AS frame_idx
+      FROM documents
+    )
+    SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(text || ':' || frame_idx) AS frame_md5
+    FROM f
+    ORDER BY asset_id, frame_idx
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame-sampling plumbing: one row per sampled frame
-    index, deterministic fake frame hashes (decoder stubbed)."""
+    index, deterministic fake frame hashes (decoder stubbed — the
+    fake derives frame count and hash from the payload bytes alone, so
+    the oracle reproduces the full fan-out AND per-frame hashes)."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "payload", F.encode("text", "UTF-8")
     )

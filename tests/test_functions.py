@@ -209,9 +209,19 @@ def test_multimodal_decoder_registry_and_frame_extractor(spark):
 
     from datafusion_functions_variant_spark.operators import multimodal as mm
 
-    assert mm.get_decoder("image") is None  # no PIL in this container
-    with _pytest.raises(NotImplementedError):
-        mm.decode_image(b"anything")
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        assert mm.get_decoder("image") is not None  # autoregistered
+    else:
+        assert mm.get_decoder("image") is None
+        with _pytest.raises(NotImplementedError):
+            mm.decode_image(b"anything")
+    saved = mm._DECODERS.pop("image", None)
     probe = mm.MediaDecoder(
         name="probe",
         fields=mm.MEDIA_META_SCHEMA,  # unused by decode_image dispatch
@@ -222,6 +232,8 @@ def test_multimodal_decoder_registry_and_frame_extractor(spark):
         assert mm.decode_image(b"abc") == {"n": 3}
     finally:
         mm._DECODERS.pop("image", None)
+        if saved is not None:
+            mm._DECODERS["image"] = saved
 
     df = spark.createDataFrame([(7, b"0123456789")], ["asset_id", "payload"]).withColumn(
         "payload", F.col("payload").cast("binary")
@@ -391,3 +403,42 @@ def test_observe_quality_metrics(spark):
     observed2.count()
     with _pytest.raises(ValueError, match="n_rows"):
         assert_observed(obs2, n_rows=(n + 1, None))
+
+
+def test_multimodal_pil_decoder_end_to_end(spark):
+    """Availability-gated REAL decoder test (mirrors the
+    transformWithState gating pattern): if PIL imports, the
+    autoregistered image decoder must produce true width/height/mode
+    through featurize_binary on a genuine PNG — proving the
+    registered-decoder path end-to-end with a real codec. Skipped
+    where the container lacks PIL."""
+    import pytest as _pytest
+
+    try:
+        import PIL.Image
+    except ImportError:
+        _pytest.skip("PIL not available in this container")
+
+    import io
+
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_variant_spark.operators import multimodal as mm
+
+    # autoregistration ran at import; re-run in case a prior test
+    # popped the registry entry
+    if mm.get_decoder("image") is None:
+        mm._try_autoregister_pil()
+    dec = mm.get_decoder("image")
+    assert dec is not None and dec.name == "pil"
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    df = spark.createDataFrame([(1, png)], ["asset_id", "payload"]).withColumn(
+        "payload", F.col("payload").cast("binary")
+    )
+    row = mm.featurize_binary(df, "payload", "asset_id", decoder=dec).collect()[0]
+    assert row.mime == "image/png"
+    assert (row.width, row.height, row.mode) == (37, 21, "RGB")
