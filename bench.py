@@ -43,6 +43,7 @@ HEADLINE = [
     "asof_join_events_orders",
     "theta_join_late_shipments",
     "dedup_minhash_lsh",
+    "dedup_minhash_xxhash",
     "dedup_embedding_cosine",
     "similarity_dot_topk",
     "text_token_counts",

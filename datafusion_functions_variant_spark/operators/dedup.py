@@ -110,12 +110,12 @@ XOR_CONSTS = [(0x9E3779B97F4A7C15 * (h + 1)) & ((1 << 60) - 1) for h in range(64
 
 
 def minhash_signatures(
-    grams: DataFrame, id_col: str, num_hashes: int = 8
+    grams: DataFrame, id_col: str, num_hashes: int = 8, hash_fn: str = "md5"
 ) -> DataFrame:
-    """H min-hashes per doc: mh_h = MIN((md5_60(g)) XOR c_h).
+    """H min-hashes per doc: mh_h = MIN((hash_60(g)) XOR c_h).
 
-    One md5 per gram (the dominant cost — measured 3.5x faster than
-    one md5 per gram PER HASH), lifted into a 60-bit integer; the H
+    One hash per gram (the dominant cost — measured 3.5x faster than
+    one hash per gram PER HASH), lifted into a 60-bit integer; the H
     "permutations" are xor by fixed constants, which is a bijection on
     [0, 2^60) and keeps every minimum inside native-long HashAggregate.
     Xor-permutations are not min-wise independent (slightly biased
@@ -124,8 +124,7 @@ def minhash_signatures(
     Jaccard downstream. min() is duplicate-insensitive, so the gram
     feed needn't be distinct (Catalyst removes the distinct anyway).
     """
-    x = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
-    pre = grams.select(F.col(id_col), x.alias("_x"))
+    pre = grams.select(F.col(id_col), gram_hash(F.col("g"), hash_fn).alias("_x"))
     aggs = [
         F.min(F.expr(f"_x ^ {XOR_CONSTS[h]}")).alias(f"mh{h}")
         for h in range(num_hashes)
@@ -133,25 +132,48 @@ def minhash_signatures(
     return pre.groupBy(id_col).agg(*aggs)
 
 
+def gram_hash(g: F.Column, hash_fn: str = "md5") -> F.Column:
+    """Lift one gram to a 60-bit non-negative long.
+
+    ``md5`` (default): first 15 hex chars → integer — reproducible in
+    the DuckDB oracle, which is why it anchors every oracled query.
+    ``xxhash64``: Spark's native 64-bit hash masked to 60 bits — one
+    JVM intrinsic instead of digest + hex + string→int conversion; the
+    production fast path (benched as ``dedup_minhash_xxhash``), not
+    reproducible in SQL so its queries get rows-only driver checks.
+    Both land in [0, 2^60), so the xor-permutation constants and the
+    min-aggregation downstream are shared unchanged.
+    """
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    if hash_fn == "xxhash64":
+        return F.xxhash64(g).bitwiseAND(F.lit((1 << 60) - 1))
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
+
+
 def minhash_signatures_text(
-    df: DataFrame, text_col: str, id_col: str, n: int = 8, num_hashes: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Narrow-path minhash: signatures straight from the text column.
 
     Grams are generated AND hashed inside one array ``transform`` (one
-    md5 per gram occurrence, evaluated once per row), exploded, then
+    hash per gram occurrence, evaluated once per row), exploded, then
     min-aggregated. The only shuffle is the final groupBy(id), and its
     input is already partially aggregated map-side to H longs per doc —
     versus the grams-relation formulation which shuffles the raw gram
     stream through a global distinct first. Same signatures as
     ``minhash_signatures`` (min is duplicate-insensitive, so skipping
-    per-doc dedup changes nothing). md5 (not xxhash64) because the
-    DuckDB oracle must reproduce the exact integers; a Spark-only
-    deployment would swap in xxhash64 and skip the hex detour.
+    per-doc dedup changes nothing). ``hash_fn`` picks the gram hash:
+    md5 (default, oracle-reproducible) or xxhash64 (production fast
+    path) — see ``gram_hash``.
     """
     hx = F.transform(
-        gram_array(text_col, n),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        gram_array(text_col, n), lambda g: gram_hash(g, hash_fn)
     )
     pre = df.select(F.col(id_col), F.explode(hx).alias("_x"))
     aggs = [

@@ -100,6 +100,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_xxhash")  # no oracle: xxhash64 not reproducible in SQL
+def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production fast-path twin of ``dedup_minhash_lsh``: identical
+    pipeline shape (in-row gram hashing → minhash groupBy → band-bucket
+    pairs) with the gram hash swapped from md5-hex-conv to Spark's
+    native ``xxhash64`` intrinsic. md5 in the oracled twin is pure
+    portability tax (the DuckDB oracle must reproduce the integers);
+    this entry shows the number a Spark-only deployment gets. Driver
+    check is rows-only (deterministic candidate count); recall parity
+    with the md5 family on exact-duplicate clusters is pinned in
+    tests/test_operator_properties.py."""
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures_text(
+        docs, "text", "doc_id", n=8, num_hashes=8, hash_fn="xxhash64"
+    )
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 @query(
     "dedup_lsh_bucket_stats",
     oracle=f"""

@@ -244,3 +244,50 @@ def test_simhash_overflow_bucket_emits_star_pairs(spark):
     rows = pairs.collect()
     assert len(rows) == n - 1
     assert all(r.doc_a == 0 and r.hamming == 0 for r in rows)
+
+
+def test_minhash_xxhash_family_recalls_exact_dup_pairs(spark):
+    """Recall parity pin for the xxhash64 fast path (no SQL oracle can
+    check it): identical gram sets give identical signatures under ANY
+    gram hash, so every within-cluster pair of exact duplicates MUST
+    collide in all bands — the candidate sets of the md5 and xxhash64
+    families therefore agree exactly on exact-duplicate clusters."""
+    from datafusion_functions_variant_spark.operators import dedup
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    rows, i = [], 0
+    for cluster in range(6):
+        text = "".join(rng.choice(alphabet) for _ in range(120))
+        for _ in range(cluster % 3 + 2):  # clusters of 2..4 copies
+            rows.append((i, text))
+            i += 1
+    for _ in range(20):  # distinct background docs
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(120))))
+        i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def full_band_pairs(hash_fn):
+        sigs = dedup.minhash_signatures_text(
+            docs, "text", "doc_id", n=8, num_hashes=8, hash_fn=hash_fn
+        )
+        pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2)
+        return {
+            (r.doc_a, r.doc_b)
+            for r in pairs.where(F.col("n_shared_bands") == 2).collect()
+        }
+
+    by_text: dict[str, list[int]] = {}
+    for doc_id, text in rows:
+        by_text.setdefault(text, []).append(doc_id)
+    expected = {
+        (a, b)
+        for ids in by_text.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    md5_pairs = full_band_pairs("md5")
+    xx_pairs = full_band_pairs("xxhash64")
+    assert expected <= md5_pairs
+    assert expected <= xx_pairs

@@ -390,3 +390,16 @@ def test_variant_grouping_sets_single_expand(spark):
     plan = plan_of(spark, "variant_grouping_sets")
     assert plan.count("Expand") == 1
     assert plan.count("FileScan") == 1
+
+
+def test_window_sliding_distinct_is_expand_not_self_join(spark):
+    """The 1h/30m sliding window must compile to Spark's in-row window
+    generator (one Expand, size/slide = 2 copies per row) feeding hash
+    aggregates — NOT a windows-table self-join and NOT a row explosion
+    beyond the window_count factor. Pins the docstring claim in
+    queries/analysis.py (window_sliding_distinct_users)."""
+    plan = plan_of(spark, "window_sliding_distinct_users")
+    assert "Expand" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # distinct-agg rewrite: (window, user) pre-aggregate then per-window
+    assert plan.count("HashAggregate") >= 2
