@@ -683,3 +683,141 @@ def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .orderBy("lang", "rnk")
     )
+
+
+def _word_ngrams(w, n: int):
+    """Distinct in-row word n-grams from a word-array column: one
+    Generate, no token-level self-join; empty for docs shorter than n
+    (sequence() DESCENDS for a negative span, so the guard matters)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_WORDS_5G_SQL = """
+words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i::INT] || ' ' || ws[(i+1)::INT] || ' ' || ws[(i+2)::INT]
+           || ' ' || ws[(i+3)::INT] || ' ' || ws[(i+4)::INT] AS g
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM words)
+)"""
+
+
+@query(
+    "text_boilerplate_coverage",
+    oracle=f"""
+    WITH {_WORDS_5G_SQL},
+    df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1),
+    boiler AS (SELECT g FROM df WHERE df >= 3)
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           ROUND(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS coverage
+    FROM grams gr LEFT JOIN boiler b ON b.g = gr.g
+    GROUP BY gr.doc_id ORDER BY gr.doc_id
+    """,
+)
+def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet/RefinedWeb-style
+    filter the intra-document repetition stats can't see): word
+    5-grams shared by >= 3 documents are 'boilerplate'; each document
+    reports what fraction of its distinct 5-grams is boilerplate.
+    Scale shape: grams are built IN-ROW (one Generate); the document-
+    frequency aggregate is map-side combined and its >= 3 survivors —
+    bounded by total_gram_occurrences / 3 and in practice template
+    fragments — broadcast back into the per-document join, so the
+    corpus-sized gram stream shuffles only for the df count, never for
+    the coverage join."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(words("text"), 5)).alias("g")
+    )
+    boiler = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 3)
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        grams.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).cast("long").alias("n_boiler"),
+            F.round(
+                F.sum(F.coalesce("is_boiler", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, ws[i::INT] || ' ' || ws[(i+1)::INT] AS g
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words)
+    ),
+    df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1),
+    posts AS (SELECT g, string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+              FROM grams GROUP BY 1)
+    SELECT d.g AS term, CAST(d.df AS BIGINT) AS df,
+           CASE WHEN d.df <= 16 THEN p.postings END AS postings
+    FROM df d JOIN posts p ON p.g = d.g
+    ORDER BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index over word bigrams with the df-GATED
+    posting-list discipline a 100 TB index build needs: pass 1 counts
+    document frequency per term (map-side-combined, count-only — safe
+    on any skew); ONLY terms with df <= 16 — the broadcastable rare
+    tail — get an exact sorted posting list in pass 2. A stopword-
+    scale term therefore never reaches a collect_set (the single-task
+    giant-array hazard); its row carries df with NULL postings, which
+    is also what a real index does (frequent terms get block-skipped
+    or bitmap-encoded, not naive id lists). The gram stream shuffles
+    once per pass; the rare-term filter is broadcast into pass 2."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(words("text"), 2)).alias("g")
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_counts.where(F.col("df") <= 16).select("g")
+    postings = (
+        grams.join(F.broadcast(rare), "g")
+        .groupBy("g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return (
+        df_counts.join(postings, "g", "left")
+        .select(F.col("g").alias("term"), F.col("df").cast("long"), "postings")
+        .orderBy("term")
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import variant as vfn
+from ..operators import graph
 from ..sources.tables import load_table
 from ..streaming import core as stream_core
 from . import dsum, dsum_sql, query
@@ -47,10 +48,9 @@ from . import dsum, dsum_sql, query
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-cluster assembly: duplicate-pair edges → connected
     components by iterative min-label propagation (the DataFrame
-    fixpoint loop large-scale dedup pipelines run after pair mining).
-    Each iteration is one join + groupBy; label space halves per round
-    (converges in <= log2(diameter) rounds, here bounded by 8). The
-    oracle walks the same graph with a recursive CTE."""
+    fixpoint loop large-scale dedup pipelines run after pair mining —
+    operators/graph.py). The oracle walks the same graph with a
+    recursive CTE."""
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_id") < 2000)
@@ -64,41 +64,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.select(F.col("event_id").alias("src"), "h")
     b = ev.select(F.col("event_id").alias("dst"), "h")
     pairs = a.join(b, "h").where(F.col("src") < F.col("dst")).select("src", "dst")
-    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = edges.select(F.col("src").alias("v")).distinct().withColumn(
-        "component", F.col("v")
-    )
-    edges = edges.persist()
-    labels = labels.persist()
-    for _ in range(8):
-        # neighbor minimum, then take min(own, neighbors') — monotone
-        nbr = (
-            edges.join(labels, edges.dst == labels.v)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.v == nbr.src, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    # edges/labels stay cached (tiny); lineage is already cut by persist
+    labels = graph.min_label_components(pairs)
     return (
         labels.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_members"), F.max("v").alias("max_member"))

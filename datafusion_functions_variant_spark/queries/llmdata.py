@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, graph, multimodal, similarity, text
 from ..sources.tables import load_table
 from . import query
 
@@ -180,6 +180,74 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup.verified_near_dups(grams, cands, "doc_id", threshold=0.9).orderBy(
         "doc_a", "doc_b"
+    )
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SIGS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM candidates
+      UNION SELECT doc_b, doc_a FROM candidates
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    walk(v, lbl) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.v AND w.lbl < e.src
+    ),
+    labels AS (SELECT v, MIN(lbl) AS component FROM walk GROUP BY v),
+    members AS (
+      SELECT l.component, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY l.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM labels l JOIN documents d ON d.doc_id = l.v
+    )
+    SELECT component, CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+             AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(n_chars) - MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+             AS chars_removed
+    FROM members GROUP BY component ORDER BY component
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup cluster canonicalization — the step a curation
+    pipeline runs after pair mining: LSH candidate pairs → connected
+    components (operators/graph.py min-label propagation) → pick one
+    canonical document per cluster by quality (longest n_chars, ties
+    to the smallest id) and account the removed bytes. The label
+    relation is candidate-pair-sized (≪ corpus), so the docs join
+    broadcasts it; the corpus itself never reshuffles. The oracle
+    replays the same graph with a recursive CTE."""
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2)
+    labels = graph.min_label_components(pairs, src="doc_a", dst="doc_b")
+    members = docs.select("doc_id", "n_chars").join(
+        F.broadcast(labels), docs.doc_id == labels.v
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("component").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        members.select("component", "doc_id", "n_chars", rk.alias("rk"))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum("n_chars") - F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+            )
+            .cast("long")
+            .alias("chars_removed"),
+        )
+        .orderBy("component")
     )
 
 

@@ -403,3 +403,31 @@ def test_window_sliding_distinct_is_expand_not_self_join(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     # distinct-agg rewrite: (window, user) pre-aggregate then per-window
     assert plan.count("HashAggregate") >= 2
+
+
+def test_boilerplate_coverage_broadcasts_boiler_set(spark):
+    """The df>=3 boilerplate grams join back into the per-document
+    coverage pass as a broadcast — the corpus-sized gram stream must
+    not shuffle for that join (it shuffles once, for the df count)."""
+    plan = plan_of(spark, "text_boilerplate_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_gates_collect_behind_df_filter(spark):
+    """Posting lists may only be collected for the df<=16 rare tail:
+    the collect_set aggregate must sit above a broadcast join with the
+    filtered df relation, so stopword-scale terms never reach it."""
+    plan = plan_of(spark, "text_inverted_index")
+    assert "ObjectHashAggregate" in plan  # the collect_set pass
+    assert "BroadcastHashJoin" in plan    # rare-term gate is broadcast
+    # exactly one collect_set aggregate pair (partial+final), not one
+    # per term class
+    assert plan.count("collect_set") <= 2
+
+
+def test_cluster_canonical_broadcasts_labels(spark):
+    """Component labels are candidate-pair-sized; the documents join
+    against them must broadcast the labels, never shuffle the corpus."""
+    plan = plan_of(spark, "dedup_cluster_canonical")
+    assert "BroadcastHashJoin" in plan
