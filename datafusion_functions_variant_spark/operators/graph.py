@@ -7,11 +7,14 @@ CLUSTERS.
 
 Scale design (100 TB corpora): the edge set is candidate pairs, which
 the blocked generators upstream keep ≪ corpus size. Each iteration is
-one join + one groupBy on that small edge relation; labels converge in
-≤ log2(component diameter) rounds (duplicate clusters are near-cliques,
-so diameter is tiny — 8 rounds is already generous). Both relations are
-persisted so an iteration never re-evaluates the expensive pair-mining
-lineage, and the loop early-exits on the first fixpoint via a LIMIT 1
+one edge join + groupBy (one-hop min propagation) plus one label
+self-join (pointer-doubling shortcut: component ← component of the
+component), so convergence is O(log diameter) even on path-shaped
+graphs, not O(diameter). Labels are localCheckpoint'ed EAGERLY each
+iteration — persist alone caches data but leaves the logical plan
+growing (each round references the previous twice, so the plan tree
+doubles per round; by ~12 rounds plan stringification alone OOMs the
+driver). The loop early-exits on the first fixpoint via a LIMIT 1
 changed-row probe (no full count).
 """
 
@@ -41,25 +44,39 @@ def min_label_components(
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("component", F.col("v"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        # neighbor minimum, then min(own, neighbors') — monotone
-        # non-increasing, so the fixpoint is exactly the component min
+        # one-hop: neighbor minimum, then min(own, neighbors') —
+        # monotone non-increasing, fixpoint = the component min
         nbr = (
             edges.join(labels, edges.dst == labels.v)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        hopped = labels.join(nbr, labels.v == nbr.src, "left").select(
+            "v",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer-doubling shortcut: follow the label one more level
+        # (component ← its component's component). Halves the longest
+        # label chain each round → O(log diameter) total.
+        short = hopped.select(
+            F.col("v").alias("sv"), F.col("component").alias("sc")
+        )
         new_labels = (
-            labels.join(nbr, labels.v == nbr.src, "left")
+            hopped.join(short, hopped.component == short.sv, "left")
             .select(
                 "v",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    F.col("component"), F.coalesce("sc", F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            # EAGER lineage cut: without it the logical plan doubles per
+            # iteration (explain/compile alone OOMs around 12 rounds)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -68,9 +85,8 @@ def min_label_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    # edges stay cached (tiny); labels' lineage is already cut by persist
+    # edges stay cached (tiny); labels' lineage is cut by localCheckpoint
     return labels

@@ -821,3 +821,53 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("g").alias("term"), F.col("df").cast("long"), "postings")
         .orderBy("term")
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+    SELECT CAST(t.i AS BIGINT) AS i, CAST(u.j AS BIGINT) AS j,
+           ROUND(CAST(SUM(CAST(embedding[t.i::INT]::DOUBLE
+                              * embedding[u.j::INT]::DOUBLE
+                              AS DECIMAL(30,15))) AS DOUBLE), 9) AS gram
+    FROM embeddings, range(1, 65) t(i), range(1, 65) u(j)
+    WHERE t.i <= u.j
+    GROUP BY t.i, u.j ORDER BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding corpus — the
+    d x d sufficient statistic behind PCA / whitening / covariance
+    analysis of an embedding store. Upper triangle only (symmetric):
+    d(d+1)/2 = 2080 cells at d=64. Each row contributes its outer-
+    product upper triangle via ONE in-row Generate (no row x dimension
+    self-join); the hash aggregate has a FIXED 2080-group key space,
+    so map-side partials collapse every partition to 2080 rows before
+    the only shuffle — at 100 TB the reduce stage moves 2080 rows per
+    partition regardless of corpus size, and the result is driver-
+    bounded by construction. Products accumulate in DECIMAL(30,15)
+    (engine-order-independent), rounded to 9 places on emit, matching
+    the repo's similarity-operator convention. A production deployment
+    would swap the per-row HOF for a numpy X^T X mapInArrow kernel per
+    Arrow batch with the same (i, j, partial) output contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.explode(
+            F.expr(
+                """
+        flatten(transform(sequence(1, 64), i ->
+          transform(sequence(i, 64), j ->
+            struct(i AS i, j AS j,
+              cast(cast(element_at(embedding, i) AS double)
+                   * cast(element_at(embedding, j) AS double)
+                   AS decimal(30,15)) AS p))))
+        """
+            )
+        ).alias("c")
+    ).select("c.*")
+    return (
+        cells.groupBy("i", "j")
+        .agg(F.round(F.sum("p").cast("double"), 9).alias("gram"))
+        .select(F.col("i").cast("long"), F.col("j").cast("long"), "gram")
+        .orderBy("i", "j")
+    )

@@ -291,3 +291,43 @@ def test_minhash_xxhash_family_recalls_exact_dup_pairs(spark):
     xx_pairs = full_band_pairs("xxhash64")
     assert expected <= md5_pairs
     assert expected <= xx_pairs
+
+
+def test_min_label_components_matches_union_find(spark):
+    """graph.min_label_components vs a plain-Python union-find on
+    seeded random graphs — including long chains (diameter stress for
+    the iteration bound) and isolated pairs."""
+    from datafusion_functions_variant_spark.operators import graph
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(0, 40)]  # one 41-vertex chain
+    verts = list(range(100, 160))
+    edges += [
+        (min(a, b), max(a, b))
+        for a, b in (rng.sample(verts, 2) for _ in range(50))
+        if a != b
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.v: r.component
+        for r in graph.min_label_components(df, max_iters=12).collect()
+    }
+    assert got == expected
