@@ -515,3 +515,131 @@ def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(hist), new_docs.content_hash == hist.h, "left_anti"
     ).select("doc_id", "lang", "source")
     return core.run_to_batch(survivors, "append").orderBy("doc_id")
+
+
+@query(
+    "stream_stream_full_outer_join",
+    oracle="""
+    WITH mx AS (
+      SELECT LEAST(
+        (SELECT max(ts) FROM events WHERE event_type = 'error'),
+        (SELECT max(ts) FROM events WHERE event_type = 'click')) AS mt),
+    errors AS (SELECT event_id AS error_id, user_id, ts
+               FROM events WHERE event_type = 'error'),
+    clicks AS (SELECT event_id AS click_id, user_id, ts
+               FROM events WHERE event_type = 'click')
+    SELECT COALESCE(e.error_id, -1) AS error_id,
+           COALESCE(c.click_id, -1) AS click_id,
+           COALESCE(e.user_id, c.user_id) AS user_id
+    FROM errors e
+    FULL JOIN clicks c
+      ON c.user_id = e.user_id
+     AND c.ts BETWEEN e.ts - INTERVAL '10 minutes' AND e.ts, mx
+    WHERE (e.error_id IS NOT NULL AND c.click_id IS NOT NULL)
+       OR (c.click_id IS NULL AND e.ts < mt - INTERVAL '1 minute')
+       OR (e.error_id IS NULL
+           AND c.ts + INTERVAL '10 minutes' < mt - INTERVAL '1 minute')
+    ORDER BY error_id, click_id
+    """,
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — BOTH sides' eviction
+    semantics at once: matches emit per micro-batch; an unmatched
+    error null-extends once the watermark passes its own ts (its click
+    window's upper bound), while an unmatched click must wait until
+    the watermark passes ts + 10 minutes (the last error that could
+    still reach back to it). The oracle reproduces both cutoffs
+    against the global watermark (min of the per-side maxima, minus
+    the delay); rows inside the final unevictable sliver are withheld
+    on both engines. NULLs surface as -1 so ordering and hashing are
+    engine-identical."""
+    errors = (
+        core.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+    )
+    clicks = (
+        core.read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("error_id"), F.lit(-1)).alias("error_id"),
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+    )
+    out = core.run_to_batch(joined, "append")
+    return out.orderBy("error_id", "click_id")
+
+
+@query(
+    "stream_chained_stateful_rollup",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) - INTERVAL '1 minute' AS wm FROM events),
+    l1 AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hs, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sv
+      FROM events, mx
+      WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm
+      GROUP BY 1
+    )
+    SELECT strftime(time_bucket(INTERVAL '6 hours', hs), '%Y-%m-%d %H:%M:%S')
+             AS bucket_start,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(sv) AS DOUBLE) AS sum_value
+    FROM l1, mx
+    WHERE time_bucket(INTERVAL '6 hours', hs) + INTERVAL '6 hours' <= wm
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_chained_stateful_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.4+):
+    a watermarked 1-hour tumbling aggregate feeds a SECOND windowed
+    aggregate over 6-hour buckets, using window_time() to re-derive
+    event time from the finalized hour windows — the multi-level
+    rollup topology that previously required two jobs with an
+    intermediate sink. Both levels run append-mode off one global
+    watermark: hours finalize when the watermark passes their end,
+    6h buckets when it passes theirs (an unfinalized trailing hour
+    never reaches level 2 — the oracle applies both cutoffs)."""
+    st = core.read_events_stream(spark, sf_dir)
+    hourly = (
+        st.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    rolled = (
+        hourly.groupBy(F.window(F.window_time("win"), "6 hours").alias("bucket"))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("bucket.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "n",
+            "sum_value",
+        )
+    )
+    out = core.run_to_batch(rolled, "append")
+    return out.orderBy("bucket_start")
