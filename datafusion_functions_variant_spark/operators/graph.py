@@ -90,3 +90,61 @@ def min_label_components(
             break
     # edges stay cached (tiny); labels' lineage is cut by localCheckpoint
     return labels
+
+
+def triangle_counts(pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle participation counts for the undirected
+    graph given by ``pairs`` (one row per edge, any orientation,
+    duplicates tolerated).
+
+    Degree-ordered orientation — the standard distributed formulation:
+    every edge is directed from its lower-degree endpoint to the
+    higher (ties by id), so each wedge is enumerated exactly once at
+    its lowest-degree vertex and a triangle is found exactly once.
+    The join fan-out per vertex is then bounded by its ORIENTED
+    out-degree, which is O(sqrt(m)) even for hub vertices — a
+    100 TB-corpus hub with 10^6 dup-neighbors contributes its wedges
+    from the low-degree side instead of exploding 10^12 wedge rows.
+    Two shuffles (wedge build on the mid vertex, closure probe on the
+    (lo, hi) edge key); the tiny degree relation broadcasts.
+
+    Returns (v, n_triangles) for every vertex in at least one
+    triangle.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("v"), "d"
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    )
+    # wedges centered at the lowest-degree vertex: lo -> x, lo -> y
+    w1 = oriented.select(F.col("lo"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "lo").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        oriented.select(
+            F.least("lo", "hi").alias("cx"), F.greatest("lo", "hi").alias("cy")
+        ).distinct(),
+        (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy"))
+        # the closing edge may be oriented either way; compare unordered
+    ).select("lo", "x", "y")
+    per_vertex = (
+        closed.select(F.col("lo").alias("v"))
+        .union(closed.select(F.col("x").alias("v")))
+        .union(closed.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_vertex

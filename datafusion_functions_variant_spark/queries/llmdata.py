@@ -252,6 +252,42 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_triangle_counts",
+    oracle=f"""
+    WITH {_SIGS_CTE},
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM candidates e1
+      JOIN candidates e2 ON e2.doc_a = e1.doc_b
+      JOIN candidates e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    roles AS (
+      SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    )
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM roles GROUP BY v ORDER BY v
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per document in the near-dup candidate
+    graph — the cohesion signal that separates tight boilerplate
+    cliques (every pair agrees) from chains of pairwise-similar drift.
+    Uses the degree-ordered-orientation formulation in
+    operators/graph.py: wedges enumerate at their lowest-degree
+    vertex, bounding hub fan-out by the oriented out-degree; the
+    oracle closes the same triangles with a three-way self-join over
+    the candidate pairs."""
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2)
+    return (
+        graph.triangle_counts(pairs, src="doc_a", dst="doc_b")
+        .select(F.col("v").cast("long"), "n_triangles")
+        .orderBy("v")
+    )
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH words AS (

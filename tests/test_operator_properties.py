@@ -331,3 +331,35 @@ def test_min_label_components_matches_union_find(spark):
         for r in graph.min_label_components(df, max_iters=12).collect()
     }
     assert got == expected
+
+
+def test_triangle_counts_match_brute_force(spark):
+    """graph.triangle_counts vs itertools brute force on a seeded
+    random graph with a hub vertex (orientation-skew stress) plus a
+    clique (dense-triangle stress)."""
+    import itertools
+
+    from datafusion_functions_variant_spark.operators import graph
+
+    rng = random.Random(5)
+    edges = set()
+    for a, b in ((rng.randrange(30), rng.randrange(30)) for _ in range(80)):
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges |= {(0, x) for x in range(1, 20)}          # hub at 0
+    edges |= {(min(a, b), max(a, b))                 # 5-clique at 40..44
+              for a, b in itertools.combinations(range(40, 45), 2)}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                expected[v] = expected.get(v, 0) + 1
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r.v: r.n_triangles for r in graph.triangle_counts(df).collect()}
+    assert got == expected
