@@ -149,3 +149,64 @@ def asof_join_forward(
     return out.withColumnRenamed("_matched_t", "matched_time").drop(
         "_k", "_t", "_side", "_payload"
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_us: int,
+) -> DataFrame:
+    """All pairs of overlapping intervals per key (inclusive bounds:
+    ``l_start <= r_end AND r_start <= l_end``) — the temporal-overlap
+    join Spark has no primitive for.
+
+    Timeline-bucketed formulation: each interval explodes to the
+    ``bucket_us``-wide epoch buckets it spans (in-row sequence), the
+    sides equi-join on (key, bucket) — a plain hash join, never a
+    cartesian range shuffle — and the exact overlap predicate filters
+    the colliding pairs. A pair sharing several buckets is emitted
+    ONCE without any distinct: only the FIRST shared bucket — which is
+    exactly ``greatest(bucket(l_start), bucket(r_start))`` for
+    overlapping intervals — keeps the pair. Choose ``bucket_us`` near
+    the typical interval length: the per-row explode factor is
+    interval_span/bucket_us + 1, and the join key cardinality stays
+    ~rows, so the shuffle is input-sized. A pathological interval
+    spanning the whole timeline fans out timeline/bucket_us rows —
+    clamp or split such outliers upstream.
+
+    Emits every left and right column plus ``overlap_us``.
+    """
+    def bucket(col: str) -> F.Column:
+        return F.floor(F.unix_micros(F.col(col)) / F.lit(bucket_us))
+
+    lb = left.withColumn(
+        "_lsb", bucket(l_start)
+    ).withColumn("_b", F.explode(F.sequence(bucket(l_start), bucket(l_end))))
+    rb = right.withColumn(
+        "_rsb", bucket(r_start)
+    ).withColumn("_rb", F.explode(F.sequence(bucket(r_start), bucket(r_end))))
+    joined = lb.join(
+        rb,
+        (lb[key] == rb[key]) & (F.col("_b") == F.col("_rb")),
+    ).drop(rb[key])
+    overlap = (
+        joined.where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            # first-shared-bucket dedup: emit the pair only where the
+            # later-starting interval's first bucket meets the join
+            & (F.col("_b") == F.greatest(F.col("_lsb"), F.col("_rsb")))
+        )
+        .withColumn(
+            "overlap_us",
+            F.unix_micros(F.least(F.col(l_end), F.col(r_end)))
+            - F.unix_micros(F.greatest(F.col(l_start), F.col(r_start))),
+        )
+        .drop("_b", "_rb", "_lsb", "_rsb")
+    )
+    return overlap

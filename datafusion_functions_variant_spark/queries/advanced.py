@@ -5,7 +5,7 @@ distinct."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import joins
@@ -491,3 +491,99 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("est_i", "exact_intersection").alias("intersection_within_bound"),
         ok("est_d", "exact_difference").alias("difference_within_bound"),
     )
+
+
+@query(
+    "join_interval_overlap_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk,
+             event_id
+      FROM events
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, sess, min(ts) AS s_start, max(ts) AS s_end
+      FROM sessioned GROUP BY 1, 2
+    ),
+    incidents AS (
+      SELECT event_id AS error_id, user_id,
+             ts - INTERVAL '15 minutes' AS i_start,
+             ts + INTERVAL '15 minutes' AS i_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, epoch_us(s.s_start) AS session_start,
+           i.error_id,
+           CAST(epoch_us(LEAST(s.s_end, i.i_end))
+                - epoch_us(GREATEST(s.s_start, i.i_start)) AS BIGINT) AS overlap_us
+    FROM sessions s
+    JOIN incidents i ON i.user_id = s.user_id
+                    AND s.s_start <= i.i_end AND i.i_start <= s.s_end
+    ORDER BY s.user_id, session_start, error_id
+    """,
+)
+def join_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval-overlap join (operators/joins.py): per-user
+    activity sessions (30-minute-gap sessionization) joined against
+    +/-15-minute error-incident windows of the same user — 'which
+    sessions touched an incident'. The timeline-bucket equi-join keeps
+    it a hash join (bucket = 30 min, ~ the interval scale); the exact
+    overlap predicate and the first-shared-bucket dedup run inside the
+    joined stream, so no distinct pass and no range cross product. The
+    oracle joins the raw interval predicate directly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > 30 * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sessioned = marked.select(
+        "user_id",
+        "ts",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess"),
+    )
+    sessions = sessioned.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    incidents = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            (F.col("ts") - F.expr("INTERVAL 15 minutes")).alias("i_start"),
+            (F.col("ts") + F.expr("INTERVAL 15 minutes")).alias("i_end"),
+        )
+    )
+    out = joins.interval_overlap_join(
+        sessions,
+        incidents.withColumnRenamed("user_id", "user_id"),
+        key="user_id",
+        l_start="s_start",
+        l_end="s_end",
+        r_start="i_start",
+        r_end="i_end",
+        bucket_us=30 * 60 * 1_000_000,
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("s_start").alias("session_start"),
+        "error_id",
+        F.col("overlap_us").cast("long"),
+    ).orderBy("user_id", "session_start", "error_id")

@@ -69,3 +69,11 @@ def test_text_ops_empty_string_docs(spark):
     assert t.lang_id(df, "text", "doc_id").count() == 3
     assert t.token_counts(df, "text", "doc_id").count() == 3
     assert t.repetition_stats(df, "text", "doc_id").count() == 3
+
+
+def test_graph_ops_empty(spark):
+    from datafusion_functions_variant_spark.operators import graph
+
+    empty_pairs = spark.createDataFrame([], "src long, dst long")
+    assert graph.min_label_components(empty_pairs).count() == 0
+    assert graph.triangle_counts(empty_pairs).count() == 0

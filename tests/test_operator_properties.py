@@ -363,3 +363,54 @@ def test_triangle_counts_match_brute_force(spark):
     df = spark.createDataFrame(sorted(edges), "src long, dst long")
     got = {r.v: r.n_triangles for r in graph.triangle_counts(df).collect()}
     assert got == expected
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """interval_overlap_join vs brute force on seeded random intervals
+    — including pairs sharing MANY buckets (the first-shared-bucket
+    dedup must still emit exactly once), touching endpoints (inclusive
+    bounds), and disjoint keys."""
+    import datetime
+
+    from datafusion_functions_variant_spark.operators import joins
+
+    rng = random.Random(3)
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    lrows, rrows = [], []
+    for i in range(60):
+        k = rng.randrange(4)
+        s = rng.randrange(0, 600)
+        lrows.append((i, k, t(s), t(s + rng.randrange(1, 240))))
+    for j in range(40):
+        k = rng.randrange(4)
+        s = rng.randrange(0, 600)
+        rrows.append((j, k, t(s), t(s + rng.randrange(1, 240))))
+    lrows.append((98, 0, t(0), t(1000)))   # spans the whole timeline
+    rrows.append((99, 0, t(500), t(500)))  # zero-length instant
+
+    left = spark.createDataFrame(
+        lrows, "lid long, k long, s_start timestamp, s_end timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, "rid long, k long, i_start timestamp, i_end timestamp"
+    )
+    got = {
+        (r.lid, r.rid, r.overlap_us)
+        for r in joins.interval_overlap_join(
+            left, right, key="k",
+            l_start="s_start", l_end="s_end",
+            r_start="i_start", r_end="i_end",
+            bucket_us=30 * 60 * 1_000_000,
+        ).collect()
+    }
+    expected = set()
+    for lid, lk, ls, le in lrows:
+        for rid, rk, rs, re in rrows:
+            if lk == rk and ls <= re and rs <= le:
+                ov = int((min(le, re) - max(ls, rs)).total_seconds() * 1_000_000)
+                expected.add((lid, rid, ov))
+    assert got == expected

@@ -431,3 +431,12 @@ def test_cluster_canonical_broadcasts_labels(spark):
     against them must broadcast the labels, never shuffle the corpus."""
     plan = plan_of(spark, "dedup_cluster_canonical")
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_overlap_is_hash_join_not_range_product(spark):
+    """The timeline-bucket formulation must execute the overlap join as
+    an equi hash/merge join on (key, bucket) — never a nested-loop or
+    cartesian range product."""
+    plan = plan_of(spark, "join_interval_overlap_sessions")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
