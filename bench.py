@@ -14,6 +14,10 @@ keeping the consumption JVM-side (one scalar returns to the driver).
 Each query is timed ``BENCH_RUNS`` times (default 3) and the median is
 reported, bounding the run-to-run noise (page cache / JIT) that made
 byte-identical code swing ~30% between rounds 1 and 2.
+
+Round-over-round totals compare ONLY on shared keys: round 4 adds
+``dedup_minhash_xxhash`` (the Spark-native fast-hash twin, ~0.6 s),
+so BENCH_r04's total carries one more query than BENCH_r03's.
 """
 
 from __future__ import annotations

@@ -210,3 +210,62 @@ def interval_overlap_join(
         .drop("_b", "_rb", "_lsb", "_rsb")
     )
     return overlap
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the payload of the CLOSEST right row
+    in time on the same key, looking both directions (ties go to the
+    backward/earlier match). Completes the as-of family
+    (backward / forward / nearest — pandas merge_asof's three
+    directions).
+
+    Same union-merge design as the directional variants, and still
+    ONE shuffle: both window frames (running last before, running
+    first after) share the identical partitioning and ordering, so
+    Catalyst evaluates them over a single sort. The matched time
+    rides inside each payload struct, so the closer-of-the-two choice
+    and every output column come from the same right row.
+    """
+    l2 = (
+        left.withColumn("_k", F.col(left_on))
+        .withColumn("_t", F.col(left_time))
+        .withColumn("_side", F.lit(1))
+    )
+    r2 = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(right_time).cast("timestamp").alias("_rt"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_payload"),
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    # backward pass: right rows sort first at equal _t (_side 0 < 1) so
+    # simultaneous matches are visible; forward pass mirrors it.
+    order_bwd = Window.partitionBy("_k").orderBy("_t", "_side")
+    bwd = order_bwd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = order_bwd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u = u.withColumn("_pb", F.last("_payload", ignorenulls=True).over(bwd))
+    u = u.withColumn("_pf", F.first("_payload", ignorenulls=True).over(fwd))
+    gap_b = F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_pb._rt"))
+    gap_f = F.unix_micros(F.col("_pf._rt")) - F.unix_micros(F.col("_t"))
+    pick = (
+        F.when(F.col("_pb").isNull(), F.col("_pf"))
+        .when(F.col("_pf").isNull(), F.col("_pb"))
+        .when(gap_b <= gap_f, F.col("_pb"))
+        .otherwise(F.col("_pf"))
+    )
+    out = u.where(F.col("_side") == 1).withColumn("_pick", pick)
+    out = out.withColumn("matched_time", F.col("_pick._rt"))
+    for c in payload_cols:
+        out = out.withColumn(c, F.col("_pick")[c])
+    return out.drop("_k", "_t", "_side", "_payload", "_pb", "_pf", "_pick")

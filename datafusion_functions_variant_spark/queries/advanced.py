@@ -587,3 +587,75 @@ def join_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         "error_id",
         F.col("overlap_us").cast("long"),
     ).orderBy("user_id", "session_start", "error_id")
+
+
+@query(
+    "asof_join_nearest_orders",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             TIMESTAMP '1995-01-01' + (event_id % 2500) * INTERVAL 1 DAY AS asof_t
+      FROM events
+    ),
+    o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    b AS (
+      SELECT e.event_id, o.o_orderkey AS bk, o.o_orderdate AS bt
+      FROM e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND e.asof_t >= o.o_orderdate
+    ),
+    f AS (
+      SELECT e.event_id, o.o_orderkey AS fk, o.o_orderdate AS ft
+      FROM e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND e.asof_t <= o.o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+                     epoch_us(e.asof_t) - epoch_us(bt)
+                     <= epoch_us(ft) - epoch_us(e.asof_t))
+                THEN bk ELSE fk END AS nearest_orderkey,
+           strftime(CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+                              epoch_us(e.asof_t) - epoch_us(bt)
+                              <= epoch_us(ft) - epoch_us(e.asof_t))
+                         THEN bt ELSE ft END, '%Y-%m-%d') AS nearest_orderdate
+    FROM e JOIN b ON b.event_id = e.event_id
+           JOIN f ON f.event_id = e.event_id
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_nearest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each event attaches its user's CLOSEST order
+    in time, looking both ways, ties to the earlier order. One shuffle
+    — both directional window frames share the same sort
+    (operators/joins.py asof_join_nearest). The oracle composes
+    DuckDB's two directional ASOF joins and picks the closer side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestamp(date_add(to_date('1995-01-01'), cast(event_id % 2500 AS int)))"
+        ).alias("asof_t"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    res = joins.asof_join_nearest(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="asof_t",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey"],
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("nearest_orderkey"),
+        F.date_format("matched_time", "yyyy-MM-dd").alias("nearest_orderdate"),
+    ).orderBy("event_id")

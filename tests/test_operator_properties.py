@@ -414,3 +414,53 @@ def test_interval_overlap_join_matches_brute_force(spark):
                 ov = int((min(le, re) - max(ls, rs)).total_seconds() * 1_000_000)
                 expected.add((lid, rid, ov))
     assert got == expected
+
+
+def test_asof_nearest_matches_brute_force(spark):
+    """asof_join_nearest vs brute force: ties at equal distance go
+    backward; keys with only-later or only-earlier matches fall back
+    to the available side; keys with no right rows stay NULL."""
+    import datetime
+
+    from datafusion_functions_variant_spark.operators import joins
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(days):
+        return base + datetime.timedelta(days=days)
+
+    rng = random.Random(9)
+    lrows = [(i, rng.randrange(5), t(rng.randrange(30))) for i in range(50)]
+    lrows.append((97, 4, t(10)))                      # key with no right rows
+    rrows = [
+        (100 + j, rng.randrange(4), t(rng.randrange(30))) for j in range(25)
+    ]
+    # force an exact-tie: left at day 10 key 3, rights at days 8 and 12
+    lrows.append((98, 3, t(10)))
+    rrows += [(201, 3, t(8)), (202, 3, t(12))]
+    # dedupe rights per (key, time) — operator contract
+    seen, rdedup = set(), []
+    for rid, k, rt in rrows:
+        if (k, rt) not in seen:
+            seen.add((k, rt))
+            rdedup.append((rid, k, rt))
+
+    left = spark.createDataFrame(lrows, "lid long, k long, lt timestamp")
+    right = spark.createDataFrame(rdedup, "rid long, k long, rt timestamp")
+    got = {
+        r.lid: r.rid
+        for r in joins.asof_join_nearest(
+            left, right, left_on="k", right_on="k",
+            left_time="lt", right_time="rt", payload_cols=["rid"],
+        ).collect()
+    }
+    for lid, k, lt in lrows:
+        cands = [(rid, rt) for rid, rk, rt in rdedup if rk == k]
+        if not cands:
+            assert got[lid] is None
+            continue
+        best = min(
+            cands,
+            key=lambda c: (abs((c[1] - lt).total_seconds()), c[1] > lt),
+        )
+        assert got[lid] == best[0], (lid, k, lt, cands)

@@ -440,3 +440,16 @@ def test_interval_overlap_is_hash_join_not_range_product(spark):
     plan = plan_of(spark, "join_interval_overlap_sessions")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_single_sort_two_frames(spark):
+    """Nearest as-of must evaluate BOTH directional window frames over
+    one sort/exchange — no cartesian, no second shuffle for the
+    forward pass."""
+    plan = plan_of(spark, "asof_join_nearest_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both frames share the partitioning: exactly one Window node
+    import re
+
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
