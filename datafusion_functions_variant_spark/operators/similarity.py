@@ -422,3 +422,163 @@ def radius_search(
         "query_id", "vec_id", F.round(_dot_decimal("_qvec", "_cvec"), 9).alias("dot")
     )
     return rescored.where(F.col("dot") >= threshold)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces of dim/m dims; each subspace gets ``ks``
+    codewords = the matching subvectors of the first ``ks`` corpus
+    vectors (deterministic seeding, same convention as
+    ``kmeans_centroids`` — no RNG, reproducible runs). Driver-side
+    state is the m x ks x (dim/m) codeword tensor = exactly dim x ks
+    floats — the PQ index parameters, not data; bounded like the
+    k-means centroid matrix."""
+    sub = dim // m
+    rows = sorted(
+        (
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in corpus.where(F.col(id_col) < ks)
+            .select(id_col, vec_col)
+            .collect()
+        ),
+    )
+    return [
+        [
+            (code, vec[mi * sub : (mi + 1) * sub])
+            for code, (_, vec) in enumerate(rows)
+        ]
+        for mi in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector as m single-byte codes (nearest
+    codeword per subspace, L2 via the same dot - |c|^2/2 argmax trick
+    as ``assign_nearest_centroid``): a 64-dim float vector compresses
+    to m bytes through every downstream shuffle/cache. Codeword
+    literals ride the expression tree — the encode is one codegen'd
+    map pass, zero shuffle: the 100 TB index build."""
+    m = len(books)
+    sub = len(books[0][0][1])
+    out = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    for mi, words in enumerate(books):
+        sl = F.slice(F.col(vec_col), mi * sub + 1, sub)
+        scored = [
+            F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            sl,
+                            F.array(*[F.lit(float(x)) for x in w]),
+                            lambda x, y: x.cast("double") * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    - sum(x * x for x in w) / 2.0
+                ).alias("s"),
+                F.lit(code).alias("c"),
+            )
+            for code, w in words
+        ]
+        out = out.withColumn(f"code{mi}", F.greatest(*scored)["c"])
+    return out.drop(vec_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    ks: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shortlist: int = 0,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus vectors live only as m
+    codes; each query precomputes its m x ks table of partial dots
+    against the codewords (the ADC lookup table), and the approximate
+    inner product is m array lookups summed — no float vector math per
+    (query, vector) pair. Queries (with their lookup tables) broadcast;
+    the corpus never shuffles; ranking is a per-query window top-k.
+    Complements IVF (list pruning) and int8 (uniform scalar
+    quantization): PQ is the memory-bound regime's index — 16x fewer
+    bytes per vector than float32 at m=4.
+
+    ``shortlist > k`` enables the standard production two-stage shape:
+    ADC ranks a per-query shortlist of that size from the codes alone,
+    then ONLY the shortlisted vectors are fetched (semi-join against
+    the float corpus — queries x shortlist rows, broadcastable) and
+    exactly re-scored for the final top-k. Quantization distortion
+    then costs recall only if a true neighbor falls outside the whole
+    shortlist, not outside the top-k."""
+    books = pq_codebooks(corpus, m, ks, dim, id_col, vec_col)
+    sub = dim // m
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    for mi, words in enumerate(books):
+        sl = F.slice(F.col(vec_col), mi * sub + 1, sub)
+        dots = [
+            F.aggregate(
+                F.zip_with(
+                    sl,
+                    F.array(*[F.lit(float(x)) for x in w]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for _, w in words
+        ]
+        q = q.withColumn(f"adp{mi}", F.array(*dots))
+    q = q.drop(vec_col)
+    score = sum(
+        (
+            F.element_at(F.col(f"adp{mi}"), F.col(f"code{mi}") + 1)
+            for mi in range(m)
+        ),
+        F.lit(0.0),
+    )
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", score.alias("adc_dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "vec_id")
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if shortlist <= k:
+        return ranked.where(F.col("rank") <= k).select(
+            "query_id", "vec_id", "adc_dot", "rank"
+        )
+    # exact re-rank of the ADC shortlist: the candidate list is
+    # queries x shortlist rows — broadcast it onto the corpus and
+    # rescore only those pairs with the true float dot
+    cand = ranked.where(F.col("rank") <= shortlist).select("query_id", "vec_id")
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
+    )
+    rescored = (
+        cvec.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "vec_id", _dot_double("_qvec", "_cvec").alias("dot"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("dot"), "vec_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot", "rank")
+    )

@@ -286,6 +286,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import extras  # noqa: F401
     from . import llmdata  # noqa: F401
     from . import analysis  # noqa: F401
+    from . import curation  # noqa: F401
 
     verified = _driver_verified_names()
     verified -= _reverify_sample(verified)
