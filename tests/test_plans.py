@@ -453,3 +453,52 @@ def test_asof_nearest_single_sort_two_frames(spark):
     import re
 
     assert len(re.findall(r"\bWindow\b", plan)) == 1
+
+
+def test_chunk_dedup_two_hash_exchanges_one_scan(spark):
+    # chunk dedup promise: corpus shuffles exactly twice (chunk-hash
+    # window, then doc_id regroup); chunks are built in-row from ONE
+    # scan of documents
+    plan = plan_of(spark, "dedup_chunk_exact")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("documents.parquet") == 1
+
+
+def test_ewma_single_window_single_shuffle(spark):
+    # all 32 lag terms (numerator + denominator) must fuse into ONE
+    # Window node over ONE user_id exchange — the formulation is
+    # worthless if each lag re-sorts
+    plan = plan_of(spark, "timeseries_ewma_fixed_point")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Window") == 1
+
+
+def test_pq_encode_is_pure_projection(spark):
+    # the PQ index build (vector -> m codes) is a codegen'd map pass:
+    # codeword literals ride the expression tree, so no Exchange and
+    # no Generate may appear
+    from datafusion_functions_variant_spark.operators import similarity
+    from datafusion_functions_variant_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    books = similarity.pq_codebooks(emb, m=8, ks=16, dim=64)
+    encoded = similarity.pq_encode(emb, books)
+    plan = encoded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_cms_probes_join_broadcast(spark):
+    # the depth x width counter tables are sketch-sized: every probe
+    # join must broadcast them, never sort-merge the corpus
+    plan = plan_of(spark, "freq_cms_tokens")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_no_cartesian_product(spark):
+    # per-iteration plans are edge-key joins plus 1-row stat
+    # broadcasts; a CartesianProduct would mean the N/teleport scalar
+    # leaked into a real cross join
+    plan = plan_of(spark, "pagerank_candidate_graph")
+    assert "CartesianProduct" not in plan
