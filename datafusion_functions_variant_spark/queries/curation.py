@@ -474,3 +474,172 @@ def _register_round4_tail() -> None:
 
 
 _register_round4_tail()
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training — 3 merge rounds over the
+# word-frequency table, exact integer scoring, greedy leftmost
+# non-overlapping merge resolved with gaps-and-islands parity (no
+# sequential per-word state).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of the Spark BPE loop below: same
+    pair scoring (ALL adjacent pairs, overlap included, weighted by
+    word frequency), same (total DESC, a, b) tie-break, same
+    island-parity greedy merge."""
+    parts = [
+        """v0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    s0 AS (
+      SELECT word, n, i AS pos, substr(word, i::INT, 1) AS sym
+      FROM (SELECT word, n, unnest(range(1, len(word) + 1)) AS i FROM v0)
+    )"""
+    ]
+    for r in range(_BPE_ROUNDS):
+        parts.append(
+            f"""x{r} AS (
+      SELECT word, n, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS next
+      FROM s{r}
+    ),
+    best{r} AS (
+      SELECT sym AS a, next AS b, CAST(SUM(n) AS BIGINT) AS total
+      FROM x{r} WHERE next IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY total DESC, a, b
+      LIMIT 1
+    ),
+    c{r} AS (
+      SELECT word, pos,
+             (row_number() OVER (PARTITION BY word, island ORDER BY pos) % 2 = 1)
+               AS sel
+      FROM (
+        SELECT x.word, x.pos,
+               x.pos - row_number() OVER (PARTITION BY x.word ORDER BY x.pos)
+                 AS island
+        FROM x{r} x, best{r} b
+        WHERE x.sym = b.a AND x.next = b.b
+      )
+    ),
+    s{r + 1} AS (
+      SELECT x.word, x.n, x.pos,
+             CASE WHEN ch.sel THEN x.sym || x.next ELSE x.sym END AS sym
+      FROM x{r} x
+      LEFT JOIN c{r} ch ON ch.word = x.word AND ch.pos = x.pos AND ch.sel
+      LEFT JOIN c{r} pv ON pv.word = x.word AND pv.pos = x.pos - 1 AND pv.sel
+      WHERE pv.word IS NULL
+    )"""
+        )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {r + 1} AS step, a AS left_sym, b AS right_sym, total FROM best{r}"
+        for r in range(_BPE_ROUNDS)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT step, left_sym, right_sym, total FROM (
+      {unions}
+    ) ORDER BY step
+    """
+    )
+
+
+@query("tokenizer_bpe_merges", oracle=_bpe_oracle())
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first 3 merge rounds, distributed: the
+    corpus collapses to a word-frequency table in one shuffle (the only
+    corpus-scale step — BPE statistics live on the vocabulary, which is
+    orders of magnitude smaller than the data), then each round scores
+    every adjacent symbol pair (frequency-weighted, overlaps counted,
+    classic get_stats semantics), picks the max with a (count DESC,
+    pair) tie-break, and applies the greedy leftmost non-overlapping
+    merge. Greedy-leftmost over a run of identical pairs ('aaaa' with
+    pair a+a) is resolved WITHOUT sequential state: candidate positions
+    form gaps-and-islands (pos - row_number), and within each island
+    exactly the odd ranks merge — pure window arithmetic, identical in
+    the DuckDB oracle. Emits (step, left_sym, right_sym, total): the
+    merge table a real tokenizer would persist.
+
+    Scale: rounds iterate on the vocabulary only; the best pair is a
+    1-row broadcast (never collected); per-round cost is one
+    vocabulary-keyed window + one small join."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    syms = vocab.select(
+        "word",
+        "n",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("_p", "sym"),
+    ).select("word", "n", (F.col("_p") + 1).alias("pos"), "sym")
+
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        w = Window.partitionBy("word").orderBy("pos")
+        x = syms.withColumn("next", F.lead("sym").over(w))
+        best = (
+            x.where(F.col("next").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("next").alias("b"))
+            .agg(F.sum("n").alias("total"))
+            .orderBy(F.col("total").desc(), "a", "b")
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(r + 1).alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                "total",
+            )
+        )
+        cand = (
+            x.crossJoin(F.broadcast(best))
+            .where((F.col("sym") == F.col("a")) & (F.col("next") == F.col("b")))
+            .select(
+                "word",
+                "pos",
+                (F.col("pos") - F.row_number().over(w)).alias("island"),
+            )
+        )
+        sel = cand.select(
+            "word",
+            "pos",
+            (
+                F.row_number().over(
+                    Window.partitionBy("word", "island").orderBy("pos")
+                )
+                % 2
+                == 1
+            ).alias("sel"),
+        ).where("sel")
+        here = sel.select("word", F.col("pos").alias("pos"))
+        prev = sel.select("word", (F.col("pos") + 1).alias("pos"))
+        syms = (
+            x.join(here.withColumn("_m", F.lit(True)), ["word", "pos"], "left")
+            .join(prev.withColumn("_d", F.lit(True)), ["word", "pos"], "left")
+            .where(F.col("_d").isNull())
+            .select(
+                "word",
+                "n",
+                "pos",
+                F.when(F.col("_m"), F.concat("sym", "next"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out.orderBy("step")
