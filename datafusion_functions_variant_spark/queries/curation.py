@@ -643,3 +643,150 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.union(m)
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill (complement of timeseries_gapfill_locf)
+# and dataset mixing weights (sampling-rate calculator for a target
+# language mix).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS key, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT k.key, b.lo + t.i * INTERVAL '1 hour' AS hour
+      FROM (SELECT DISTINCT event_type AS key FROM events) k,
+           bounds b, range(0, 200000) t(i)
+      WHERE t.i <= date_diff('hour', b.lo, b.hi)
+    ),
+    dense AS (
+      SELECT s.key, s.hour, COALESCE(a.n, 0) AS n, a.sum_value,
+             epoch(s.hour)::BIGINT // 3600 AS h,
+             CASE WHEN COALESCE(a.n, 0) > 0
+                  THEN CAST(floor(a.sum_value * 100) AS BIGINT) END AS cents,
+             CASE WHEN COALESCE(a.n, 0) > 0
+                  THEN epoch(s.hour)::BIGINT // 3600 END AS oh
+      FROM spine s LEFT JOIN agg a ON a.key = s.key AND a.hour = s.hour
+    ),
+    neigh AS (
+      SELECT *,
+             last_value(cents IGNORE NULLS) OVER wp AS pv,
+             last_value(oh IGNORE NULLS) OVER wp AS ph,
+             first_value(cents IGNORE NULLS) OVER wn AS nv,
+             first_value(oh IGNORE NULLS) OVER wn AS nh
+      FROM dense
+      WINDOW wp AS (PARTITION BY key ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY key ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT key, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n, sum_value,
+           round(CASE WHEN n > 0 THEN cents
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN (pv * (nh - h) + nv * (h - ph)) // (nh - ph)
+                 END / 100.0, 6) AS interp_value
+    FROM neigh
+    ORDER BY key, hour
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation over the dense hourly spine
+    (operators/timeseries.py:hourly_interpolate_linear): missing hours
+    get prev + (next-prev)*(t-t_prev)/(t_next-t_prev) between their
+    nearest observed neighbors, in all-integer cent/epoch-hour
+    arithmetic with one floor division — bit-reproducible on both
+    engines. Leading/trailing gaps stay null (no extrapolation). Same
+    single key-partitioned shuffle as the LOCF twin."""
+    from ..operators.timeseries import hourly_interpolate_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hourly_interpolate_linear(ev, "ts", "event_type", "value")
+    return out.select(
+        "key",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n",
+        "sum_value",
+        "interp_value",
+    ).orderBy("key", "hour")
+
+
+_MIX_TARGETS = [("en", 40), ("de", 25), ("fr", 20), ("es", 15)]
+_MIX_BUDGET_PCT = 60  # sample down to 60% of the corpus' total tokens
+
+
+@query(
+    "dataset_mixing_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+      FROM documents GROUP BY lang
+    ),
+    total AS (SELECT CAST(SUM(actual_tokens) AS BIGINT) AS t FROM toks),
+    targets(lang, target_pct) AS (VALUES
+      {', '.join(f"('{lang}', {pct})" for lang, pct in _MIX_TARGETS)}),
+    rates AS (
+      SELECT k.lang, k.actual_tokens, g.target_pct,
+             least(1000000,
+                   (g.target_pct * ({_MIX_BUDGET_PCT} * total.t // 100) * 10000)
+                   // (100 * k.actual_tokens)) AS rate_ppm
+      FROM toks k JOIN targets g USING (lang), total
+    )
+    SELECT lang, actual_tokens, CAST(target_pct AS BIGINT) AS target_pct,
+           CAST(rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(actual_tokens * rate_ppm // 1000000 AS BIGINT) AS expected_tokens
+    FROM rates
+    ORDER BY lang
+    """,
+)
+def dataset_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture calculator: given target language proportions and a
+    token budget (60% of the corpus), derive the per-language sampling
+    rate (parts-per-million, capped at 1.0) and the expected token
+    yield — the table a weighted-mixture loader consumes. All integer
+    arithmetic (floor divisions), so the oracle is exact. One corpus
+    scan for token counts; the 1-row total broadcasts back; targets
+    ride as literals."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("actual_tokens")
+    )
+    total = toks.agg(F.sum("actual_tokens").alias("t"))
+    targets = docs.sparkSession.createDataFrame(
+        _MIX_TARGETS, ["lang", "target_pct"]
+    )
+    rates = (
+        toks.join(F.broadcast(targets), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "actual_tokens",
+            "target_pct",
+            F.least(
+                F.lit(1000000),
+                F.expr(
+                    f"(target_pct * (({_MIX_BUDGET_PCT} * t) div 100) * 10000)"
+                    " div (100 * actual_tokens)"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    return rates.select(
+        "lang",
+        "actual_tokens",
+        F.col("target_pct").cast("long").alias("target_pct"),
+        "rate_ppm",
+        F.expr("(actual_tokens * rate_ppm) div 1000000").alias("expected_tokens"),
+    ).orderBy("lang")
