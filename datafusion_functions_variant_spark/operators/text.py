@@ -349,3 +349,91 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             & (F.coalesce(d3, F.lit(0.0)) < 0.75)
         ).alias("keep"),
     )
+
+
+def bpe_merge_rounds(
+    vocab: DataFrame, rounds: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed BPE merge training over a (word, n) frequency table:
+    per round, score every adjacent symbol pair (frequency-weighted,
+    overlaps counted — classic get_stats), pick the max with a
+    (count DESC, pair) tie-break, and apply the greedy leftmost
+    non-overlapping merge. Greedy-leftmost over a run of identical
+    pairs ('aaaa' + pair a,a) needs no sequential state: candidate
+    positions form gaps-and-islands (pos - row_number) and within each
+    island exactly the odd ranks merge.
+
+    Returns (merges, symbols): the (step, left_sym, right_sym, total)
+    merge table a tokenizer persists, and the final per-word symbol
+    rows (word, n, pos, sym). Rounds iterate on the vocabulary only;
+    the best pair is a 1-row broadcast (never collected)."""
+    syms = vocab.select(
+        "word",
+        "n",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("_p", "sym"),
+    ).select("word", "n", (F.col("_p") + 1).alias("pos"), "sym")
+
+    merges = []
+    for r in range(rounds):
+        w = Window.partitionBy("word").orderBy("pos")
+        x = syms.withColumn("next", F.lead("sym").over(w))
+        best = (
+            x.where(F.col("next").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("next").alias("b"))
+            .agg(F.sum("n").alias("total"))
+            .orderBy(F.col("total").desc(), "a", "b")
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(r + 1).alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                "total",
+            )
+        )
+        cand = (
+            x.crossJoin(F.broadcast(best))
+            .where((F.col("sym") == F.col("a")) & (F.col("next") == F.col("b")))
+            .select(
+                "word",
+                "pos",
+                (F.col("pos") - F.row_number().over(w)).alias("island"),
+            )
+        )
+        sel = cand.select(
+            "word",
+            "pos",
+            (
+                F.row_number().over(
+                    Window.partitionBy("word", "island").orderBy("pos")
+                )
+                % 2
+                == 1
+            ).alias("sel"),
+        ).where("sel")
+        here = sel.select("word", F.col("pos").alias("pos"))
+        prev = sel.select("word", (F.col("pos") + 1).alias("pos"))
+        syms = (
+            x.join(here.withColumn("_m", F.lit(True)), ["word", "pos"], "left")
+            .join(prev.withColumn("_d", F.lit(True)), ["word", "pos"], "left")
+            .where(F.col("_d").isNull())
+            .select(
+                "word",
+                "n",
+                # renumber: merges leave position gaps, and the next
+                # round's adjacency (lead, islands, pos+1 drop) requires
+                # consecutive positions — without this, a pair whose
+                # halves came from earlier merges never coalesces
+                F.row_number().over(w).alias("pos"),
+                F.when(F.col("_m"), F.concat("sym", "next"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out, syms

@@ -529,12 +529,19 @@ def _bpe_oracle() -> str:
       )
     ),
     s{r + 1} AS (
-      SELECT x.word, x.n, x.pos,
-             CASE WHEN ch.sel THEN x.sym || x.next ELSE x.sym END AS sym
-      FROM x{r} x
-      LEFT JOIN c{r} ch ON ch.word = x.word AND ch.pos = x.pos AND ch.sel
-      LEFT JOIN c{r} pv ON pv.word = x.word AND pv.pos = x.pos - 1 AND pv.sel
-      WHERE pv.word IS NULL
+      -- renumber positions: merges leave gaps and the next round's
+      -- adjacency logic requires consecutive positions
+      SELECT word, n,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             sym
+      FROM (
+        SELECT x.word, x.n, x.pos,
+               CASE WHEN ch.sel THEN x.sym || x.next ELSE x.sym END AS sym
+        FROM x{r} x
+        LEFT JOIN c{r} ch ON ch.word = x.word AND ch.pos = x.pos AND ch.sel
+        LEFT JOIN c{r} pv ON pv.word = x.word AND pv.pos = x.pos - 1 AND pv.sel
+        WHERE pv.word IS NULL
+      )
     )"""
         )
     unions = "\n      UNION ALL\n      ".join(
@@ -571,78 +578,16 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rounds iterate on the vocabulary only; the best pair is a
     1-row broadcast (never collected); per-round cost is one
     vocabulary-keyed window + one small join."""
+    from ..operators.text import bpe_merge_rounds
+
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    syms = vocab.select(
-        "word",
-        "n",
-        F.posexplode(
-            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-        ).alias("_p", "sym"),
-    ).select("word", "n", (F.col("_p") + 1).alias("pos"), "sym")
-
-    merges = []
-    for r in range(_BPE_ROUNDS):
-        w = Window.partitionBy("word").orderBy("pos")
-        x = syms.withColumn("next", F.lead("sym").over(w))
-        best = (
-            x.where(F.col("next").isNotNull())
-            .groupBy(F.col("sym").alias("a"), F.col("next").alias("b"))
-            .agg(F.sum("n").alias("total"))
-            .orderBy(F.col("total").desc(), "a", "b")
-            .limit(1)
-        )
-        merges.append(
-            best.select(
-                F.lit(r + 1).alias("step"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                "total",
-            )
-        )
-        cand = (
-            x.crossJoin(F.broadcast(best))
-            .where((F.col("sym") == F.col("a")) & (F.col("next") == F.col("b")))
-            .select(
-                "word",
-                "pos",
-                (F.col("pos") - F.row_number().over(w)).alias("island"),
-            )
-        )
-        sel = cand.select(
-            "word",
-            "pos",
-            (
-                F.row_number().over(
-                    Window.partitionBy("word", "island").orderBy("pos")
-                )
-                % 2
-                == 1
-            ).alias("sel"),
-        ).where("sel")
-        here = sel.select("word", F.col("pos").alias("pos"))
-        prev = sel.select("word", (F.col("pos") + 1).alias("pos"))
-        syms = (
-            x.join(here.withColumn("_m", F.lit(True)), ["word", "pos"], "left")
-            .join(prev.withColumn("_d", F.lit(True)), ["word", "pos"], "left")
-            .where(F.col("_d").isNull())
-            .select(
-                "word",
-                "n",
-                "pos",
-                F.when(F.col("_m"), F.concat("sym", "next"))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.union(m)
-    return out.orderBy("step")
+    merges, _ = bpe_merge_rounds(vocab, rounds=_BPE_ROUNDS)
+    return merges.orderBy("step")
 
 
 # ---------------------------------------------------------------------------

@@ -464,3 +464,137 @@ def test_asof_nearest_matches_brute_force(spark):
             key=lambda c: (abs((c[1] - lt).total_seconds()), c[1] > lt),
         )
         assert got[lid] == best[0], (lid, k, lt, cands)
+
+
+def _bpe_reference(words: dict[str, int], rounds: int):
+    """Plain-Python classic BPE (get_stats + greedy leftmost merge),
+    the semantics the distributed operator must reproduce."""
+    vocab = {w: [c for c in w] for w in words}
+    merges = []
+    for _ in range(rounds):
+        stats: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + words[w]
+        if not stats:
+            break
+        # max count, ties broken by lexicographic pair
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], stats[best]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_rounds_match_reference_incl_overlapping_runs(spark):
+    """The gaps-and-islands parity merge must equal classic greedy
+    leftmost BPE — including runs of an identical pair ('aaaa' with
+    pair a+a must become [aa, aa], never [aa, a, a] or [a, aa, a]),
+    and merged symbols pairing with neighbors in later rounds."""
+    from datafusion_functions_variant_spark.operators.text import bpe_merge_rounds
+
+    words = {
+        "aaaa": 50,   # island run: 3 overlapping (a,a) candidates
+        "aaab": 30,   # run ending in a different symbol
+        "banana": 20, # alternating pair, non-adjacent candidates
+        "abab": 25,
+        "bb": 10,
+        "a": 5,       # single-symbol word: no pairs
+    }
+    vocab = spark.createDataFrame(list(words.items()), ["word", "n"])
+    merges_df, syms_df = bpe_merge_rounds(vocab, rounds=4)
+
+    ref_merges, ref_vocab = _bpe_reference(dict(words), 4)
+    got_merges = [
+        (r.left_sym, r.right_sym, r.total)
+        for r in merges_df.orderBy("step").collect()
+    ]
+    assert got_merges == ref_merges
+
+    rows = syms_df.orderBy("word", "pos").collect()
+    got_vocab: dict[str, list[str]] = {}
+    for r in rows:
+        got_vocab.setdefault(r.word, []).append(r.sym)
+    assert got_vocab == ref_vocab
+
+
+def test_chunk_dedup_reconstruction_invariants(spark):
+    """Chunk dedup must (1) keep every first-occurrence chunk, (2)
+    reconstruct doc 0's text verbatim (nothing precedes it), and (3)
+    reconstruct an exact-duplicate doc as empty."""
+    from datafusion_functions_variant_spark.queries import load_all_queries
+
+    reg = load_all_queries()
+    import hashlib
+    import duckdb
+
+    out = {
+        r.doc_id: r
+        for r in reg["dedup_chunk_exact"].build(spark, "/root/testdata/sf0.001").collect()
+    }
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    id0, text0 = docs[0]
+    assert out[id0].new_text_md5 == hashlib.md5(text0.encode()).hexdigest()
+    assert out[id0].n_kept == out[id0].n_chunks
+    total_kept = sum(r.n_kept for r in out.values())
+    distinct_chunks = duckdb.sql(f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM '/root/testdata/sf0.001/documents.parquet')
+        SELECT COUNT(DISTINCT chunk) FROM (
+          SELECT array_to_string(words[(i*20+1):((i+1)*20)], ' ') AS chunk
+          FROM (SELECT words, unnest(range(0, CAST(ceil(len(words)/20.0) AS BIGINT))) AS i FROM w))
+    """).fetchone()[0]
+    assert total_kept == distinct_chunks
+
+
+def test_ewma_lies_within_window_minmax(spark):
+    """The EWMA is a convex combination of the last <=16 values, so it
+    must lie within [min, max] of that window for every row; a first
+    row's EWMA equals its own value."""
+    from datafusion_functions_variant_spark.queries import load_all_queries
+    from datafusion_functions_variant_spark.sources.tables import load_table
+
+    reg = load_all_queries()
+    out = reg["timeseries_ewma_fixed_point"].build(
+        spark, "/root/testdata/sf0.001"
+    )
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        (F.floor(F.col("value") * 100) / 100.0).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    bounds = {
+        r.event_id: r
+        for r in ev.select(
+            "event_id",
+            F.min("v").over(w).alias("lo"),
+            F.max("v").over(w).alias("hi"),
+            (F.count("v").over(w) == 1).alias("is_first"),
+            "v",
+        ).collect()
+    }
+    for r in out.collect():
+        b = bounds[r.event_id]
+        assert b.lo - 1e-6 <= r.ewma <= b.hi + 1e-6, r
+        if b.is_first:
+            assert abs(r.ewma - b.v) < 1e-6
