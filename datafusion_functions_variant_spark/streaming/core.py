@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import threading
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -330,6 +330,80 @@ def read_multibatch_events_stream(
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
             StructField("props", StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(split_dir)
+    )
+
+
+def read_multibatch_dedup_stream(
+    spark: SparkSession, sf_dir: str, split_dir: str
+) -> DataFrame:
+    """Events as THREE content-deduped micro-batches for exercising
+    dropDuplicatesWithinWatermark's cross-batch state lifecycle
+    (emit → drop-as-dup → evict-on-watermark → re-emit).
+
+    Batch p keeps ONE row per content hash — the max-event_id (latest)
+    occurrence within parity class p (even ids / ids%4==1 / ids%4==3).
+    The per-batch pre-dedup is harness setup, not the operator: with
+    multiple same-key rows in one micro-batch, which row wins (and
+    therefore the state's expiry anchor) depends on shuffle arrival
+    order, which no oracle can reproduce; one row per (key, batch)
+    makes the whole state machine deterministic. File order is pinned
+    via mtimes (FileStreamSource orders by modification time)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import load_table
+
+    os.makedirs(split_dir, exist_ok=True)
+    full = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        # composite (content, user) key: the 100 recurring payloads
+        # alone never leave the watermark window, so no state would
+        # ever expire — the sparser key makes every lifecycle branch
+        # (dup / evict / re-emit) actually occur at test scale
+        F.md5(
+            F.concat(
+                F.regexp_replace(F.trim(F.lower(F.col("props"))), r"\s+", " "),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        ).alias("h"),
+        F.when(F.col("event_id") % 2 == 0, 0)
+        .when(F.col("event_id") % 4 == 1, 1)
+        .otherwise(2)
+        .alias("b"),
+    )
+    w = Window.partitionBy("h", "b").orderBy(F.col("event_id").desc())
+    cand = (
+        full.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("event_id", "ts", "h", "b")
+    )
+    paths = []
+    for p in range(3):
+        pdf = cand.where(F.col("b") == p).select("event_id", "ts", "h").toPandas()
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        ts_idx = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(ts_idx, "ts", tbl.column("ts").cast(pa.timestamp("us")))
+        path = os.path.join(split_dir, f"batch{p}.parquet")
+        pq.write_table(tbl, path)
+        paths.append(path)
+    base = 1_700_000_000
+    for i, path in enumerate(paths):
+        os.utime(path, (base + i * 10, base + i * 10))
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("h", StringType()),
         ]
     )
     return (
