@@ -77,3 +77,35 @@ def test_graph_ops_empty(spark):
     empty_pairs = spark.createDataFrame([], "src long, dst long")
     assert graph.min_label_components(empty_pairs).count() == 0
     assert graph.triangle_counts(empty_pairs).count() == 0
+
+
+def test_bpe_empty_vocab(spark):
+    from datafusion_functions_variant_spark.operators.text import bpe_merge_rounds
+
+    vocab = spark.createDataFrame([], "word string, n long")
+    merges, syms = bpe_merge_rounds(vocab, rounds=2)
+    assert merges.count() == 0
+    assert syms.count() == 0
+
+
+def test_pq_empty_queries(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert (
+        similarity.pq_topk(emb, _empty_emb(spark), k=3, m=8, ks=16, dim=64).count()
+        == 0
+    )
+    assert (
+        similarity.pq_topk(
+            emb, _empty_emb(spark), k=3, m=8, ks=16, dim=64, shortlist=32
+        ).count()
+        == 0
+    )
+
+
+def test_interpolate_empty_events(spark):
+    from datafusion_functions_variant_spark.operators.timeseries import (
+        hourly_interpolate_linear,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").where(F.lit(False))
+    assert hourly_interpolate_linear(ev).count() == 0
