@@ -231,3 +231,53 @@ def frame_sample_plan(
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_md5": hashes})
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(_sample, schema)
+
+
+def audio_frame_plan(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    win: int = 64,
+    hop: int = 32,
+) -> DataFrame:
+    """Plumbing for audio feature framing (the STFT/fbank front-end
+    shape): one row per analysis window of ``win`` payload bytes
+    advanced by ``hop`` — the standard 25ms/10ms overlapping-window
+    layout, scaled to the synthetic payloads. Unlike the video
+    sampler's stubbed decode, the per-frame CONTENT hash is real (md5
+    of the actual byte slice), so an oracle can verify every frame's
+    bytes, not just the fan-out arithmetic. Assets shorter than one
+    window emit a single truncated frame.
+
+    Same 100 TB discipline as the rest of the module: Arrow-batched
+    mapInPandas, payload bytes never become per-row Python objects
+    outside the batch loop, fan-out (and therefore downstream
+    partition sizing) is a pure function of payload length."""
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("offset", IntegerType()),
+            StructField("frame_md5", StringType()),
+        ]
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, offs, hashes = [], [], [], []
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                n = len(p)
+                n_frames = max(1, (n - win) // hop + 1) if n >= win else 1
+                for fi in range(n_frames):
+                    off = fi * hop
+                    ids.append(aid)
+                    idxs.append(fi)
+                    offs.append(off)
+                    hashes.append(hashlib.md5(p[off : off + win]).hexdigest())
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "offset": offs, "frame_md5": hashes}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(_frames, schema)

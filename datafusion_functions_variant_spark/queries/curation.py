@@ -735,3 +735,50 @@ def dataset_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate_ppm",
         F.expr("(actual_tokens * rate_ppm) div 1000000").alias("expected_tokens"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Audio-style overlapping-window framing (multimodal family): real
+# per-frame content hashes, oracle-verified byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_AUDIO_WIN = 64
+_AUDIO_HOP = 32
+
+
+@query(
+    "multimodal_audio_framing",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(doc_id AS BIGINT) AS asset_id, text,
+             octet_length(encode(text)) AS n,
+             unnest(range(0, CASE WHEN octet_length(encode(text)) >= {_AUDIO_WIN}
+                  THEN greatest(1, (octet_length(encode(text)) - {_AUDIO_WIN}) // {_AUDIO_HOP} + 1)
+                  ELSE 1 END)) AS frame_idx
+      FROM documents
+    )
+    SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * {_AUDIO_HOP} AS INT) AS "offset",
+           md5(substr(text, (frame_idx * {_AUDIO_HOP} + 1)::INT, {_AUDIO_WIN}))
+             AS frame_md5
+    FROM a
+    ORDER BY asset_id, frame_idx
+    """,
+)
+def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio front-end framing plumbing
+    (operators/multimodal.py:audio_frame_plan): overlapping 64-byte
+    windows advanced by 32 bytes over each payload — the STFT/fbank
+    layout. Per-frame md5 is of the ACTUAL byte slice (payloads are
+    ASCII here, so the oracle's char slicing is byte-identical),
+    making this the multimodal entry whose content — not just fan-out
+    arithmetic — is oracle-verified. Arrow-batched mapInPandas; the
+    payload never leaves the batch loop as row objects."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    return multimodal.audio_frame_plan(
+        docs, "payload", "doc_id", win=_AUDIO_WIN, hop=_AUDIO_HOP
+    ).orderBy("asset_id", "frame_idx")
