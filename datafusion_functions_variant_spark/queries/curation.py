@@ -782,3 +782,96 @@ def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_frame_plan(
         docs, "payload", "doc_id", win=_AUDIO_WIN, hop=_AUDIO_HOP
     ).orderBy("asset_id", "frame_idx")
+
+
+@query(
+    "dataset_importance_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+      FROM documents GROUP BY lang
+    ),
+    total AS (SELECT CAST(SUM(actual_tokens) AS BIGINT) AS t FROM toks),
+    targets(lang, target_pct) AS (VALUES
+      {', '.join(f"('{lang}', {pct})" for lang, pct in _MIX_TARGETS)}),
+    rates AS (
+      SELECT k.lang,
+             least(1000000,
+                   (g.target_pct * ({_MIX_BUDGET_PCT} * total.t // 100) * 10000)
+                   // (100 * k.actual_tokens)) AS rate_ppm
+      FROM toks k JOIN targets g USING (lang), total
+    ),
+    sampled AS (
+      SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_tokens,
+             (('0x' || substr(md5('resample:' || d.doc_id), 1, 8))::UBIGINT
+              % 1000000)::BIGINT AS bucket,
+             r.rate_ppm
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_kept_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_kept_doc
+    FROM sampled
+    WHERE bucket < rate_ppm
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def dataset_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the mixing weights: each document keeps iff its salted
+    md5 bucket (0..1M) falls below its language's sampling rate from
+    ``dataset_mixing_weights`` — deterministic Bernoulli-by-hash, the
+    same reproducibility discipline as dataset_split_assignment (never
+    ``sample()``: membership must be a pure function of the id, stable
+    across runs, partitionings, and engines). Emits the achieved
+    per-language doc/token yields. One corpus scan; the 4-row rate
+    table broadcasts; no shuffle beyond the final per-language agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("actual_tokens")
+    )
+    total = toks.agg(F.sum("actual_tokens").alias("t"))
+    targets = docs.sparkSession.createDataFrame(
+        _MIX_TARGETS, ["lang", "target_pct"]
+    )
+    rates = (
+        toks.join(F.broadcast(targets), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1000000),
+                F.expr(
+                    f"(target_pct * (({_MIX_BUDGET_PCT} * t) div 100) * 10000)"
+                    " div (100 * actual_tokens)"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("resample:"), F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    sampled = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            bucket.alias("bucket"),
+        )
+        .join(F.broadcast(rates), "lang")
+        .where(F.col("bucket") < F.col("rate_ppm"))
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.min("doc_id").alias("min_kept_doc"),
+            F.max("doc_id").alias("max_kept_doc"),
+        )
+        .orderBy("lang")
+    )

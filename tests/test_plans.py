@@ -502,3 +502,20 @@ def test_pagerank_no_cartesian_product(spark):
     # leaked into a real cross join
     plan = plan_of(spark, "pagerank_candidate_graph")
     assert "CartesianProduct" not in plan
+
+
+def test_interpolation_single_key_exchange(spark):
+    # both neighbor windows (backward last, forward first) must share
+    # the single key-partitioned exchange; the spine build adds only
+    # the broadcast of the 1-row bounds and the distinct-keys agg
+    plan = plan_of(spark, "timeseries_interpolate_linear")
+    assert plan.count("Exchange hashpartitioning(key") <= 2  # dense join + windows
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_broadcasts_rate_table(spark):
+    # the per-language rate table is 4 rows: it must broadcast onto
+    # the corpus scan, never shuffle the documents on lang
+    plan = plan_of(spark, "dataset_importance_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
