@@ -730,3 +730,105 @@ def stream_dedup_state_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.col("h").alias("content_hash"), "event_id"
     ).orderBy("content_hash", "event_id")
+
+
+@query(
+    "stream_session_merge_multibatch",
+    oracle=r"""
+    -- Cross-batch session-window state machine (same empirically
+    -- pinned lag rules as stream_multibatch_late_data /
+    -- stream_dedup_state_eviction): batch N's displayed watermark is
+    -- max event ts through batch N-1 minus delay; the late filter
+    -- lags one batch and drops a row iff its OWN session envelope
+    -- (ts + gap) <= that lagged watermark; sessions merge first and
+    -- emit at batch end when session_end <= the batch's displayed
+    -- watermark; emitted sessions leave state, so later rows in their
+    -- range form NEW sessions. Verified row-for-row (4377 sessions at
+    -- sf0.01) against the real three-batch stream.
+    WITH r AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_id % 2 = 0 THEN 0
+                  WHEN event_id % 4 = 1 THEN 1 ELSE 2 END AS b
+      FROM events),
+    wmv AS (SELECT
+      (SELECT max(ts) FROM r WHERE b = 0) - INTERVAL '3 days' AS wm1,
+      greatest((SELECT max(ts) FROM r WHERE b = 0),
+               (SELECT max(ts) FROM r WHERE b = 1)) - INTERVAL '3 days' AS wm2,
+      (SELECT max(ts) FROM r) - INTERVAL '3 days' AS wm3),
+    p1 AS (
+      SELECT user_id, ts, value,
+             SUM(CASE WHEN pv IS NULL OR ts - pv > INTERVAL '6 hours'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS isl
+      FROM (SELECT user_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+            FROM r WHERE b IN (0, 1))),
+    s1 AS (
+      SELECT user_id, isl, min(ts) AS st, max(ts) + INTERVAL '6 hours' AS en,
+             count(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM p1 GROUP BY 1, 2),
+    e1 AS (SELECT s1.* FROM s1, wmv WHERE s1.en <= wmv.wm1),
+    rem1 AS (
+      SELECT p1.user_id, p1.ts, p1.value FROM p1
+      JOIN s1 USING (user_id, isl), wmv WHERE s1.en > wmv.wm1),
+    k2 AS (SELECT user_id, ts, value FROM r, wmv
+           WHERE b = 2 AND ts + INTERVAL '6 hours' > wmv.wm1),
+    p2 AS (
+      SELECT user_id, ts, value,
+             SUM(CASE WHEN pv IS NULL OR ts - pv > INTERVAL '6 hours'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS isl
+      FROM (SELECT user_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+            FROM (SELECT * FROM rem1 UNION ALL SELECT * FROM k2))),
+    s2 AS (
+      SELECT user_id, isl, min(ts) AS st, max(ts) + INTERVAL '6 hours' AS en,
+             count(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM p2 GROUP BY 1, 2),
+    e2 AS (SELECT s2.* FROM s2, wmv WHERE s2.en <= wmv.wm2),
+    e3 AS (SELECT s2.* FROM s2, wmv
+           WHERE s2.en > wmv.wm2 AND s2.en <= wmv.wm3)
+    SELECT user_id,
+           strftime(st, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(en, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(n AS BIGINT) AS n, CAST(sv AS DOUBLE) AS sum_value
+    FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_merge_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows MERGING across micro-batches — the stateful
+    behavior a single-batch run cannot show: a batch-1 row within the
+    6-hour gap of a batch-0 session extends/merges it; sessions whose
+    envelope closed under the (one-batch-lagged) watermark drop their
+    late rows; emitted sessions leave state, so a later in-range row
+    starts a fresh session that emits separately. The oracle replays
+    the whole state machine in two sessionization phases plus the
+    final-batch close, using the same empirically pinned lag rules as
+    the tumbling-window and dedup-eviction multibatch queries; at
+    sf0.01 all 4377 emitted sessions match row-for-row."""
+    import os as _os
+
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "events_split_sess")
+    st = core.read_multibatch_events_stream(spark, sf_dir, split_dir)
+    sess = (
+        st.withWatermark("ts", "3 days")
+        .groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+    out = core.run_to_batch(sess, "append")
+    return out.orderBy("user_id", "session_start")
