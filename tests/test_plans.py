@@ -519,3 +519,12 @@ def test_resample_broadcasts_rate_table(spark):
     plan = plan_of(spark, "dataset_importance_resample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_audio_framing_no_shuffle_before_python(spark):
+    # framing is a pure Arrow-batched map over the scan: no Exchange
+    # may precede the Python stage (the orderBy at the end is the
+    # only range exchange, for presentation)
+    plan = plan_of(spark, "multimodal_audio_framing")
+    before_python = plan.split("MapInPandas")[-1]  # below = upstream
+    assert "Exchange" not in before_python
