@@ -875,3 +875,125 @@ def dataset_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster the embedding space, then
+# look for near-duplicates only WITHIN clusters.
+# ---------------------------------------------------------------------------
+
+_SEM_K = 16
+_SEM_TAU = 0.3
+
+_SEM_DOT = """ROUND(CAST(SUM(CAST(CAST({a}[i.i] AS DOUBLE) * CAST({b}[i.i] AS DOUBLE)
+             AS DECIMAL(30,15))) AS DOUBLE), 9)"""
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_SEM_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_SEM_DOT.format(a='e.embedding', b='c.cvec')} AS s
+      FROM embeddings e, cents c,
+           LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+             {_SEM_DOT.format(a='ea.embedding', b='eb.embedding')} AS dot
+      FROM assigned a
+      JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id,
+      LATERAL (SELECT unnest(range(1, len(ea.embedding) + 1)) AS i) i
+      GROUP BY a.cid, a.vec_id, b.vec_id
+    ),
+    tight AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_tight_pairs,
+             CAST(COUNT(DISTINCT vb) AS BIGINT) AS n_removed
+      FROM pairs WHERE dot >= {_SEM_TAU} GROUP BY cid
+    )
+    SELECT m.cid, m.n_members,
+           coalesce(t.n_tight_pairs, 0) AS n_tight_pairs,
+           coalesce(t.n_removed, 0) AS n_removed
+    FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM assigned GROUP BY cid) m
+    LEFT JOIN tight t USING (cid)
+    ORDER BY cid
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: assign every embedding to its
+    max-dot seeded centroid (spherical k-means convention — the corpus
+    is unit-normalized), then search for near-duplicates ONLY within
+    clusters (pair work is sum of squared cluster sizes, not corpus²;
+    at scale k grows with the corpus to bound cluster width). Emits
+    per-cluster members, tight pairs (dot >= 0.3), and docs a min-id
+    keeper policy would remove.
+
+    Exactness: every dot is the decimal-summed product rounded to 9
+    (operators/similarity.py:_dot_decimal discipline) and BOTH the
+    assignment ranking and the tight-pair threshold use the rounded
+    value with a cid tie-break, so the oracle reproduces cluster
+    membership and pair sets bit-for-bit — no float-order ambiguity.
+    Plan: centroids broadcast onto one corpus pass; the only corpus
+    shuffle is the within-cluster self-join on cid."""
+    from ..operators import dedup
+    from ..operators.similarity import _dot_decimal
+
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(_dot_decimal("embedding", "cvec"), 9).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("va"), F.col("embedding").alias("_ea")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("vb"), F.col("embedding").alias("_eb")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .select("cid", "va", "vb", F.round(_dot_decimal("_ea", "_eb"), 9).alias("dot"))
+    )
+    tight = (
+        pairs.where(F.col("dot") >= F.lit(_SEM_TAU))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_tight_pairs"),
+            F.countDistinct("vb").alias("n_removed"),
+        )
+    )
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        members.join(tight, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_tight_pairs", F.lit(0)).alias("n_tight_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+        .orderBy("cid")
+    )
