@@ -997,3 +997,145 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — the classic warehouse analytics matrix.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_retention_cohorts",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate)) AS ym
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, min(ym) AS cym FROM o GROUP BY o_custkey),
+    joined AS (
+      SELECT f.cym, o.ym - f.cym AS months_since, o.o_custkey
+      FROM o JOIN firsts f USING (o_custkey)
+    )
+    SELECT printf('%04d-%02d', (cym - 1) // 12, ((cym - 1) % 12) + 1)
+             AS cohort_month,
+           CAST(months_since AS BIGINT) AS months_since,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM joined
+    GROUP BY cym, months_since
+    ORDER BY cohort_month, months_since
+    """,
+)
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted distinct in every subsequent month-offset — the classic
+    warehouse retention triangle. Month arithmetic is pure integers
+    (year*12+month), so cohorts and offsets are engine-exact; the
+    month-key formatting avoids timestamp/timezone representation
+    entirely. Two shuffles (first-order agg on custkey, retention agg
+    on cohort/offset) — the custkey join reuses the first agg's
+    partitioning."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("ym").alias("cym"))
+    joined = o.join(firsts, "o_custkey").select(
+        "cym", (F.col("ym") - F.col("cym")).alias("months_since"), "o_custkey"
+    )
+    cohort = F.format_string(
+        "%04d-%02d",
+        F.expr("(cym - 1) div 12"),
+        F.expr("((cym - 1) % 12) + 1"),
+    )
+    return (
+        joined.groupBy("cym", "months_since")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .select(
+            cohort.alias("cohort_month"),
+            F.col("months_since").cast("long").alias("months_since"),
+            "n_customers",
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric Jaccard) over LSH candidates — the
+# decontamination metric for detecting near-SUPERSET duplication.
+# ---------------------------------------------------------------------------
+
+
+def _register_containment() -> None:
+    from ..operators import dedup
+    from .llmdata import _SIGS_CTE
+
+    oracle = f"""
+    WITH {_SIGS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM candidates c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(i.n_inter / least(sa.n, sb.n), 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+    def dedup_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Containment (asymmetric Jaccard, |A∩B| / min(|A|,|B|)) for
+        every LSH candidate pair: the decontamination-literature metric
+        that catches a document CONTAINING another (near-superset
+        duplication Jaccard under-scores, because the union is
+        inflated by the larger doc). Same bucketed discipline as the
+        Jaccard verifier — exact gram intersection computed only for
+        candidates, candidate list broadcast, per-doc sizes broadcast;
+        the single division is integer/integer rounded to 6 on both
+        engines."""
+        docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+        sigs = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=8)
+        cand = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).select(
+            "doc_a", "doc_b"
+        )
+        grams = dedup.char_ngrams(docs, "text", "doc_id", n=8)
+        sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+        gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+        inter = (
+            F.broadcast(cand)
+            .join(ga, "doc_a")
+            .join(gb, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+        return (
+            inter.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_inter",
+                "n_a",
+                "n_b",
+                F.round(
+                    F.col("n_inter") / F.least("n_a", "n_b"), 6
+                ).alias("containment"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+
+    query("dedup_containment_verified", oracle=oracle)(dedup_containment_verified)
+
+
+_register_containment()
