@@ -1139,3 +1139,275 @@ def _register_containment() -> None:
 
 
 _register_containment()
+
+
+# ---------------------------------------------------------------------------
+# Classic analytics shapes: ordered funnel, ABC/Pareto classes, RFM
+# segmentation, market-basket lift.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_ordered",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked_after_view,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased_after_click,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        WHERE event_type = 'purchase'
+          AND user_id NOT IN (SELECT user_id FROM p)) AS purchases_outside_funnel
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly ORDERED conversion funnel (view -> later click -> later
+    purchase): each stage's anchor is the user's earliest event of
+    that type occurring after the previous stage's anchor — an
+    order-sensitive semantics a naive per-type distinct count gets
+    wrong (the last column counts purchase events that a naive funnel
+    would credit). Three stage aggregations, each a user-keyed shuffle
+    reusing the same partitioning; timestamps only compared, never
+    emitted."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    outside = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(p, "user_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("purchases_outside_funnel"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+        .crossJoin(outside)
+    )
+    return counts
+
+
+@query(
+    "lineitem_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN (cum - r) * 100 < tot.t * 80 THEN 'A'
+                  WHEN (cum - r) * 100 < tot.t * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM ranked, tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: class A = parts
+    whose PRECEDING cumulative share is under 80%, B under 95%, C the
+    tail — the inventory-analytics standard. The cumulative sum is
+    decimal-exact and the class boundaries compare integers
+    (cum*100 < total*80), so classification is engine-exact with no
+    float share in sight. The global running sum is the one inherently
+    serial step; part cardinality (the AGGREGATED relation, not
+    lineitem) keeps it small, and the same ordered-bucket trick as
+    global_sort_rank would shard it at 100 TB."""
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.withColumn("cum", F.sum("r").over(w))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when((F.col("cum") - F.col("r")) * 100 < F.col("t") * 80, "A")
+        .when((F.col("cum") - F.col("r")) * 100 < F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM m
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quintiles (ntile over fully tie-broken total orders — custkey as
+    the tiebreaker makes every quintile boundary engine-exact), rolled
+    up to segment counts. Monetary ranks on the exact decimal sum.
+    The three ntiles share one single-partition window over the
+    CUSTOMER aggregate (not orders) — same bounded-serial-step
+    reasoning as the Pareto classes."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    scored = m.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy(F.col("last_order").desc(), "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            "n_customers",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "basket_part_lift",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS part_bucket
+      FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+    supp AS (
+      SELECT part_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders_with
+      FROM li GROUP BY part_bucket
+    ),
+    pairs AS (
+      SELECT a.part_bucket AS pa, b.part_bucket AS pb,
+             CAST(COUNT(*) AS BIGINT) AS n_together
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.part_bucket < b.part_bucket
+      GROUP BY 1, 2
+    )
+    SELECT p.pa, p.pb, p.n_together,
+           round((p.n_together * n.n) / (sa.n_orders_with * sb.n_orders_with), 6)
+             AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.part_bucket = p.pa
+    JOIN supp sb ON sb.part_bucket = p.pb, n_orders n
+    WHERE p.n_together >= 8
+    ORDER BY pa, pb
+    """,
+)
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association lift over part buckets co-occurring in
+    an order (buckets keep the itemset vocabulary bounded — the same
+    move real basket mining makes with product categories):
+    lift(a,b) = P(a,b) / (P(a)P(b)) as one integer expression
+    (n_together * n_orders) / (supp_a * supp_b), rounded to 6 (the
+    support floor of 8 keeps the driver check non-empty at sf0.001 —
+    10 rows — while trimming singleton noise). The
+    pair join is keyed on l_orderkey whose fan-out is the order's line
+    count (~7) — bounded quadratic per order, never corpus-quadratic;
+    support tables broadcast back."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket"))
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    supp = li.groupBy("part_bucket").agg(F.count(F.lit(1)).alias("n_orders_with"))
+    a = li.select(F.col("l_orderkey"), F.col("part_bucket").alias("pa"))
+    b = li.select(F.col("l_orderkey"), F.col("part_bucket").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .where(F.col("n_together") >= 8)
+    )
+    sa = supp.select(F.col("part_bucket").alias("pa"), F.col("n_orders_with").alias("_sa"))
+    sb = supp.select(F.col("part_bucket").alias("pb"), F.col("n_orders_with").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "n_together",
+            F.round(
+                (F.col("n_together") * F.col("n")) / (F.col("_sa") * F.col("_sb")), 6
+            ).alias("lift"),
+        )
+        .orderBy("pa", "pb")
+    )
