@@ -266,3 +266,60 @@ def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"), dsum("o_totalprice", "sum_price"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_csv_permissive",
+    oracle="""
+    WITH rows AS (
+      SELECT doc_id, lang, n_chars, (doc_id % 7 = 0) AS corrupt
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN NOT corrupt THEN n_chars ELSE 0 END) AS BIGINT)
+             AS sum_chars
+    FROM rows
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on the CSV source: a CSV written with
+    a deterministic corruption (every 7th doc's numeric field is the
+    string 'xx') is read back under PERMISSIVE mode with an explicit
+    schema and a ``columnNameOfCorruptRecord`` — bad rows surface as
+    NULL fields plus the raw line in the corrupt column instead of
+    failing the job (at 100 TB there is ALWAYS a bad record; FAILFAST
+    is not an option and silent DROPMALFORMED hides data loss). The
+    aggregate proves both populations: corrupt counts per lang and the
+    exact sum over the rows that parsed."""
+    from ..sources.tables import load_table
+
+    path = os.path.join(_IO_DIR, "docs_csv_permissive")
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx")).otherwise(
+            F.col("n_chars").cast("string")
+        ),
+        F.col("lang"),
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema("doc_id LONG, n_chars LONG, lang STRING, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_bad").isNotNull().cast("long")).alias("n_corrupt"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -1411,3 +1411,46 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pa", "pb")
     )
+
+
+@query(
+    "window_numeric_range_frame",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id,
+           CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY cents
+                               RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_within_5
+    FROM c
+    ORDER BY event_id
+    """,
+)
+def window_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric (value-distance) RANGE frame — the frame family's last
+    member next to ROWS and time-RANGE: for each event, how many
+    same-type events have a value within 5.00 below it. RANGE frames
+    bound by VALUE distance, so peers (equal cents) share one frame
+    regardless of row order — deterministic with no tie-break needed;
+    the integer-cents sort key keeps the bound exact on both engines.
+    One shuffle on event_type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rangeBetween(-500, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_within_5"),
+        )
+        .orderBy("event_id")
+    )
