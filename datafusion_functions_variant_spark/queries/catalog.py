@@ -323,3 +323,94 @@ def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "source_json_single_variant",
+    oracle=f"""
+    SELECT events.event_type, COUNT(*) AS n, {dsum_sql("value", "sum_value")},
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def source_json_single_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``singleVariantColumn`` JSON ingestion — the
+    variant-native ingest path: every JSON line lands as ONE variant
+    value with no schema inference pass and no fixed struct (new fields
+    appear without a schema change; at 100 TB an inference pass is a
+    full extra scan and a fixed struct is a migration). Events are
+    re-serialized as JSON lines with the semi-structured ``props``
+    spliced in as a RAW nested object, read back as variant, and all
+    typed access happens through ``variant_get`` paths — including a
+    typed extraction from inside the nested props object (sum_k). The double survives
+    the JSON round trip bit-exactly (shortest-repr print, exact
+    parse), so the oracle aggregates the original table directly."""
+    from ..sources.tables import load_table
+
+    path = os.path.join(_IO_DIR, "events_single_variant")
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit('{"event_id":'),
+        F.col("event_id"),
+        F.lit(',"event_type":"'),
+        F.col("event_type"),
+        F.lit('","value":'),
+        F.col("value").cast("string"),
+        F.lit(',"props":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    v = spark.read.option("singleVariantColumn", "v").json(path)
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.event_type', 'string')").alias("event_type"),
+            F.expr("variant_get(v, '$.value', 'double')").alias("value"),
+            F.expr("variant_get(v, '$.props.k', 'bigint')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {dsum_sql("value", "sum_value")}
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in XML source (native in Spark 4): events go out as
+    row-tagged XML and come back under an EXPLICIT schema (no
+    inference scan), completing the interchange-format family next to
+    CSV, JSON, ORC and the custom Python DataSource. Doubles survive
+    the text round trip exactly (shortest-repr print, exact parse), so
+    the oracle aggregates the original table."""
+    from ..sources.tables import load_table
+
+    path = os.path.join(_IO_DIR, "events_xml")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").format("xml").option("rowTag", "event").save(path)
+    back = (
+        spark.read.schema("event_id LONG, event_type STRING, value DOUBLE")
+        .format("xml")
+        .option("rowTag", "event")
+        .load(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
