@@ -1454,3 +1454,65 @@ def window_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "map_functions_showcase",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS total FROM counts GROUP BY 1),
+    -- map_filter(n >= 2), transform_values(n * 2), map_concat(__total),
+    -- all rendered as ONE key-sorted entry list (matching Spark's
+    -- array_sort over map_entries, binary string order)
+    entries AS (
+      SELECT user_id, event_type AS k, CAST(n * 2 AS VARCHAR) AS v
+      FROM counts WHERE n >= 2
+      UNION ALL
+      SELECT user_id, '__total', CAST(total AS VARCHAR) FROM tot
+    )
+    SELECT user_id,
+           string_agg(k || '=' || v, ';' ORDER BY k) AS rendered
+    FROM entries
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP-column function family (the scalar-surface sibling of
+    the array HOFs): per-user event-type counts built into a real
+    map column with ``map_from_entries``, pruned with ``map_filter``,
+    rescaled with ``transform_values``, merged with ``map_concat``
+    (a __total entry), and rendered deterministically by sorting
+    ``map_entries`` — map key order is engine-internal, so ANY
+    map-valued output must canonicalize through sorted entries before
+    it can be value-compared (the same discipline the variant codec
+    applies to object keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    filtered = F.map_filter("m", lambda k, v: v >= 2)
+    doubled = F.transform_values(filtered, lambda k, v: v * 2)
+    merged = F.map_concat(
+        doubled, F.create_map(F.lit("__total"), F.col("total"))
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(merged)),
+            lambda e: F.concat(e.key, F.lit("="), e.value.cast("string")),
+        ),
+        ";",
+    )
+    return (
+        m.select("user_id", rendered.alias("rendered"))
+        .orderBy("user_id")
+    )
