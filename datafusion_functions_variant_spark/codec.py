@@ -994,3 +994,21 @@ def parse_json_path(path: str) -> list[str | int]:
         else:
             raise VariantError(f"bad JSON path syntax at {i} in {path!r}")
     return steps
+
+
+def merge_patch(target: Any, patch: Any) -> Any:
+    """RFC 7386 JSON Merge Patch over decoded variant values: a
+    non-object patch replaces the target wholesale; an object patch
+    merges key-wise, where ``null`` DELETES the key and nested objects
+    recurse. Operates on ``to_python`` output and feeds
+    ``convert_value`` — the variant-level mutation primitive the
+    reference's read-only surface lacks (its builders can only append)."""
+    if not isinstance(patch, dict):
+        return patch
+    out = dict(target) if isinstance(target, dict) else {}
+    for k, v in patch.items():
+        if v is None:
+            out.pop(k, None)
+        else:
+            out[k] = merge_patch(out.get(k), v)
+    return out

@@ -235,3 +235,46 @@ def is_variant_null(v: pd.DataFrame) -> pd.Series:
 
 def _col(c) -> Column:
     return c if isinstance(c, Column) else F.col(c)
+
+
+@pandas_udf(VARIANT_STRUCT)
+def variant_merge_patch(vs: pd.DataFrame, patches: pd.Series) -> pd.DataFrame:
+    """RFC 7386 merge patch at the VARIANT level: decode each target
+    value against the batch-shared dictionary, apply the (JSON text)
+    patch via codec.merge_patch — null deletes, objects recurse,
+    scalars replace — and re-encode the whole batch against ONE new
+    union dictionary (the post-merge key set can both shrink and grow,
+    so the output batch rebuilds its shared metadata exactly like
+    ingestion does). A null patch or null target passes the target /
+    null through per RFC semantics."""
+    import json as _json
+
+    metas = vs["metadata"]
+    vals = vs["value"]
+    merged: list = []
+    for mb, vb, ptxt in zip(metas, vals, patches):
+        if vb is None:
+            merged.append(None)
+            continue
+        target = codec.to_python(
+            codec.Variant(bytes(vb)), codec.Metadata(bytes(mb))
+        )
+        if ptxt is None:
+            merged.append(target)
+            continue
+        merged.append(codec.merge_patch(target, _json.loads(ptxt)))
+    keys: set[str] = set()
+    for m in merged:
+        if m is not None:
+            codec.collect_keys(m, keys)
+    meta = codec.build_metadata(keys)
+    mobj = codec.Metadata(meta)
+    out: list[bytes | None] = []
+    for m in merged:
+        if m is None:
+            out.append(None)
+            continue
+        b = bytearray()
+        codec.convert_value(m, b, mobj)
+        out.append(bytes(b))
+    return pd.DataFrame({"metadata": [meta] * len(out), "value": out})

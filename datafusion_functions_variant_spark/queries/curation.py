@@ -1516,3 +1516,54 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select("user_id", rendered.alias("rendered"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "variant_merge_patch",
+    oracle="""
+    WITH patched AS (
+      SELECT event_id,
+             json_merge_patch(
+               props,
+               CASE WHEN event_id % 2 = 0
+                    THEN '{"k": null, "sq": ' || (event_id % 97) * (event_id % 97) || '}'
+                    ELSE '{"sq": ' || (event_id % 97) * (event_id % 97) || '}'
+               END) AS merged
+      FROM events
+    )
+    SELECT event_id, CAST(merged AS VARCHAR) AS merged_json
+    FROM patched
+    ORDER BY event_id
+    """,
+)
+def variant_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 7386 merge patch executed at the VARIANT level on the
+    explicit-codec track (codec.py:merge_patch + the batch-shared
+    dictionary rebuild in functions/explicit.py): even events delete
+    the ``k`` key and add ``sq``; odd events only add. The result
+    renders through the codec's canonical to_json (object keys in
+    dictionary order), which DuckDB's ``json_merge_patch`` also
+    produces for this key set — variant mutation is the capability the
+    reference's append-only builders lack. Arrow-batched end to end;
+    one dictionary build per batch on each side of the patch."""
+    from ..functions import explicit
+
+    ev = load_table(spark, sf_dir, "events")
+    sq = (F.col("event_id") % 97) * (F.col("event_id") % 97)
+    patch = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit('{"k": null, "sq": '), sq, F.lit("}")),
+    ).otherwise(F.concat(F.lit('{"sq": '), sq, F.lit("}")))
+    v = ev.select(
+        "event_id",
+        explicit.variant_from_json(F.col("props")).alias("v"),
+        patch.alias("patch"),
+    )
+    merged = v.select(
+        "event_id",
+        explicit.variant_merge_patch(F.col("v"), F.col("patch")).alias("m"),
+    )
+    return merged.select(
+        "event_id",
+        explicit.variant_to_json(F.col("m")).alias("merged_json"),
+    ).orderBy("event_id")

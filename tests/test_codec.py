@@ -404,3 +404,44 @@ def test_short_string_inside_containers_roundtrip():
     assert long_v.primitive_type_id == c.PRIM_STRING
     assert short_v.get_string() == "short value"
     assert long_v.get_string() == "y" * 200
+
+
+class TestMergePatch:
+    """RFC 7386 semantics of codec.merge_patch (appendix test vectors)."""
+
+    def test_rfc7386_vectors(self):
+        from datafusion_functions_variant_spark.codec import merge_patch
+
+        cases = [
+            ({"a": "b"}, {"a": "c"}, {"a": "c"}),
+            ({"a": "b"}, {"b": "c"}, {"a": "b", "b": "c"}),
+            ({"a": "b"}, {"a": None}, {}),
+            ({"a": "b", "b": "c"}, {"a": None}, {"b": "c"}),
+            ({"a": ["b"]}, {"a": "c"}, {"a": "c"}),
+            ({"a": "c"}, {"a": ["b"]}, {"a": ["b"]}),
+            ({"a": {"b": "c"}}, {"a": {"b": "d", "c": None}}, {"a": {"b": "d"}}),
+            ({"a": [{"b": "c"}]}, {"a": [1]}, {"a": [1]}),
+            (["a", "b"], ["c", "d"], ["c", "d"]),
+            ({"a": "b"}, ["c"], ["c"]),
+            ({"a": "foo"}, None, None),
+            ({"a": "foo"}, "bar", "bar"),
+            ({"e": None}, {"a": 1}, {"e": None, "a": 1}),
+            ([1, 2], {"a": "b", "c": None}, {"a": "b"}),
+            ({}, {"a": {"bb": {"ccc": None}}}, {"a": {"bb": {}}}),
+        ]
+        for target, patch, want in cases:
+            assert merge_patch(target, patch) == want, (target, patch)
+
+    def test_roundtrips_through_codec(self):
+        from datafusion_functions_variant_spark import codec
+
+        meta, vals = codec.batch_from_json(['{"k": 5, "nest": {"x": 1, "y": 2}}'])
+        target = codec.to_python(codec.Variant(vals[0]), codec.Metadata(meta))
+        merged = codec.merge_patch(target, {"k": None, "nest": {"y": 20}, "z": True})
+        keys: set = set()
+        codec.collect_keys(merged, keys)
+        m2 = codec.Metadata(codec.build_metadata(keys))
+        buf = bytearray()
+        codec.convert_value(merged, buf, m2)
+        out = codec.to_json_str(bytes(buf), codec.build_metadata(keys))
+        assert out == '{"nest":{"x":1,"y":20},"z":true}'
