@@ -366,7 +366,17 @@ def bpe_merge_rounds(
     Returns (merges, symbols): the (step, left_sym, right_sym, total)
     merge table a tokenizer persists, and the final per-word symbol
     rows (word, n, pos, sym). Rounds iterate on the vocabulary only;
-    the best pair is a 1-row broadcast (never collected)."""
+    the best pair is a 1-row broadcast (never collected).
+
+    Each round's frames are localCheckpoint'ed EAGERLY (the same
+    lineage discipline as operators/graph.py): without truncation the
+    final plan re-evaluates the whole per-round lineage once per
+    consumer — measured 31 corpus scans for 3 rounds at test scale —
+    and because every round references the previous round's frame
+    several times, even plan STRINGIFICATION grows exponentially with
+    rounds (a 4-round toy OOM'd the driver on generateTreeString with
+    persist alone, which caches data but keeps the logical tree). The
+    checkpointed relations are vocabulary-sized, not corpus-sized."""
     syms = vocab.select(
         "word",
         "n",
@@ -378,7 +388,9 @@ def bpe_merge_rounds(
     merges = []
     for r in range(rounds):
         w = Window.partitionBy("word").orderBy("pos")
-        x = syms.withColumn("next", F.lead("sym").over(w))
+        x = syms.withColumn("next", F.lead("sym").over(w)).localCheckpoint(
+            eager=True
+        )
         best = (
             x.where(F.col("next").isNotNull())
             .groupBy(F.col("sym").alias("a"), F.col("next").alias("b"))
@@ -386,6 +398,7 @@ def bpe_merge_rounds(
             .orderBy(F.col("total").desc(), "a", "b")
             .limit(1)
         )
+        best = best.localCheckpoint(eager=True)
         merges.append(
             best.select(
                 F.lit(r + 1).alias("step"),
