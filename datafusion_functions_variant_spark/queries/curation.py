@@ -428,16 +428,25 @@ def _register_round4_tail() -> None:
         Scale shape: each iteration is one shuffle join on src plus one
         groupBy on dst — O(iters) bounded rounds like the
         connected-components operator; node/degree/N stats stay
-        DataFrame-side (1-row N broadcast back, never collected)."""
+        DataFrame-side (1-row N broadcast back, never collected). The
+        edge set and each iteration's rank state are eagerly
+        localCheckpoint'ed (operators/graph.py discipline): edges'
+        lineage is the whole minhash/LSH pipeline, and without
+        truncation every iteration re-embeds it — 28 corpus scans in
+        the untruncated 4-iteration plan."""
         docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
         sigs = dedup.minhash_signatures_text(
             docs, "text", "doc_id", n=8, num_hashes=8
         )
         pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2)
-        edges = pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ).union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .union(
+                pairs.select(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                )
+            )
+            .localCheckpoint(eager=True)
         )
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         nrow = deg.agg(F.count(F.lit(1)).alias("n"))
@@ -463,6 +472,7 @@ def _register_round4_tail() -> None:
                 )
                 .join(deg, F.col("node") == F.col("src"))
                 .select("node", "deg", "rank")
+                .localCheckpoint(eager=True)
             )
         return state.select(
             F.col("node").alias("doc_id"), F.col("rank").alias("pagerank_fp")
