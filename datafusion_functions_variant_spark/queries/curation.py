@@ -1577,3 +1577,52 @@ def variant_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         explicit.variant_to_json(F.col("m")).alias("merged_json"),
     ).orderBy("event_id")
+
+
+@query(
+    "text_lang_confusion_matrix",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ein')))::BIGINT AS score_de,
+             len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to')))::BIGINT AS score_en,
+             len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','los')))::BIGINT AS score_es,
+             len(list_filter(string_split(text,' '), w -> w IN ('le','la','les','des','une')))::BIGINT AS score_fr,
+             len(list_filter(string_split(text,' '), w -> w IN ('de5','shi4','le5','zai4','he2')))::BIGINT AS score_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS lang_true,
+             CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+                  WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                  WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                  WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                  WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the lang-ID heuristic: confusion matrix
+    of the corpus' labeled language against the marker-lexicon
+    prediction — the quality-control query every classifier-driven
+    curation stage needs BEFORE trusting the filter at scale (a
+    per-language recall collapse shows up here, not in aggregate
+    accuracy). One corpus pass (the scorer is an in-row projection),
+    one grouped count."""
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_ops.lang_id(docs, "text", "doc_id").select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_true", "lang_pred")
+    )

@@ -832,3 +832,52 @@ def stream_session_merge_multibatch(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out = core.run_to_batch(sess, "append")
     return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_update_mode_revisions",
+    oracle="""
+    -- update-mode emission trace: each micro-batch re-emits the
+    -- RUNNING aggregate for every group it touched; the memory sink
+    -- accumulates all revisions, so the result is one row per
+    -- (group, batch-prefix) pair. No watermark, no late drops — the
+    -- batches partition events by id parity (see
+    -- read_multibatch_events_stream).
+    WITH ev AS (
+      SELECT event_type, value,
+             CASE WHEN event_id % 2 = 0 THEN 0
+                  WHEN event_id % 4 = 1 THEN 1 ELSE 2 END AS b
+      FROM events
+    ),
+    batches(bn) AS (VALUES (0), (1), (2))
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM ev e JOIN batches ON e.b <= batches.bn
+    GROUP BY e.event_type, batches.bn
+    ORDER BY event_type, n
+    """,
+)
+def stream_update_mode_revisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode's revision semantics, observable only across
+    micro-batches: an unwatermarked per-type aggregate re-emits each
+    type's RUNNING (count, sum) in every batch that touches it, so the
+    sink accumulates three successive revisions per type — the
+    changelog a downstream upsert consumer (foreachBatch MERGE) would
+    apply. The oracle regenerates every batch-prefix aggregate; every
+    type appears in every parity batch, so the trace is exactly
+    3 rows per type. Completes the output-mode coverage next to the
+    append-mode window/join queries (complete mode's memory snapshot
+    is the degenerate final aggregate)."""
+    import os as _os
+
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "events_split_upd")
+    st = core.read_multibatch_events_stream(spark, sf_dir, split_dir)
+    agg = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    out = core.run_to_batch(agg, "update")
+    return out.orderBy("event_type", "n")
