@@ -1626,3 +1626,85 @@ def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH freq AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys FROM freq)
+    SELECT f.key, f.n,
+           CAST((f.n * 1000000) // tot.t AS BIGINT) AS share_ppm,
+           CAST((f.n * tot.n_keys * 100) // tot.t AS BIGINT) AS x100_of_avg
+    FROM freq f, tot
+    ORDER BY f.n DESC, f.key
+    LIMIT 10
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: the top-10 heaviest l_suppkey values
+    with their corpus share (ppm) and their size relative to the
+    average key (x100) — the diagnostic you run BEFORE a big shuffle
+    join to decide between plain hash join, broadcast, salting
+    (skew_salted_join), or AQE skew splitting. All integer floor
+    arithmetic; one key-grouped count with map-side combine, a 1-row
+    total broadcast back, and a TakeOrdered top-10 — never a full
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = freq.agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.expr("(n * 1000000) div t").alias("share_ppm"),
+            F.expr("(n * n_keys * 100) div t").alias("x100_of_avg"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(10)
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition counts (the Markov matrix
+    behind next-action modeling and funnel design): consecutive
+    event-type pairs per user in (ts, event_id) order. One user-keyed
+    window pass, then a tiny grouped count — the same shuffle the
+    sessionizer already needs, so at scale this piggybacks on an
+    existing partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
