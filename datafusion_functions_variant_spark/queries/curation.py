@@ -1708,3 +1708,71 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT label, vec_id % 2 AS half, i.i AS pos,
+             CAST(SUM(CAST(embedding[i.i] AS DECIMAL(20,10))) AS DOUBLE) AS s
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) i
+      GROUP BY label, half, i.i
+    ),
+    paired AS (
+      SELECT a.label, a.pos, a.s AS sa, b.s AS sb
+      FROM dims a JOIN dims b
+        ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+    ),
+    dots AS (
+      SELECT label,
+             CAST(SUM(CAST(sa * sb AS DECIMAL(30,10))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(sa * sa AS DECIMAL(30,10))) AS DOUBLE) AS na,
+             CAST(SUM(CAST(sb * sb AS DECIMAL(30,10))) AS DOUBLE) AS nb
+      FROM paired GROUP BY label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           round(dot / sqrt(na * nb), 6) AS centroid_cosine
+    FROM dots
+    ORDER BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor for embedding pipelines: per label,
+    the cosine between the centroid of one corpus half and the other
+    (halves by vec_id parity) — a drop below ~1.0 flags that the two
+    halves don't share a distribution, the check a training pipeline
+    runs when ingesting a new embedding batch. Exactness: cosine is
+    scale-invariant, so the UNnormalized per-dimension decimal sums
+    stand in for the means (no decimal division whose scale rules
+    differ across engines); the cross products accumulate in decimal
+    and only the final sqrt/divide run in (IEEE-deterministic)
+    doubles, rounded to 6. Shuffle carries label x half x dim partial
+    sums — independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .groupBy("label", "half", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double").alias("s")
+        )
+    )
+    a = dims.where(F.col("half") == 0).select("label", "pos", F.col("s").alias("sa"))
+    b = dims.where(F.col("half") == 1).select("label", "pos", F.col("s").alias("sb"))
+    paired = a.join(b, ["label", "pos"])
+    dots = paired.groupBy("label").agg(
+        F.sum((F.col("sa") * F.col("sb")).cast("decimal(30,10)")).cast("double").alias("dot"),
+        F.sum((F.col("sa") * F.col("sa")).cast("decimal(30,10)")).cast("double").alias("na"),
+        F.sum((F.col("sb") * F.col("sb")).cast("decimal(30,10)")).cast("double").alias("nb"),
+    )
+    return dots.select(
+        F.col("label").cast("long").alias("label"),
+        F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6).alias(
+            "centroid_cosine"
+        ),
+    ).orderBy("label")
