@@ -1776,3 +1776,53 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_cosine"
         ),
     ).orderBy("label")
+
+
+@query(
+    "variant_explode_relational",
+    oracle="""
+    SELECT 0 AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(NULL AS BIGINT) AS sum_int
+    FROM events
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(SUM(event_id % 5) AS BIGINT)
+    FROM events
+    ORDER BY pos
+    """,
+)
+def variant_explode_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``variant_explode`` table function: a HETEROGENEOUS
+    variant array (object, object, int — no fixed element schema) per
+    event flattens into relational rows via LATERAL, with typed
+    ``variant_get`` extraction applied per position — the array
+    counterpart of the shred-early rule, and the operation a fixed
+    ``explode(array<struct>)`` cannot express (the elements don't
+    share a struct type). try_variant_get degrades gracefully where a
+    path doesn't apply (objects at the int position and vice versa):
+    the per-position sums prove which elements carried which shape."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.expr(
+            """parse_json(concat('[', props, ',{"t":"', event_type, '"},',
+                          CAST(event_id % 5 AS STRING), ']'))"""
+        ).alias("v")
+    ).createOrReplaceTempView("variant_arrays")
+    return spark.sql(
+        """
+        SELECT t.pos,
+               COUNT(*) AS n,
+               SUM(try_variant_get(t.value, '$.k', 'bigint')) AS sum_k,
+               SUM(CASE WHEN schema_of_variant(t.value) NOT LIKE 'OBJECT%'
+                        THEN try_variant_get(t.value, '$', 'bigint') END)
+                 AS sum_int
+        FROM variant_arrays s, LATERAL variant_explode(s.v) t
+        GROUP BY t.pos
+        ORDER BY t.pos
+        """
+    )
