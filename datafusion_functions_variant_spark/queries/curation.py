@@ -1826,3 +1826,61 @@ def variant_explode_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.pos
         """
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, substr(text, i.i::INT, 8) AS g
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, len(text) - 6)) AS i) i
+    ),
+    firsts AS (
+      SELECT doc_id, g,
+             (row_number() OVER (PARTITION BY g ORDER BY doc_id) = 1
+              AND doc_id = min(doc_id) OVER (PARTITION BY g)) AS is_first_doc
+      FROM (SELECT DISTINCT doc_id, g FROM grams)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN is_first_doc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(SUM(CASE WHEN is_first_doc THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS novelty
+    FROM firsts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    char-8-grams never seen in any earlier doc (by doc_id order) — the
+    dataset-freshness curve that tells a curation pipeline when
+    additional data stops contributing new content (novelty trending
+    to zero = the crawl is saturating). Plan shape is chunk-dedup's:
+    in-row gram build, one shuffle on the gram for the
+    first-occurrence window, one regroup per doc. Integer counts plus
+    one rounded division."""
+    from ..operators import dedup
+
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    grams = dedup.char_ngrams(docs, "text", "doc_id", n=8)
+    w = Window.partitionBy("g")
+    flagged = grams.withColumn(
+        "is_first_doc", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("is_first_doc").cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
