@@ -1884,3 +1884,127 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audits and multimodal shard packing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_children,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey))
+    ORDER BY relation
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the data-
+    quality gate a warehouse runs after every load (a nonzero orphan
+    count means a broken pipeline upstream, and every downstream inner
+    join silently drops those rows). Each relation is one LEFT ANTI
+    join; the dimension sides broadcast; the four audits union into a
+    single report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def audit(name, child, parent, ckey, pkey):
+        orphans = child.join(
+            F.broadcast(parent.select(pkey)),
+            child[ckey] == parent[pkey],
+            "left_anti",
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_children"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(name).alias("relation"), "n_children", "n_orphans")
+        )
+
+    out = (
+        audit("lineitem->orders", li, o, "l_orderkey", "o_orderkey")
+        .union(audit("orders->customer", o, c, "o_custkey", "c_custkey"))
+        .union(audit("customer->nation", c, n, "c_nationkey", "n_nationkey"))
+        .union(audit("supplier->nation", s, n, "s_nationkey", "n_nationkey"))
+    )
+    return out.orderBy("relation")
+
+
+_SHARD_BYTES = 20000
+
+
+@query(
+    "multimodal_shard_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id, octet_length(encode(text)) AS n_bytes,
+             SUM(octet_length(encode(text)))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+      FROM documents
+    )
+    SELECT source,
+           CAST(coalesce(prior, 0) // {_SHARD_BYTES} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM sized
+    GROUP BY source, shard_id
+    ORDER BY source, shard_id
+    """,
+)
+def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budgeted shard packing for binary assets (the multimodal
+    sibling of token-budget sequence packing): within each source, in
+    deterministic doc_id order, an asset joins the shard its PRIOR
+    cumulative bytes fall into (prior div budget — the streaming-
+    friendly rule: an asset never splits, shards overflow by at most
+    one asset). Emits the shard manifest a dataloader consumes. One
+    source-keyed window + regroup; integer arithmetic throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    ).withColumn("prior", F.coalesce(F.sum("n_bytes").over(w), F.lit(0)))
+    return (
+        sized.withColumn("shard_id", F.expr(f"prior div {_SHARD_BYTES}"))
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )
