@@ -2008,3 +2008,75 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+@query(
+    "orders_mom_revenue_change",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             (year(o_orderdate) * 12 + month(o_orderdate)) AS ym,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    chg AS (
+      SELECT priority, ym, rev,
+             CAST(rev * 100 AS BIGINT) AS rev_c,
+             lag(CAST(rev * 100 AS BIGINT))
+               OVER (PARTITION BY priority ORDER BY ym) AS prev_c,
+             lag(ym) OVER (PARTITION BY priority ORDER BY ym) AS prev_ym
+      FROM m
+    )
+    SELECT priority,
+           printf('%04d-%02d', (ym - 1) // 12, ((ym - 1) % 12) + 1) AS month,
+           CAST(rev AS DOUBLE) AS revenue,
+           CASE WHEN prev_ym = ym - 1
+                THEN round((CASE WHEN rev_c >= prev_c THEN 1 ELSE -1 END)
+                           * (abs(rev_c - prev_c) * 10000 // prev_c)
+                           / 100.0, 2)
+           END AS mom_pct
+    FROM chg
+    ORDER BY priority, month
+    """,
+)
+def orders_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per order priority — the
+    period-over-period reporting shape: one month-grain aggregate,
+    one lag window per priority, and a gap guard (a month with no
+    predecessor month emits NULL instead of comparing across the gap).
+    The percentage is computed as integer basis points on the exact
+    revenues converted to integer CENTS first — magnitude and sign
+    handled separately because negative integer division floors on one
+    engine and truncates on the other, and decimal `div` rounding
+    rules aren't portable either — so both engines emit the identical
+    two-decimal figure."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.partitionBy("priority").orderBy("ym")
+    m = m.withColumn("rev_c", F.expr("CAST(rev * 100 AS BIGINT)"))
+    chg = m.withColumn("prev_c", F.lag("rev_c").over(w)).withColumn(
+        "prev_ym", F.lag("ym").over(w)
+    )
+    month = F.format_string(
+        "%04d-%02d", F.expr("(ym - 1) div 12"), F.expr("((ym - 1) % 12) + 1")
+    )
+    mom = F.when(
+        F.col("prev_ym") == F.col("ym") - 1,
+        F.round(
+            F.expr(
+                "(CASE WHEN rev_c >= prev_c THEN 1 ELSE -1 END)"
+                " * (abs(rev_c - prev_c) * 10000 div prev_c)"
+            )
+            / F.lit(100.0),
+            2,
+        ),
+    )
+    return chg.select(
+        "priority",
+        month.alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        mom.alias("mom_pct"),
+    ).orderBy("priority", "month")
