@@ -2080,3 +2080,55 @@ def orders_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         mom.alias("mom_pct"),
     ).orderBy("priority", "month")
+
+
+@query(
+    "customer_order_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(least(gap_days // 30, 12) AS BIGINT) AS gap_bucket_months,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def customer_order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: consecutive order gaps per
+    customer (lag window, orderkey tie-break) bucketed into months
+    with a 12+ tail — the churn-model feature a retention team reads
+    before picking a reactivation window. Day differences and buckets
+    are pure integers; gaps never span customers (window partitioning)
+    and a customer's first order emits no gap."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.select(
+            F.least(F.expr("gap_days div 30"), F.lit(12))
+            .cast("long")
+            .alias("gap_bucket_months"),
+            "gap_days",
+        )
+        .groupBy("gap_bucket_months")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").cast("long").alias("min_days"),
+            F.max("gap_days").cast("long").alias("max_days"),
+        )
+        .orderBy("gap_bucket_months")
+    )
