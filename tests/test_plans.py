@@ -528,3 +528,20 @@ def test_audio_framing_no_shuffle_before_python(spark):
     plan = plan_of(spark, "multimodal_audio_framing")
     before_python = plan.split("MapInPandas")[-1]  # below = upstream
     assert "Exchange" not in before_python
+
+
+def test_semantic_clusters_broadcast_centroids_no_cartesian(spark):
+    # the 16-row centroid table must broadcast onto the corpus pass,
+    # and the within-cluster pair join must be a real equi-join on cid
+    # — never a cartesian product of the corpus with itself
+    plan = plan_of(spark, "dedup_semantic_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_skew_profile_is_takeordered(spark):
+    # top-10 heaviest keys must compile to TakeOrderedAndProject —
+    # a full global sort of the key histogram defeats the pre-flight's
+    # purpose
+    plan = plan_of(spark, "join_key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
