@@ -2132,3 +2132,59 @@ def customer_order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_bucket_months")
     )
+
+
+@query(
+    "part_share_within_type",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_type AS ptype, p.p_brand AS brand,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT ptype, brand,
+           CAST(rev_c / 100.0 AS DOUBLE) AS revenue,
+           CAST(rev_c * 10000 // SUM(rev_c) OVER (PARTITION BY ptype) AS BIGINT)
+             AS share_bp
+    FROM rev
+    ORDER BY ptype, brand
+    """,
+)
+def part_share_within_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each brand's basis-point share of its part
+    type's revenue via an unframed window aggregate (sum over the
+    whole partition as the denominator) — the reporting shape that
+    needs no second aggregate or self-join. Shares are integer cents
+    divided integerly (all positive, so floor and truncate agree
+    across engines); the window reuses the grouped aggregate's type
+    partitioning, so the share costs no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_type", "p_brand")),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy(F.col("p_type").alias("ptype"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("ptype")
+    total = F.sum("rev_c").over(w)
+    return rev.select(
+        "ptype",
+        "brand",
+        (F.col("rev_c") / F.lit(100.0)).cast("double").alias("revenue"),
+        F.expr(f"rev_c * 10000").alias("_num"),
+        total.alias("_tot"),
+    ).select(
+        "ptype",
+        "brand",
+        "revenue",
+        F.expr("_num div _tot").cast("long").alias("share_bp"),
+    ).orderBy("ptype", "brand")
