@@ -2188,3 +2188,73 @@ def part_share_within_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.expr("_num div _tot").cast("long").alias("share_bp"),
     ).orderBy("ptype", "brand")
+
+
+def _register_source_dup_matrix() -> None:
+    from ..operators import dedup
+    from .llmdata import _SIGS_CTE
+
+    oracle = f"""
+    WITH {_SIGS_CTE}
+    SELECT da.source AS source_a, db.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM candidates c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+    def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-source duplication matrix: LSH candidate pairs joined
+        back to each side's source label — the provenance analytic
+        that tells a curation team WHICH feeds copy from which (heavy
+        off-diagonal mass = syndication between sources; diagonal mass
+        = within-feed boilerplate), and therefore which source to drop
+        wholesale instead of deduping pair by pair. The doc->source
+        map broadcasts onto the (small) candidate set."""
+        docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+        sigs = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=8)
+        pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2)
+        src = docs.select("doc_id", "source")
+        a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+        b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+        return (
+            pairs.join(F.broadcast(a), "doc_a")
+            .join(F.broadcast(b), "doc_b")
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("source_a", "source_b")
+        )
+
+    query("dedup_source_matrix", oracle=oracle)(dedup_source_matrix)
+
+
+_register_source_dup_matrix()
+
+
+@query(
+    "events_weekly_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour activity heatmap (0 = Monday, ISO convention on
+    both engines) — the seasonality fingerprint behind capacity
+    planning and anomaly baselines. One grouped count over calendar
+    projections; the 168-cell result is constant-size at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.weekday("ts").cast("long").alias("weekday"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("weekday", "hour")
+    )
