@@ -11,13 +11,18 @@ never reads, so count-based timings understate real cost. The checksum
 forces every output column of every row to be materialized while
 keeping the consumption JVM-side (one scalar returns to the driver).
 
-Each query is timed ``BENCH_RUNS`` times (default 3) and the median is
-reported, bounding the run-to-run noise (page cache / JIT) that made
-byte-identical code swing ~30% between rounds 1 and 2.
+Each query is timed ``BENCH_RUNS`` times (default 5 as of round 5;
+was 3) and the median is reported, bounding the run-to-run noise
+(page cache / JIT) that made byte-identical code swing ~30% between
+rounds 1 and 2 and again +26% between rounds 3 and 4 on unchanged
+code (sub-second queries at sf0.1 are harness-noise dominated).
 
 Round-over-round totals compare ONLY on shared keys: round 4 adds
-``dedup_minhash_xxhash`` (the Spark-native fast-hash twin, ~0.6 s),
-so BENCH_r04's total carries one more query than BENCH_r03's.
+``dedup_minhash_xxhash`` (the Spark-native fast-hash twin). Its
+isolated signature stage is 1.47× faster than the md5 twin's
+(sf0.1, 7-run medians 1.90 s vs 2.78 s); end-to-end the two queries
+are within ~10% because the band-bucket join dominates — see
+``operators/dedup.py::gram_hash``.
 """
 
 from __future__ import annotations
@@ -80,7 +85,7 @@ def main() -> None:
             F.sum(F.crc32(F.to_json(F.struct(*df.columns)).cast("binary")))
         ).collect()
 
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)

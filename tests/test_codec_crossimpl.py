@@ -128,3 +128,41 @@ def test_property_variantval_parity(obj):
     meta, val = _codec_encode(obj)
     theirs = json.loads(VariantVal(val, meta).toJson())
     assert theirs == json.loads(json.dumps(obj))
+
+
+# Mixed-width UTF-8 alphabet: 1-, 2-, 3-, and 4-byte encodings, so the
+# 64-byte ShortString boundary gets straddled by multi-byte characters
+# in randomized positions (a char whose bytes would cross 63→64 must
+# push the whole payload to Long String, never split).
+_boundary_chars = st.sampled_from(["x", "é", "✓", "🎉"])
+
+
+@given(st.lists(_boundary_chars, min_size=1, max_size=70))
+@settings(max_examples=150, deadline=None)
+def test_property_short_string_boundary(chars):
+    """Every prefix of a random mixed-width string: payloads < 64
+    UTF-8 bytes must encode as ShortString (1-byte header, exact
+    length), >= 64 as primitive Long String (5-byte header); both
+    must read back identically through our reader AND pyspark's
+    VariantVal (codec.py:274-289; reference values/mod.rs:16 declares
+    ShortString but never writes it)."""
+    s = "".join(chars)
+    for i in range(len(s) + 1):
+        p = s[:i]
+        n = len(p.encode("utf-8"))
+        if not (56 <= n <= 72 or i == len(s)):
+            continue  # only exercise the boundary region + full string
+        buf = bytearray()
+        codec.write_string(buf, p)
+        v = codec.Variant(bytes(buf))
+        if n < 64:
+            assert v.basic_type == codec.BASIC_SHORT_STRING
+            assert len(buf) == 1 + n
+        else:
+            assert v.basic_type == codec.BASIC_PRIMITIVE
+            assert v.primitive_type_id == codec.PRIM_STRING
+            assert len(buf) == 5 + n
+        assert v.get_string() == p
+        if HAVE_VARIANTVAL:
+            meta = codec.build_metadata(set())
+            assert json.loads(VariantVal(bytes(buf), meta).toJson()) == p

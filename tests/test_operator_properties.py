@@ -203,6 +203,46 @@ def test_lsh_overflow_bucket_emits_star_pairs_not_all_pairs(spark):
     assert stats.max_bucket_size == n
 
 
+def test_lsh_observation_matches_standalone_bucket_stats(spark):
+    """The fused observe() audit riding the pair-generation pass must
+    report exactly what the standalone ``lsh_bucket_stats`` pre-flight
+    reports, and attaching it must not change the pairs themselves
+    (the stats are free monitoring, not a second job)."""
+    from pyspark.sql import Observation
+
+    from datafusion_functions_variant_spark.operators import dedup
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    rows = [(i, base + str(i // 4) * 3) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id")
+
+    obs = Observation()
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=8, bands=2, max_bucket=256, observation=obs
+    )
+    got_pairs = sorted(map(tuple, pairs.collect()))
+    fused = obs.get
+
+    plain = sorted(
+        map(
+            tuple,
+            dedup.lsh_candidate_pairs(
+                sigs, "doc_id", num_hashes=8, bands=2, max_bucket=256
+            ).collect(),
+        )
+    )
+    assert got_pairs == plain
+
+    standalone = dedup.lsh_bucket_stats(
+        sigs, "doc_id", num_hashes=8, bands=2, max_bucket=256
+    ).collect()[0]
+    assert fused["n_buckets"] == standalone.n_buckets
+    assert fused["n_colliding_buckets"] == standalone.n_colliding_buckets
+    assert fused["n_overflow_buckets"] == standalone.n_overflow_buckets
+    assert fused["max_bucket_size"] == standalone.max_bucket_size
+
+
 def test_lsh_small_buckets_unaffected_by_cap(spark):
     """Pairs from buckets at or under the cap are identical with and
     without the overflow guard (the cap only reroutes oversized
