@@ -237,6 +237,74 @@ def variant_shredded_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_shredded_array",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_type,
+             'p' || (CAST(props->>'$.k' AS BIGINT) % 3) AS tag1,
+             value
+      FROM events
+    )
+    SELECT tag1, COUNT(*) AS n, {dsum_sql("value * 3", "sum_scores")}
+    FROM src
+    WHERE event_type IN ('click', 'error')
+    GROUP BY tag1 ORDER BY tag1
+    """,
+)
+def variant_shredded_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shredded ARRAY paths (reference A27-A29 array read path,
+    read.rs:216-280): a variant payload whose hot paths are an indexed
+    element (``$.tags[0]`` → typed string column) and a whole array
+    (``$.scores`` → typed ``array<double>`` column, removed from the
+    residual). The ``$.tags[0]`` IN-filter lands in PushedFilters of
+    the read-back parquet scan (plan-pinned in tests/test_plans.py) —
+    an indexed variant path enjoying native row-group pruning.
+    ``$.tags[1]`` was NOT shredded and is served from the residual via
+    the shredded_col fallback (partial array shredding keeps the array
+    in the residual; only the whole-array shred removes it). The
+    per-row score total folds the typed array JVM-side (aggregate HOF)
+    — no re-parse of the variant at query time.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.col("event_type"),
+                F.concat(
+                    F.lit("p"),
+                    (
+                        F.variant_get(F.parse_json("props"), "$.k", "bigint") % 3
+                    ).cast("string"),
+                ),
+            ).alias("tags"),
+            F.array(F.col("value"), F.col("value") * 2).alias("scores"),
+        )
+    )
+    src = ev.select("event_id", payload.alias("payload"))
+    out_dir = os.path.join(_IO_DIR, "events_shredded_array")
+    shredded.write_shredded(
+        src,
+        "payload",
+        {"tag0": ("$.tags[0]", "string"), "scores": ("$.scores", "array<double>")},
+        out_dir,
+    )
+    df, spec = shredded.read_shredded(spark, out_dir)
+    score_sum = F.aggregate(
+        F.col("scores"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        df.where(F.col("tag0").isin("click", "error"))
+        .select(
+            shredded.shredded_col(spec, "$.tags[1]", "string").alias("tag1"),
+            score_sum.alias("row_score"),
+        )
+        .groupBy("tag1")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("row_score", "sum_scores"))
+        .orderBy("tag1")
+    )
+
+
+@query(
     "variant_array_paths",
     oracle="""
     WITH src AS (

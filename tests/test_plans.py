@@ -295,6 +295,15 @@ def test_shredded_storage_pushes_path_filter(spark):
     assert "LessThanOrEqual(k,49)" in pushed
 
 
+def test_shredded_array_pushes_indexed_path_filter(spark):
+    # the $.tags[0] IN-filter must reach the parquet scan of the
+    # shredded store as a native In filter on the typed column — an
+    # INDEXED variant path getting row-group pruning for free
+    plan = formatted(spark, "variant_shredded_array")
+    pushed = plan.split("PushedFilters")[-1][:300]
+    assert "In(tag0" in pushed
+
+
 def test_orc_roundtrip_pushes_predicate(spark):
     # the l_quantity predicate must reach the ORC scan (stripe min/max
     # pruning) just as it would a parquet scan

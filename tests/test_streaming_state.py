@@ -1,7 +1,14 @@
 """transformWithStateInPandas (Spark 4's typed-state successor to
 applyInPandasWithState). Its state-server wire protocol needs the
 python ``protobuf`` package, which this container lacks — the test
-auto-skips here and runs on any normally-provisioned cluster."""
+auto-skips here and runs on any normally-provisioned cluster.
+
+Round-5 status check (2026-08-14): ``import google.protobuf`` still
+fails and package installation is out of scope for this environment,
+so the skip stands as a documented container block — the operator
+itself (streaming/core.py) is exercised indirectly by its
+applyInPandasWithState twin, which shares the state-transition
+logic and IS runtime-tested."""
 
 from __future__ import annotations
 
