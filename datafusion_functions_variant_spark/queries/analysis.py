@@ -173,6 +173,171 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(token), 1, 4))::INT) % 4096 AS b
+      FROM toks
+    ),
+    model AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bt GROUP BY b),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM bt),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(length(printf('%b', total // cnt)) - 1) AS BIGINT) AS ssum
+      FROM bt JOIN model USING (b) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+    SELECT (ssum * 8) // n_toks AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens
+    FROM scored GROUP BY band ORDER BY band
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet/KenLM-style filter,
+    LM-free): train a hashed unigram model on the corpus itself, score
+    every document by its mean token surprisal, and histogram the
+    corpus into surprisal bands (low band = common boilerplate-ish
+    text, high band = rare/noisy token mix).
+
+    Determinism discipline: NO transcendental functions — surprisal is
+    the exact integer ``floor(log2(total/cnt))``, computed as the
+    binary-digit count of an integer quotient (``length(bin(x)) - 1``
+    in Spark, ``length(printf('%b', x)) - 1`` in DuckDB), so both
+    engines produce bit-identical bands where a float ``ln`` could
+    diverge in the last ulp and flip a floor.
+
+    Scale (100 TB): the model is a FIXED 4096-bucket hash table —
+    mergeable integer counts, broadcastable at any corpus size (this
+    is the whole point of hashing the vocabulary: an open vocabulary's
+    exact counts would be corpus-sized state). Token stream is scored
+    via broadcast join (no shuffle), then map-side-combined into
+    per-doc partials; the final band histogram is ≤ ~40 rows. Two
+    shuffles total (model build, per-doc agg), both reduce-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int") % 4096
+    ).alias("b")
+    bt = docs.select(
+        "doc_id", F.explode(words("text")).alias("token")
+    ).select("doc_id", bucket)
+    model = bt.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = bt.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    scored = (
+        bt.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum(F.expr("length(bin(total div cnt)) - 1"))
+            .cast("long")
+            .alias("ssum"),
+        )
+    )
+    return (
+        scored.select(F.expr("(ssum * 8) div n_toks").alias("band"), "n_toks")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("tokens"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "text_quality_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(token), 1, 4))::INT) % 4096 AS b
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS raw
+      FROM feat
+      GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN raw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(raw) AS BIGINT) AS score_checksum
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at scale — the
+    fastText-style keep/drop gate (hashed bag-of-words → weight
+    lookup → sign of the summed score) that curation stacks run over
+    every document. The Spark-side plumbing is the deliverable: token
+    → 4096-bucket feature hash (in-row, md5-based so the oracle
+    reproduces it), per-bucket weight from a BROADCAST model relation,
+    map-side-combined per-doc score, per-language keep rates.
+
+    The weights here are a deterministic function of the bucket id
+    (a multiplicative-hash pseudo-model) standing in for trained
+    parameters — swapping in a real model is replacing the ``weight``
+    column with a 4096-row lookup table, nothing else moves. The
+    decision threshold is applied to the RAW integer score (sigmoid is
+    monotone, so "p > 0.5" ≡ "raw > 0") — no float in the keep path.
+
+    Scale (100 TB): model state is fixed at 4096 weights regardless of
+    corpus size; the token stream is never shuffled (the feature hash
+    is an in-row expression and the weight lookup is a broadcast-hash
+    join); the only shuffle is the per-doc aggregate, map-side
+    combined to one partial per doc. A real embedding-based classifier
+    slots into the same shape with the weight lookup replaced by a
+    Pandas-UDF matvec.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # the model: a genuine 4096-row relation (bucket → weight), joined
+    # in via broadcast exactly as a trained weight table would be;
+    # weight(b) is a multiplicative hash into [-1000, 1000]
+    model = spark.range(4096).select(
+        F.col("id").cast("int").alias("b"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000)
+        .cast("long")
+        .alias("w"),
+    )
+    b = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int") % 4096
+    feat = docs.select(
+        "doc_id", "lang", F.explode(words("text")).alias("token")
+    ).select("doc_id", "lang", b.alias("b"))
+    scored = (
+        feat.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("w").cast("long").alias("raw"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("raw") > 0).cast("long")).cast("long").alias("n_kept"),
+            F.sum("raw").cast("long").alias("score_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "profile_lineitem_stats",
     oracle="""
     SELECT 'l_quantity' AS col_name,

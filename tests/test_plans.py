@@ -360,6 +360,28 @@ def test_bm25_corpus_never_shuffles(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_quality_classifier_weights_broadcast_token_stream_unshuffled(spark):
+    # the 4096-weight model joins the exploded token stream via
+    # broadcast-hash — the token stream itself must reach the join
+    # straight from the scan (no hashpartitioning exchange before the
+    # weight lookup); shuffles happen only on the per-doc and per-lang
+    # aggregates downstream
+    plan = plan_of(spark, "text_quality_classifier")
+    assert "BroadcastHashJoin" in plan
+    big_side = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in big_side
+
+
+def test_unigram_logprob_model_broadcast(spark):
+    # the 4096-bucket unigram model and the 1-row total re-enter the
+    # scoring pass via broadcast joins; the token stream is scored
+    # without a pre-join shuffle
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    big_side = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in big_side
+
+
 def test_heavy_hitters_single_vocab_aggregate(spark):
     # the explode+groupBy vocabulary aggregation must appear exactly
     # once — the support threshold's total comes from a cheap per-doc
