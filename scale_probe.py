@@ -1,0 +1,120 @@
+"""Scaling-evidence probe: how does each north-star operator's
+wall-clock grow as the corpus grows K×?
+
+At sf0.1 the bench queries are sub-second and fixed-overhead
+dominated, so BENCH ratios say little about 100 TB behavior. This
+probe replicates the sf0.1 ``documents`` / ``embeddings`` tables K× IN
+MEMORY (K = 1, 2, 4, 8; ids offset so replicas are distinct documents
+— no testdata files are written) and times the dominant operator
+pipelines at each K. A scale-ready operator shows wall-clock growth ≲
+K (linear in input) with no super-linear blowup; the per-K times and
+the (T(8K)/T(1K)) growth factor are written to ``SCALE.md``.
+
+Replication is `crossJoin(range(K))` + id re-keying — a pure in-plan
+fan-out, so the probe needs no disk and the replicas flow through the
+same plans the registry queries use. Salted text/vector perturbation
+is deliberately NOT applied: identical replicas are the ADVERSARIAL
+case for dedup (maximum bucket collision pressure — every LSH bucket
+is K× deeper), making these numbers upper bounds.
+
+Run: ``python3 scale_probe.py`` (≈ 3-6 min on local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+KS = (1, 2, 4, 8)
+RUNS = int(os.environ.get("SCALE_RUNS", "3"))
+
+
+def replicate(df, k: int, id_col: str):
+    """K distinct copies: id' = id * k + replica. One in-plan fan-out,
+    no shuffle (BroadcastNestedLoopJoin against a k-row range)."""
+    from pyspark.sql import functions as F
+
+    if k == 1:
+        return df
+    reps = df.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return (
+        df.crossJoin(F.broadcast(reps))
+        .withColumn(id_col, F.col(id_col) * k + F.col("_rep"))
+        .drop("_rep")
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_variant_spark.operators import dedup, similarity
+    from datafusion_functions_variant_spark.operators.text import quality_stats, words
+    from datafusion_functions_variant_spark.plans.session import get_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_session(
+        app_name="scale_probe", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs0 = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text", "lang"
+    )
+    emb0 = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb_id, emb_vec = emb0.columns[0], emb0.columns[1]
+
+    def minhash_lsh(docs):
+        sigs = dedup.minhash_signatures_text(docs, "text", "doc_id", hash_fn="xxhash64")
+        pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2)
+        return pairs.agg(F.count(F.lit(1)), F.sum("n_shared_bands"))
+
+    def token_quality(docs):
+        q = quality_stats(docs, "text", "doc_id")
+        return q.agg(F.sum("n_words"), F.sum("n_chars_calc"))
+
+    def vocab_agg(docs):
+        toks = docs.select(F.explode(words("text")).alias("t"))
+        return toks.groupBy("t").count().agg(F.count(F.lit(1)), F.sum("count"))
+
+    def dot_topk(emb):
+        top = similarity.brute_force_topk(
+            emb, emb.where(F.col(emb_id) < 8), k=10,
+            id_col=emb_id, vec_col=emb_vec, exact=False,
+        )
+        return top.agg(F.count(F.lit(1)), F.sum("dot"))
+
+    cases = {
+        "dedup_minhash_lsh_xxhash": ("docs", minhash_lsh),
+        "text_quality_stats": ("docs", token_quality),
+        "vocab_token_agg": ("docs", vocab_agg),
+        "similarity_dot_topk": ("emb", dot_topk),
+    }
+
+    results: dict[str, dict] = {}
+    for name, (src, fn) in cases.items():
+        per_k = {}
+        for k in KS:
+            base = docs0 if src == "docs" else emb0
+            rep = replicate(base, k, "doc_id" if src == "docs" else emb_id)
+            samples = []
+            for i in range(RUNS + 1):
+                t0 = time.perf_counter()
+                fn(rep).collect()
+                if i:
+                    samples.append(time.perf_counter() - t0)
+            per_k[k] = round(sorted(samples)[len(samples) // 2], 3)
+        growth = round(per_k[KS[-1]] / per_k[KS[0]], 2)
+        results[name] = {"per_k": per_k, "growth_8x": growth}
+        print(json.dumps({"case": name, **results[name]}), flush=True)
+
+    print(json.dumps({"metric": "scale_probe", "sf": SF_DIR, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
