@@ -20,7 +20,7 @@ broadcast. Nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import words
@@ -129,6 +129,114 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_r").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_DOC_WORDS_SQL} AS ws FROM documents
+    ),
+    lex AS (
+      SELECT doc_id,
+             ({" + ".join(f"len(list_filter(ws, x -> x = '{t}'))" for t in BM25_TERMS)}) AS tf
+      FROM w
+    ),
+    lex50 AS (
+      SELECT doc_id, rank_lex FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rank_lex
+        FROM lex
+      ) WHERE rank_lex <= 50
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    prods AS (
+      SELECT vec_id,
+             SUM(CAST(CAST(qe[i::INT] AS DOUBLE) * CAST(ee[i::INT] AS DOUBLE)
+                      AS DECIMAL(30,15))) AS dot_dec
+      FROM (SELECT e.vec_id, q.qe, e.embedding AS ee,
+                   unnest(range(1, len(e.embedding) + 1)) AS i
+            FROM embeddings e, q)
+      GROUP BY 1
+    ),
+    sem50 AS (
+      SELECT doc_id, rank_sem FROM (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY dot_dec DESC, vec_id) AS rank_sem
+        FROM prods
+      ) WHERE rank_sem <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(1000000000 // (60 + l.rank_lex), 0)
+               + COALESCE(1000000000 // (60 + s.rank_sem), 0) AS rrf,
+             l.rank_lex, s.rank_sem
+      FROM lex50 l FULL OUTER JOIN sem50 s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, CAST(rrf AS BIGINT) AS rrf,
+           CAST(rank_lex AS BIGINT) AS rank_lex,
+           CAST(rank_sem AS BIGINT) AS rank_sem
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard way
+    to combine a lexical ranker and an embedding ranker without score
+    calibration (RRF: Σ 1/(60+rank), here in exact integer millionths
+    so both engines agree bit-for-bit; missing-from-list contributes
+    0). Lexical side: term-frequency ranking for the fixed term set;
+    semantic side: exact decimal inner product against query vector
+    vec_id=0 (the same discipline as similarity_dot_topk).
+
+    Scale (100 TB): each side reduces to a global top-50 via
+    TakeOrderedAndProject (distributed heap merge, never a global
+    sort); rank assignment then runs on ≤50 rows — the single-
+    partition window is over a CONSTANT-size list, not the corpus.
+    The fusion join is 50×50. Corpus-side work is one scan per ranker;
+    the semantic scan broadcasts the 1-row query vector.
+    """
+    from ..operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = words("text")
+
+    def eq_term(t):
+        return lambda x: x == F.lit(t)
+
+    tf = None
+    for t in BM25_TERMS:
+        term_tf = F.size(F.filter(w, eq_term(t)))
+        tf = term_tf if tf is None else tf + term_tf
+    lex_top = (
+        docs.select("doc_id", tf.alias("tf"))
+        .orderBy(F.col("tf").desc(), "doc_id")
+        .limit(50)
+    )
+    wl = Window.orderBy(F.col("tf").desc(), "doc_id")
+    lex50 = lex_top.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
+    )
+
+    sem = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=50, exact=True
+    )
+    sem50 = sem.select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").cast("long").alias("rank_sem")
+    )
+
+    fused = lex50.join(sem50, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000000 div (60 + rank_lex)"), F.lit(0))
+            + F.coalesce(F.expr("1000000000 div (60 + rank_sem)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf"),
+        "rank_lex",
+        "rank_sem",
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(15)
 
 
 @query(

@@ -382,6 +382,16 @@ def test_unigram_logprob_model_broadcast(spark):
     assert "Exchange hashpartitioning" not in big_side
 
 
+def test_hybrid_rrf_topk_heaps_not_global_sorts(spark):
+    # each ranker's corpus-wide top-50 must compile to
+    # TakeOrderedAndProject (distributed heap merge); the query vector
+    # reaches the corpus by broadcast, never a cartesian shuffle
+    plan = plan_of(spark, "retrieval_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_heavy_hitters_single_vocab_aggregate(spark):
     # the explode+groupBy vocabulary aggregation must appear exactly
     # once — the support threshold's total comes from a cheap per-doc
