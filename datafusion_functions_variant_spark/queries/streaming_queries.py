@@ -881,3 +881,55 @@ def stream_update_mode_revisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = core.run_to_batch(agg, "update")
     return out.orderBy("event_type", "n")
+
+
+@query(
+    "stream_classifier_at_ingest",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(COALESCE(list_sum(list_transform(ws,
+             x -> (((('0x' || substr(md5(x), 1, 4))::INT) % 4096)
+                   * 2654435761) % 2001 - 1000)), 0) AS BIGINT) AS raw,
+           CAST(COALESCE(list_sum(list_transform(ws,
+             x -> (((('0x' || substr(md5(x), 1, 4))::INT) % 4096)
+                   * 2654435761) % 2001 - 1000)), 0) > 0 AS BOOLEAN) AS kept
+    FROM w ORDER BY doc_id
+    """,
+)
+def stream_classifier_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier INFERENCE on the ingest stream — the
+    streaming twin of ``text_quality_classifier``: every arriving
+    document is scored by the hashed linear model and tagged
+    keep/drop before it ever lands in the corpus. The scoring is an
+    IN-ROW higher-order fold (``aggregate(transform(tokens, w(h(t))))``)
+    — no explode, no per-doc groupBy — so the streaming query is 100%
+    STATELESS: no watermark, no state store, append mode, arbitrary
+    per-batch parallelism. That is the operational difference from the
+    batch twin's broadcast-join formulation: a learned weight TABLE
+    would broadcast-join on the bucket (still stateless); a weight
+    FUNCTION inlines entirely, as here. At 100 TB/day of ingest this
+    is the shape you want — the classifier adds zero shuffle and zero
+    state to the ingest pipeline.
+    """
+    from ..operators.text import words
+
+    st = core.read_table_stream(spark, sf_dir, "documents")
+
+    def tok_weight(x):
+        b = F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int") % 4096
+        return (b.cast("long") * F.lit(2654435761)) % 2001 - 1000
+
+    raw = F.aggregate(
+        F.transform(words("text"), tok_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = st.select(
+        "doc_id", "lang", raw.alias("raw"), (raw > 0).alias("kept")
+    )
+    return core.run_to_batch(scored, "append").orderBy("doc_id")
