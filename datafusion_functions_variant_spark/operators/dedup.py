@@ -245,10 +245,12 @@ def lsh_candidate_pairs(
     bucket aggregate INSIDE this plan — the stats ride the pass that
     produces the pairs, instead of re-running the whole
     shingle→minhash→band lineage a second time as a separate
-    pre-flight job. Read ``observation.get`` after acting on the
-    returned DataFrame. Standalone ``lsh_bucket_stats`` remains the
-    right tool when you want the audit BEFORE committing to the
-    expansion at all.
+    pre-flight job. Read the metrics after acting on the returned
+    DataFrame via ``plans.observe.observed_metrics`` (tolerates the
+    zero-row-input corner where AQE collapses the subtree and the raw
+    ``Observation.get`` raises on Spark's empty metrics row).
+    Standalone ``lsh_bucket_stats`` remains the right tool when you
+    want the audit BEFORE committing to the expansion at all.
     """
     banded = _banded(sigs, id_col, num_hashes, bands)
     buckets = banded.groupBy("band_id", "band_hash").agg(

@@ -33,6 +33,21 @@ def observe_quality(
     return out, obs
 
 
+def observed_metrics(obs: Observation, **defaults) -> dict:
+    """``obs.get`` tolerating the zero-input corner. When the observed
+    subtree collapses to an empty relation at runtime (AQE
+    empty-relation propagation on a zero-row scan — the first run of
+    an incremental pipeline, an empty partition day), Spark records an
+    EMPTY metrics row and pyspark's ``Observation.get`` raises while
+    converting it (``PythonSQLUtils.toPyRow`` asserts non-empty).
+    Return ``defaults`` in that case: the caller names the
+    empty-aggregate values it expects (e.g. ``n_buckets=0``)."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return dict(defaults)
+
+
 def assert_observed(obs: Observation, **bounds) -> dict:
     """Check observed metrics against ``name=(lo, hi)`` bounds (either
     side None = unbounded); raise ValueError listing every violation.

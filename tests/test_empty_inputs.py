@@ -109,3 +109,27 @@ def test_interpolate_empty_events(spark):
 
     ev = load_table(spark, SF_DIR, "events").where(F.lit(False))
     assert hourly_interpolate_linear(ev).count() == 0
+
+
+def test_lsh_pairs_with_observation_empty(spark):
+    """The fused observe() audit on a zero-row corpus: no pairs, and
+    the metrics read must not raise. AQE's empty-relation propagation
+    makes Spark record an EMPTY metrics row here (pyspark's raw
+    Observation.get raises converting it) — observed_metrics() is the
+    safe read, returning the caller's empty-aggregate defaults."""
+    from pyspark.sql import Observation
+
+    from datafusion_functions_variant_spark.plans.observe import observed_metrics
+
+    sigs = dedup.minhash_signatures_text(
+        _empty_docs(spark), "text", "doc_id", n=8, num_hashes=8
+    )
+    obs = Observation()
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=8, bands=2, observation=obs
+    )
+    assert pairs.count() == 0
+    got = observed_metrics(obs, n_buckets=0, n_colliding_buckets=0,
+                           n_overflow_buckets=0, max_bucket_size=None)
+    assert got["n_buckets"] == 0
+    assert got["max_bucket_size"] is None
