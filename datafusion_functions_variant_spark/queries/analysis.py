@@ -338,7 +338,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(words("text")).alias("token")
     ).select("doc_id", bucket)
     model = bt.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    tot = bt.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    # total token count folds out of the 4096-row model — NOT a third
+    # scan of the token stream (train + score = exactly two passes)
+    tot = model.agg(F.sum("cnt").cast("long").alias("total"))
     scored = (
         bt.join(F.broadcast(model), "b")
         .crossJoin(F.broadcast(tot))
