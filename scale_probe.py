@@ -88,11 +88,35 @@ def main() -> None:
         )
         return top.agg(F.count(F.lit(1)), F.sum("dot"))
 
+    def classifier_score(docs):
+        # mirrors text_quality_classifier: explode → broadcast weight
+        # join → per-doc agg → per-lang agg
+        model = docs.sparkSession.range(4096).select(
+            F.col("id").cast("int").alias("b"),
+            ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).cast("long").alias("w"),
+        )
+        b = (
+            F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int")
+            % 4096
+        )
+        feat = docs.select(
+            "doc_id", "lang", F.explode(words("text")).alias("token")
+        ).select("doc_id", "lang", b.alias("b"))
+        scored = (
+            feat.join(F.broadcast(model), "b")
+            .groupBy("doc_id", "lang")
+            .agg(F.sum("w").alias("raw"))
+        )
+        return scored.groupBy("lang").agg(
+            F.count(F.lit(1)), F.sum((F.col("raw") > 0).cast("long"))
+        )
+
     cases = {
         "dedup_minhash_lsh_xxhash": ("docs", minhash_lsh),
         "text_quality_stats": ("docs", token_quality),
         "vocab_token_agg": ("docs", vocab_agg),
         "similarity_dot_topk": ("emb", dot_topk),
+        "classifier_broadcast_score": ("docs", classifier_score),
     }
 
     results: dict[str, dict] = {}
