@@ -35,18 +35,24 @@ RUNS = int(os.environ.get("SCALE_RUNS", "3"))
 
 
 def replicate(df, k: int, id_col: str):
-    """K distinct copies: id' = id * k + replica. One in-plan fan-out,
-    no shuffle (BroadcastNestedLoopJoin against a k-row range)."""
+    """K distinct copies: id' = id * k + replica, as a UNION of K
+    offset projections. Union is narrow AND multiplies the partition
+    count by K — exactly how a K× corpus actually arrives (K× the
+    files/splits), so the probe measures scale-OUT (more data AND more
+    parallelism), not K× data squeezed through the original split
+    count. (A broadcast-crossJoin replication keeps the source's
+    partition count — on a one-split test file that serializes the
+    whole probe onto one core; measured and rejected.)"""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     if k == 1:
         return df
-    reps = df.sparkSession.range(k).select(F.col("id").alias("_rep"))
-    return (
-        df.crossJoin(F.broadcast(reps))
-        .withColumn(id_col, F.col(id_col) * k + F.col("_rep"))
-        .drop("_rep")
-    )
+    copies = [
+        df.withColumn(id_col, F.col(id_col) * k + F.lit(rep)) for rep in range(k)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), copies)
 
 
 def main() -> None:
