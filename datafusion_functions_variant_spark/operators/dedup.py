@@ -143,7 +143,8 @@ def gram_hash(g: F.Column, hash_fn: str = "md5") -> F.Column:
     reproducible in SQL so its queries get rows-only driver checks.
     Measured (sf0.1 documents, local[32], 7-run median of the isolated
     signature stage): xxhash64 1.90 s vs md5 2.78 s — **1.47× faster**
-    where the hash actually runs. The END-TO-END ``dedup_minhash_lsh``
+    where the hash actually runs; at 8× the corpus the gap widens to
+    1.53× (13.44 s vs 20.62 s, 5-run medians — see SCALE.md). The END-TO-END ``dedup_minhash_lsh``
     pipeline shows only ~10% because the band-bucket join downstream
     dominates at this SF; at 100 TB the signature stage scales with
     total gram count (every byte of every doc) while the bucket join
