@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "similarity_dot_topk",
     "text_token_counts",
+    # round 5: broadcast-model classifier inference family
+    "text_quality_classifier",
 ]
 
 
