@@ -166,3 +166,29 @@ def test_property_short_string_boundary(chars):
         if HAVE_VARIANTVAL:
             meta = codec.build_metadata(set())
             assert json.loads(VariantVal(bytes(buf), meta).toJson()) == p
+
+
+def _naive_merge_patch(target, patch):
+    """Independent straight-from-the-RFC-7386-pseudocode reference:
+    object patches merge key-wise (null deletes), anything else
+    replaces wholesale."""
+    if isinstance(patch, dict):
+        result = dict(target) if isinstance(target, dict) else {}
+        for k, v in patch.items():
+            if v is None:
+                result.pop(k, None)
+            else:
+                result[k] = _naive_merge_patch(result.get(k), v)
+        return result
+    return patch
+
+
+@given(json_values, json_values)
+@settings(max_examples=200, deadline=None)
+def test_property_merge_patch_matches_rfc_reference(target, patch):
+    """codec.merge_patch against the independent reference on random
+    value pairs — catches recursion/deletion corners the RFC appendix
+    vectors don't reach (nested deletes under replaced arrays, null
+    inside lists which must NOT delete, non-dict targets)."""
+    got = codec.merge_patch(target, patch)
+    assert got == _naive_merge_patch(target, patch)
