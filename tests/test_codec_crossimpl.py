@@ -192,3 +192,39 @@ def test_property_merge_patch_matches_rfc_reference(target, patch):
     inside lists which must NOT delete, non-dict targets)."""
     got = codec.merge_patch(target, patch)
     assert got == _naive_merge_patch(target, patch)
+
+
+def _all_paths(obj, prefix="$"):
+    """Every (json-path, expected-value) pair reachable in obj, using
+    bracket-quoted key steps (safe for keys containing dots/spaces);
+    keys containing quote/bracket/backslash chars are skipped — the
+    path grammar doesn't define escaping for them."""
+    out = []
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if k and not any(c in k for c in "'\"[]\\"):
+                p = f"{prefix}['{k}']"
+                out.append((p, v))
+                out.extend(_all_paths(v, p))
+    elif isinstance(obj, list):
+        for i, v in enumerate(obj):
+            p = f"{prefix}[{i}]"
+            out.append((p, v))
+            out.extend(_all_paths(v, p))
+    return out
+
+
+@given(json_values)
+@settings(max_examples=150, deadline=None)
+def test_property_get_path_reaches_every_node(obj):
+    """For random nested values, get_path must return exactly the
+    value at EVERY reachable path (containers included — to_python
+    decode), and miss cleanly (None, no error) on an absent key and an
+    out-of-bounds index at every object/array node."""
+    meta, val = _codec_encode(obj)
+    for p, want in _all_paths(obj)[:25]:
+        assert codec.get_path(val, meta, p) == want, p
+    if isinstance(obj, dict):
+        assert codec.get_path(val, meta, "$['\x00nope']") is None
+    if isinstance(obj, list):
+        assert codec.get_path(val, meta, f"$[{len(obj)}]") is None
