@@ -850,6 +850,69 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CAST(8 + doc_id % 5 AS INT) AS width,
+             CAST(6 + doc_id % 4 AS INT) AS height
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT asset_id, 'image/png' AS mime, width, height,
+           CAST(1 AS INT) AS channels,
+           CAST(SUM((asset_id + 7 * x.x + 13 * y.y) % 256) AS BIGINT) AS px_sum
+    FROM assets,
+         LATERAL (SELECT unnest(range(width)) AS x) x,
+         LATERAL (SELECT unnest(range(height)) AS y) y
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY asset_id
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end, no PIL: per asset, a genuine PNG
+    (zlib-deflated filtered scanlines, CRC'd chunks — operators/png.py,
+    filter type rotating over all five spec filters) is encoded in one
+    Arrow batch stage and decoded in the next through the MediaDecoder
+    registry seam (multimodal.py:51). The oracle reproduces width/
+    height and the exact pixel-byte sum from the generative formula —
+    content-level proof that bytes→decode→features is faithful, where
+    the PIL-gated test (test_functions.py) could only prove plumbing.
+    Scale: both stages are mapInPandas over payload batches; fan-out,
+    schema and partitioning are identical to what a PIL/libvips
+    decoder sees at 100 TB.
+    """
+    from ..operators import png as pngmod
+
+    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 5, 6 + i % 4
+                pix = bytes(
+                    (i + 7 * x + 13 * y) % 256 for y in range(h) for x in range(w)
+                )
+                payloads.append(
+                    pngmod.encode_png(w, h, pix, 1, filter_type=i % 5)
+                )
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    assets = ids.mapInPandas(gen, "asset_id long, payload binary")
+    feat = multimodal.featurize_binary(
+        assets, "payload", "asset_id", decoder=pngmod.png_decoder()
+    )
+    return feat.select(
+        "asset_id", "mime", "width", "height", "channels", "px_sum"
+    ).orderBy("asset_id")
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH f AS (

@@ -1,0 +1,109 @@
+"""Pure-stdlib PNG codec (operators/png.py): real decode evidence for
+the multimodal stack in a container without PIL. Roundtrips exercise
+every scanline filter type; the Spark e2e test runs actual compressed
+bytes through the MediaDecoder seam."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_functions_variant_spark.operators import png
+
+
+def _formula_pixels(w: int, h: int, seed: int, channels: int = 1) -> bytes:
+    return bytes(
+        (seed + 7 * x + 13 * y + 29 * c) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(channels)
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_roundtrip_every_filter(filter_type, channels):
+    w, h = 11, 7
+    pix = _formula_pixels(w, h, filter_type * 31, channels)
+    blob = png.encode_png(w, h, pix, channels, filter_type=filter_type)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    d = png.decode_png(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+    assert d["pixels"] == pix
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 9),
+    st.sampled_from([1, 3]),
+    st.integers(0, 4),
+    st.integers(0, 255),
+)
+@settings(max_examples=60, deadline=None)
+def test_property_roundtrip_random_shapes(w, h, channels, ftype, seed):
+    pix = _formula_pixels(w, h, seed, channels)
+    d = png.decode_png(png.encode_png(w, h, pix, channels, filter_type=ftype))
+    assert d["pixels"] == pix
+
+
+def test_crc_corruption_rejected():
+    blob = bytearray(png.encode_png(2, 2, bytes(4), 1))
+    blob[-5] ^= 0xFF  # flip a CRC byte of IEND
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(blob))
+
+
+def test_unsupported_depth_rejected():
+    # hand-build a 16-bit IHDR: outside the subset, must raise (the
+    # "register PIL" path), never silently mis-decode
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        png.decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_spark_e2e_decode_through_media_seam(spark):
+    """Generate real PNGs in an Arrow batch, run featurize_binary with
+    the stdlib decoder: the mime sniff, the decode fields and the
+    exact pixel sums must all come back right — container-native proof
+    that the decode seam carries real decoders, not only stubs."""
+    import pandas as pd
+
+    from datafusion_functions_variant_spark.operators import multimodal
+
+    ids = spark.range(12).select("id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 4 + i % 3, 3 + i % 2
+                payloads.append(
+                    png.encode_png(
+                        w, h, _formula_pixels(w, h, i), 1, filter_type=i % 5
+                    )
+                )
+            yield pd.DataFrame({"asset_id": pdf["id"], "payload": payloads})
+
+    assets = ids.mapInPandas(gen, "asset_id long, payload binary")
+    feat = multimodal.featurize_binary(
+        assets, "payload", "asset_id", decoder=png.png_decoder()
+    )
+    rows = {r.asset_id: r for r in feat.collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        w, h = 4 + i % 3, 3 + i % 2
+        r = rows[i]
+        assert r.mime == "image/png"
+        assert (r.width, r.height, r.channels) == (w, h, 1)
+        assert r.px_sum == sum(_formula_pixels(w, h, i))
