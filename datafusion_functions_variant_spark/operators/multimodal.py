@@ -7,10 +7,15 @@ a content hash. The heavy decode/transform steps run as Arrow-batched
 ``mapInPandas`` so payload bytes never round-trip through Python row
 objects.
 
-The actual decoders (PIL/librosa/av) are NOT in this container, so the
-decode step is stubbed behind ``NotImplementedError`` with a
-deterministic fake used in tests — but the Spark-side plumbing
-(schemas, batch iteration, partition sizing) is real and tested.
+The heavyweight decoders (PIL/librosa/av) are NOT in this container:
+without a registration the generic decode step raises
+``NotImplementedError`` and tests use a deterministic fake. PNG,
+however, decodes for REAL via the pure-stdlib codec in ``png.py``
+(zlib + struct, all five scanline filters) — registered through the
+same ``MediaDecoder`` seam, it gives the decode path genuine
+bytes→pixels runtime evidence (``multimodal_png_decode`` query,
+oracle-verified pixel sums) while PIL/av remain the production path
+for every other format.
 
 Scale notes: payload columns dominate bytes — always
 ``spark.sql.files.maxPartitionBytes``-bound scans, project metadata
