@@ -913,6 +913,60 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CAST(30 + doc_id % 20 AS INT) AS n_frames
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT asset_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels, n_frames,
+           CAST(SUM(ABS((asset_id + 37 * j.j) % 4001 - 2000)) AS BIGINT) AS abs_sum
+    FROM assets, LATERAL (SELECT unnest(range(n_frames)) AS j) j
+    GROUP BY 1, 2, 3, 4
+    ORDER BY asset_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, no librosa: per asset a genuine
+    RIFF/WAVE 16-bit PCM payload (operators/wav.py — the encoder is
+    cross-checked against Python's independent stdlib ``wave``
+    implementation in tests/test_wav.py) is synthesized in one Arrow
+    batch stage and decoded in the next through the MediaDecoder
+    seam. The oracle reproduces rate/channels/frame-count and the
+    exact absolute-amplitude sum from the generative sawtooth formula
+    — sample-level proof of the decode, the audio companion to
+    multimodal_png_decode.
+    """
+    from ..operators import wav as wavmod
+
+    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 30 + i % 20
+                samples = [((i + 37 * j) % 4001) - 2000 for j in range(n)]
+                payloads.append(wavmod.encode_wav(samples, 8000, 1))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    assets = ids.mapInPandas(gen, "asset_id long, payload binary")
+    feat = multimodal.featurize_binary(
+        assets, "payload", "asset_id", decoder=wavmod.wav_decoder()
+    )
+    return feat.select(
+        "asset_id", "sample_rate", "channels", "n_frames", "abs_sum"
+    ).orderBy("asset_id")
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH f AS (
