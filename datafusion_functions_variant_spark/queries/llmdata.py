@@ -967,6 +967,61 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_y4m_frames",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id, 6 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id < 40
+    ),
+    fr AS (SELECT asset_id, unnest(range(0, nf, 2)) AS frame_idx FROM assets)
+    SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5((SELECT string_agg(
+                  chr(CAST(65 + (asset_id + 3 * frame_idx + 5 * p.p) % 26 AS INT)),
+                  '' ORDER BY p.p)
+                FROM (SELECT unnest(range(8)) AS p) p)) AS frame_md5
+    FROM fr ORDER BY asset_id, frame_idx
+    """,
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction, no av/ffmpeg: per asset a genuine
+    YUV4MPEG2 stream (ffmpeg's raw-video container — ASCII parameter
+    header + FRAME-delimited raw planes, operators/y4m.py) is
+    synthesized in one Arrow batch stage, then frame_sample_plan pulls
+    every 2nd ACTUAL frame through the frame_extractor seam and hashes
+    its real bytes. Frame pixels are ASCII letters by construction, so
+    the oracle rebuilds each sampled frame's exact content and its md5
+    — byte-level proof of extraction, completing the multimodal triple
+    (png=image, wav=audio, y4m=video). Same mapInPandas plan shape an
+    av-backed demuxer would use at 100 TB.
+    """
+    from ..operators import y4m as y4mmod
+
+    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        "doc_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = [
+                    bytes(65 + (i + 3 * f + 5 * p) % 26 for p in range(8))
+                    for f in range(6 + i % 4)
+                ]
+                payloads.append(y4mmod.encode_y4m(frames, 4, 2))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    assets = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return multimodal.frame_sample_plan(
+        assets, "payload", "asset_id", every_n=2,
+        frame_extractor=y4mmod.y4m_frame_extractor,
+    ).orderBy("asset_id", "frame_idx")
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH f AS (
