@@ -9,13 +9,13 @@ so the decode path gets genuine runtime evidence end-to-end — actual
 compressed image bytes in, actual pixel values out — instead of a
 deterministic fake.
 
-Scope: bit depth 8, color types 0 (grey, 1 channel) and 2 (RGB, 3
-channels), interlace 0. That covers the fixtures any test needs while
+Scope: bit depth 8, color types 0 (grey), 2 (RGB), 4 (grey+alpha) and
+6 (RGBA), interlace 0. That covers the fixtures any test needs while
 keeping every byte of the wire format real: signature, chunk CRCs,
 IHDR layout, zlib-deflated filtered scanlines. Anything outside the
-subset raises ``ValueError`` — a real deployment registers PIL via
-``multimodal.register_decoder`` and this module stays as the
-zero-dependency fallback + fixture factory.
+subset (16-bit, palette, interlaced) raises ``ValueError`` — a real
+deployment registers PIL via ``multimodal.register_decoder`` and this
+module stays as the zero-dependency fallback + fixture factory.
 
 The encoder exists for test fixtures (and supports emitting any single
 filter type 0-4 so the decoder's five reconstruction branches are each
@@ -56,8 +56,10 @@ def encode_png(
     bytes) as a PNG. ``filter_type`` 0-4 applies that one filter to
     every scanline (real encoders choose per-line; one fixed type is
     enough to exercise each decoder branch)."""
-    if channels not in (1, 3):
-        raise ValueError("channels must be 1 (grey) or 3 (RGB)")
+    if channels not in (1, 2, 3, 4):
+        raise ValueError(
+            "channels must be 1 (grey), 2 (grey+alpha), 3 (RGB) or 4 (RGBA)"
+        )
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
@@ -85,7 +87,7 @@ def encode_png(
                 raw.append((x - _paeth(a, b, c)) & 0xFF)
         prev = line
 
-    color_type = 0 if channels == 1 else 2
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         _SIG
@@ -116,12 +118,12 @@ def decode_png(payload: bytes) -> dict:
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color not in (0, 2) or interlace != 0:
+            if depth != 8 or color not in (0, 2, 4, 6) or interlace != 0:
                 raise ValueError(
                     f"unsupported PNG (depth={depth} color={color} "
                     f"interlace={interlace}); register PIL for full coverage"
                 )
-            channels = 1 if color == 0 else 3
+            channels = {0: 1, 4: 2, 2: 3, 6: 4}[color]
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":

@@ -8,27 +8,40 @@ entropy coding, so ``bytes``/``split`` is a complete decoder and the
 ``frame_extractor`` seam (multimodal.py:frame_sample_plan) gets REAL
 frames out of a real container instead of the length-derived fake.
 
-Subset: colorspaces ``Cmono`` (1 byte/px) and ``C444`` (3 bytes/px) —
-interlacing and chroma subsampling markers other than these raise
-``ValueError`` (a deployment with av/ffmpeg registers a full demuxer
-through the same seam). Within the subset every byte is spec-real: a
-fixture written here pipes straight into ``ffplay``/``ffmpeg``.
+Subset: colorspaces ``Cmono`` (1 byte/px), ``C444`` (3 bytes/px) and
+``C420``/``C420jpeg``/``C420mpeg2``/``C420paldv`` (4:2:0 — the spec
+DEFAULT and the overwhelmingly common case: Y plane + two
+quarter-size chroma planes, ceil-divided for odd dimensions).
+Interlaced streams raise ``ValueError`` (a deployment with av/ffmpeg
+registers a full demuxer through the same seam). Within the subset
+every byte is spec-real: a fixture written here pipes straight into
+``ffplay``/``ffmpeg``.
 """
 
 from __future__ import annotations
 
 _MAGIC = b"YUV4MPEG2"
 
-_BPP = {"mono": 1, "444": 3}
+
+def _frame_size(width: int, height: int, colorspace: str) -> int:
+    """Frame payload bytes for a colorspace; raises outside the subset."""
+    if colorspace == "mono":
+        return width * height
+    if colorspace == "444":
+        return width * height * 3
+    if colorspace in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        return width * height + 2 * (((width + 1) // 2) * ((height + 1) // 2))
+    raise ValueError(
+        f"unsupported colorspace C{colorspace}; register an av/ffmpeg "
+        "demuxer for full coverage"
+    )
 
 
 def encode_y4m(
     frames: list[bytes], width: int, height: int, colorspace: str = "mono"
 ) -> bytes:
     """Encode raw frames (each ``width*height*bpp`` bytes) as Y4M."""
-    if colorspace not in _BPP:
-        raise ValueError("colorspace must be 'mono' or '444'")
-    fsize = width * height * _BPP[colorspace]
+    fsize = _frame_size(width, height, colorspace)
     for f in frames:
         if len(f) != fsize:
             raise ValueError(f"frame must be {fsize} bytes, got {len(f)}")
@@ -56,12 +69,7 @@ def decode_y4m(payload: bytes) -> dict:
             raise ValueError(f"unsupported interlacing {t!r}")
     if width is None or height is None:
         raise ValueError("missing W/H in stream header")
-    if colorspace not in _BPP:
-        raise ValueError(
-            f"unsupported colorspace C{colorspace}; register an av/ffmpeg "
-            "demuxer for full coverage"
-        )
-    fsize = width * height * _BPP[colorspace]
+    fsize = _frame_size(width, height, colorspace)
     frames = []
     pos = nl + 1
     while pos < len(payload):

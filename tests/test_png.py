@@ -25,7 +25,7 @@ def _formula_pixels(w: int, h: int, seed: int, channels: int = 1) -> bytes:
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
-@pytest.mark.parametrize("channels", [1, 3])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
 def test_roundtrip_every_filter(filter_type, channels):
     w, h = 11, 7
     pix = _formula_pixels(w, h, filter_type * 31, channels)
@@ -39,7 +39,7 @@ def test_roundtrip_every_filter(filter_type, channels):
 @given(
     st.integers(1, 12),
     st.integers(1, 9),
-    st.sampled_from([1, 3]),
+    st.sampled_from([1, 2, 3, 4]),
     st.integers(0, 4),
     st.integers(0, 255),
 )

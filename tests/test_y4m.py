@@ -16,9 +16,20 @@ def _frame(w: int, h: int, seed: int, bpp: int = 1) -> bytes:
     return bytes((seed + 11 * i) % 256 for i in range(w * h * bpp))
 
 
-@pytest.mark.parametrize("colorspace,bpp", [("mono", 1), ("444", 3)])
-def test_roundtrip(colorspace, bpp):
-    frames = [_frame(6, 4, s, bpp) for s in range(5)]
+def _fsize(w, h, cs):
+    if cs == "mono":
+        return w * h
+    if cs == "444":
+        return w * h * 3
+    return w * h + 2 * (((w + 1) // 2) * ((h + 1) // 2))
+
+
+@pytest.mark.parametrize("colorspace", ["mono", "444", "420"])
+def test_roundtrip(colorspace):
+    frames = [
+        bytes((s + 11 * i) % 256 for i in range(_fsize(6, 4, colorspace)))
+        for s in range(5)
+    ]
     blob = y4m.encode_y4m(frames, 6, 4, colorspace)
     assert blob.startswith(b"YUV4MPEG2 W6 H4 ")
     d = y4m.decode_y4m(blob)
@@ -34,11 +45,24 @@ def test_property_roundtrip(w, h, n_frames, seed):
     assert d["frames"] == frames
 
 
-def test_default_420_colorspace_rejected():
-    # no C tag → spec default C420, outside the subset: must raise,
-    # never silently treat subsampled planes as full-res
-    blob = b"YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + bytes(6)
-    with pytest.raises(ValueError, match="C420"):
+def test_default_colorspace_is_420():
+    # no C tag → spec default C420: 2x2 → Y 4 bytes + 2 chroma bytes
+    blob = b"YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + bytes(range(6))
+    d = y4m.decode_y4m(blob)
+    assert d["colorspace"] == "420"
+    assert d["frames"] == [bytes(range(6))]
+
+
+def test_odd_dimensions_420_ceil_divide():
+    # 3x3 C420: Y 9 + 2 * ceil(3/2)^2 = 9 + 8 = 17 bytes per frame
+    frames = [bytes(17)]
+    d = y4m.decode_y4m(y4m.encode_y4m(frames, 3, 3, "420"))
+    assert d["frames"] == frames
+
+
+def test_interlaced_rejected():
+    blob = b"YUV4MPEG2 W2 H2 It Cmono\nFRAME\n" + bytes(4)
+    with pytest.raises(ValueError, match="interlacing"):
         y4m.decode_y4m(blob)
 
 
