@@ -204,6 +204,8 @@ def frame_sample_plan(
     it). Without one, frame count is derived deterministically from
     payload length (1 fake frame per 64 bytes) so the fan-out shape —
     the part that matters for partitioning — is real either way."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     schema = StructType(
         [
             StructField("asset_id", LongType()),

@@ -107,17 +107,27 @@ def decode_png(payload: bytes) -> dict:
     width = height = channels = None
     idat = bytearray()
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG: chunk header cut short")
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG: {ctype!r} chunk cut short")
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         pos += 12 + length
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"bad IHDR length {len(data)}")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+            if comp != 0 or filt != 0:
+                raise ValueError(
+                    f"unsupported PNG (compression={comp} filter_method={filt})"
+                )
             if depth != 8 or color not in (0, 2, 4, 6) or interlace != 0:
                 raise ValueError(
                     f"unsupported PNG (depth={depth} color={color} "

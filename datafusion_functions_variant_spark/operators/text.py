@@ -29,6 +29,25 @@ def words(col) -> F.Column:
     return F.filter(F.split(c, " "), lambda w: F.length(w) > 0)
 
 
+def token_bucket(col, buckets: int = 4096) -> F.Column:
+    """md5-based feature-hash bucket for a token — the
+    oracle-reproducible vocabulary hash shared by the classifier and
+    unigram-LM surfaces (batch + streaming + scale probe). DuckDB
+    twin: ``(('0x' || substr(md5(x), 1, 4))::INT) % buckets``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("int") % buckets
+
+
+def bucket_weight(col) -> F.Column:
+    """Multiplicative-hash pseudo-weight in [-1000, 1000] for a bucket
+    id — the stand-in for trained classifier parameters, shared by
+    every classifier call site so the batch twin, the streaming twin
+    and the scale probe can never drift apart. DuckDB twin:
+    ``(b * 2654435761) % 2001 - 1000``."""
+    b = F.col(col) if isinstance(col, str) else col
+    return (b.cast("long") * F.lit(2654435761)) % 2001 - 1000
+
+
 def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features: lengths, word stats, character-
     class ratios, stopword ratio. The classic cheap quality filters

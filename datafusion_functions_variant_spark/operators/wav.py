@@ -56,8 +56,15 @@ def decode_wav(payload: bytes) -> dict:
         ctype = payload[pos : pos + 4]
         (length,) = struct.unpack_from("<I", payload, pos + 4)
         chunk = payload[pos + 8 : pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError(
+                f"truncated {ctype!r} chunk: declared {length}, "
+                f"got {len(chunk)} bytes"
+            )
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if ctype == b"fmt ":
+            if length < 16:
+                raise ValueError(f"fmt chunk too short: {length} bytes")
             fmt = struct.unpack("<HHIIHH", chunk[:16])
         elif ctype == b"data":
             data = chunk
@@ -69,8 +76,13 @@ def decode_wav(payload: bytes) -> dict:
             f"unsupported WAV (tag={tag} bits={bits} channels={channels}); "
             "register a real audio decoder for full coverage"
         )
+    if len(data) % (channels * 2):
+        raise ValueError(
+            f"data chunk length {len(data)} is not a whole number of "
+            f"{channels}-channel 16-bit frames"
+        )
     n = len(data) // 2
-    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    samples = list(struct.unpack(f"<{n}h", data))
     return {
         "sample_rate": rate,
         "channels": channels,

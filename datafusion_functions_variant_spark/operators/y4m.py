@@ -95,5 +95,7 @@ def y4m_frame_extractor(payload: bytes, every_n: int) -> list[tuple[int, bytes]]
     """``frame_extractor`` seam implementation for
     ``multimodal.frame_sample_plan``: every ``every_n``-th REAL frame
     of a Y4M stream, as (frame_idx, frame_bytes)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     d = decode_y4m(payload)
     return [(i, f) for i, f in enumerate(d["frames"]) if i % every_n == 0]

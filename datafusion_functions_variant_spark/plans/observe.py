@@ -41,11 +41,17 @@ def observed_metrics(obs: Observation, **defaults) -> dict:
     EMPTY metrics row and pyspark's ``Observation.get`` raises while
     converting it (``PythonSQLUtils.toPyRow`` asserts non-empty).
     Return ``defaults`` in that case: the caller names the
-    empty-aggregate values it expects (e.g. ``n_buckets=0``)."""
+    empty-aggregate values it expects (e.g. ``n_buckets=0``). Only
+    that specific empty-row conversion failure is absorbed — a
+    never-attached observation, a dead JVM, or any other error still
+    raises (silently reporting 'empty corpus' for a crashed job would
+    be worse than the crash)."""
     try:
         return dict(obs.get)
-    except Exception:
-        return dict(defaults)
+    except Exception as ex:
+        if "toPyRow" in str(ex):
+            return dict(defaults)
+        raise
 
 
 def assert_observed(obs: Observation, **bounds) -> dict:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.text import words
+from ..operators.text import bucket_weight, token_bucket, words
 from ..sources.tables import load_table
 from . import dsum, query
 
@@ -331,9 +331,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles total (model build, per-doc agg), both reduce-sized.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int") % 4096
-    ).alias("b")
+    bucket = token_bucket("token").alias("b")
     bt = docs.select(
         "doc_id", F.explode(words("text")).alias("token")
     ).select("doc_id", bucket)
@@ -420,11 +418,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weight(b) is a multiplicative hash into [-1000, 1000]
     model = spark.range(4096).select(
         F.col("id").cast("int").alias("b"),
-        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000)
-        .cast("long")
-        .alias("w"),
+        bucket_weight("id").cast("long").alias("w"),
     )
-    b = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int") % 4096
+    b = token_bucket("token")
     feat = docs.select(
         "doc_id", "lang", F.explode(words("text")).alias("token")
     ).select("doc_id", "lang", b.alias("b"))

@@ -916,13 +916,12 @@ def stream_classifier_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the shape you want — the classifier adds zero shuffle and zero
     state to the ingest pipeline.
     """
-    from ..operators.text import words
+    from ..operators.text import bucket_weight, token_bucket, words
 
     st = core.read_table_stream(spark, sf_dir, "documents")
 
     def tok_weight(x):
-        b = F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int") % 4096
-        return (b.cast("long") * F.lit(2654435761)) % 2001 - 1000
+        return bucket_weight(token_bucket(x))
 
     raw = F.aggregate(
         F.transform(words("text"), tok_weight),

@@ -10,9 +10,10 @@ pipelines at each K. A scale-ready operator shows wall-clock growth ≲
 K (linear in input) with no super-linear blowup; the per-K times and
 the (T(8K)/T(1K)) growth factor are written to ``SCALE.md``.
 
-Replication is `crossJoin(range(K))` + id re-keying — a pure in-plan
-fan-out, so the probe needs no disk and the replicas flow through the
-same plans the registry queries use. Salted text/vector perturbation
+Replication is a union of K id-offset projections — a pure in-plan
+fan-out needing no disk, whose partition count grows with K (see
+``replicate``); the replicas flow through the same plans the registry
+queries use. Salted text/vector perturbation
 is deliberately NOT applied: identical replicas are the ADVERSARIAL
 case for dedup (maximum bucket collision pressure — every LSH bucket
 is K× deeper), making these numbers upper bounds.
@@ -97,17 +98,18 @@ def main() -> None:
     def classifier_score(docs):
         # mirrors text_quality_classifier: explode → broadcast weight
         # join → per-doc agg → per-lang agg
+        from datafusion_functions_variant_spark.operators.text import (
+            bucket_weight,
+            token_bucket,
+        )
+
         model = docs.sparkSession.range(4096).select(
             F.col("id").cast("int").alias("b"),
-            ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).cast("long").alias("w"),
-        )
-        b = (
-            F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int")
-            % 4096
+            bucket_weight("id").cast("long").alias("w"),
         )
         feat = docs.select(
             "doc_id", "lang", F.explode(words("text")).alias("token")
-        ).select("doc_id", "lang", b.alias("b"))
+        ).select("doc_id", "lang", token_bucket("token").alias("b"))
         scored = (
             feat.join(F.broadcast(model), "b")
             .groupBy("doc_id", "lang")

@@ -107,3 +107,22 @@ def test_spark_e2e_decode_through_media_seam(spark):
         assert r.mime == "image/png"
         assert (r.width, r.height, r.channels) == (w, h, 1)
         assert r.px_sum == sum(_formula_pixels(w, h, i))
+
+
+def test_truncated_png_raises_value_error_not_struct_error():
+    blob = png.encode_png(3, 3, bytes(9), 1)
+    for cut in (12, 20, len(blob) - 6):
+        with pytest.raises(ValueError, match="truncated|CRC"):
+            png.decode_png(blob[:cut])
+
+
+def test_nonzero_compression_or_filter_method_rejected():
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 1, 0)  # filter method 1
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="filter_method"):
+        png.decode_png(b"\x89PNG\r\n\x1a\n" + chunk)

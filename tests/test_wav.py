@@ -96,3 +96,33 @@ def test_spark_e2e_decode_through_media_seam(spark):
         r = rows[i]
         assert (r.sample_rate, r.channels, r.n_frames) == (8000 + 100 * i, 1, 30 + i)
         assert r.abs_sum == sum(abs(s) for s in _formula_samples(30 + i, i))
+
+
+def test_truncated_data_chunk_rejected():
+    import struct as _s
+
+    blob = bytearray(wav.encode_wav([1, 2, 3, 4], 8000, 1))
+    # inflate the data chunk's declared length beyond the payload;
+    # data chunk header sits right after fmt: 12 + (8+16) = 36
+    _s.pack_into("<I", blob, 40, 100)
+    _s.pack_into("<I", blob, 4, len(blob) - 8 + 92)  # keep RIFF size consistent-ish
+    with pytest.raises(ValueError):
+        wav.decode_wav(bytes(blob))
+
+
+def test_odd_sample_count_for_stereo_rejected():
+    # hand-build a 2-channel data chunk holding 5 samples (a dangling
+    # half frame): must raise, never report n_frames=2 with 5 samples
+    mono = wav.encode_wav([1, 2, 3, 4, 5], 8000, 1)
+    blob = bytearray(mono)
+    import struct as _s
+
+    _s.pack_into("<H", blob, 12 + 8 + 2, 2)  # fmt channels := 2
+    with pytest.raises(ValueError, match="whole number"):
+        wav.decode_wav(bytes(blob))
+
+
+def test_short_fmt_chunk_rejected():
+    blob = b"RIFF" + struct.pack("<I", 4 + 8 + 4) + b"WAVE" + b"fmt " + struct.pack("<I", 4) + bytes(4)
+    with pytest.raises(ValueError, match="too short"):
+        wav.decode_wav(blob)

@@ -112,3 +112,9 @@ def test_spark_e2e_real_frames_through_sample_plan(spark):
             want = hashlib.md5(_frame(4, 2, i * 10 + f)).hexdigest()
             assert rows[(i, f)] == want
         assert {k[1] for k in rows if k[0] == i} == set(idxs)
+
+
+def test_extractor_rejects_nonpositive_every_n():
+    blob = y4m.encode_y4m([_frame(2, 2, 0)], 2, 2)
+    with pytest.raises(ValueError, match="every_n"):
+        y4m.y4m_frame_extractor(blob, 0)
