@@ -638,3 +638,56 @@ def test_ewma_lies_within_window_minmax(spark):
         assert b.lo - 1e-6 <= r.ewma <= b.hi + 1e-6, r
         if b.is_first:
             assert abs(r.ewma - b.v) < 1e-6
+
+
+def _rand_embeddings(spark, n: int, dim: int, seed: int):
+    rng = random.Random(seed)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_shortlist_rerank_matches_brute_force(spark):
+    """PQ with a shortlist as wide as the corpus must return EXACTLY
+    the brute-force top-k (the exact re-rank sees every vector, so
+    quantization can cost nothing) — pins the re-rank stage's
+    correctness independent of codebook quality."""
+    from datafusion_functions_variant_spark.operators import similarity
+
+    emb = _rand_embeddings(spark, 60, 16, seed=9)
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = similarity.brute_force_topk(emb, queries, k=3, exact=True)
+    pq = similarity.pq_topk(
+        emb, queries, k=3, m=4, ks=8, dim=16, shortlist=60
+    )
+    want = {(r.query_id, r.rank): r.vec_id for r in exact.collect()}
+    got = {(r.query_id, r.rank): r.vec_id for r in pq.collect()}
+    assert got == want
+
+
+def test_ivf_full_probe_matches_naive_cosine(spark):
+    """IVF probing EVERY centroid list degenerates to exhaustive
+    search: its (cosine-ranked) top-k must equal an independent
+    plain-Python cosine ranking exactly — pins the probe-join +
+    rescoring plumbing with recall taken out of the equation."""
+    import math
+
+    from datafusion_functions_variant_spark.operators import similarity
+
+    emb = _rand_embeddings(spark, 50, 8, seed=21)
+    rows = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    queries = emb.where(F.col("vec_id") < 3)
+    ivf = similarity.ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=4)
+    got = {(r.query_id, r.rank): r.vec_id for r in ivf.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    want = {}
+    for qid in range(3):
+        ranked = sorted(rows, key=lambda v: (-cos(rows[qid], rows[v]), v))[:3]
+        for rank, vid in enumerate(ranked, 1):
+            want[(qid, rank)] = vid
+    assert got == want
