@@ -382,6 +382,17 @@ def test_unigram_logprob_model_broadcast(spark):
     assert "Exchange hashpartitioning" not in big_side
 
 
+def test_multimodal_decode_queries_stay_in_one_python_pipeline(spark):
+    # synth (mapInPandas) → decode (mapInPandas) must chain with no
+    # hashpartitioning exchange between them: payload bytes are never
+    # shuffled — the property that matters when payloads dominate bytes
+    for name in ("multimodal_png_decode", "multimodal_wav_decode",
+                 "multimodal_y4m_frames"):
+        plan = plan_of(spark, name)
+        assert plan.count("MapInPandas") == 2, name
+        assert "Exchange hashpartitioning" not in plan, name
+
+
 def test_hybrid_rrf_topk_heaps_not_global_sorts(spark):
     # each ranker's corpus-wide top-50 must compile to
     # TakeOrderedAndProject (distributed heap merge); the query vector
