@@ -162,6 +162,15 @@ def featurize_binary(
     decode_fn = decoder.fn if decoder is not None else None
     extra_names = [f.name for f in decoder.fields] if decoder is not None else []
 
+    def _sniff(p: bytes) -> str:
+        if p[:4] == b"\x89PNG":
+            return "image/png"
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            return "audio/wav"
+        if p[:9] == b"YUV4MPEG2":
+            return "video/yuv4mpeg"
+        return "application/octet-stream"
+
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -169,10 +178,7 @@ def featurize_binary(
             payloads = pdf[payload_col]
             cols = {
                 "asset_id": pdf[id_col],
-                "mime": [
-                    "image/png" if p[:4] == b"\x89PNG" else "application/octet-stream"
-                    for p in payloads
-                ],
+                "mime": [_sniff(p) for p in payloads],
                 "n_bytes": [len(p) for p in payloads],
                 "content_md5": [hashlib.md5(p).hexdigest() for p in payloads],
                 "magic_hex": [p[:4].hex() for p in payloads],

@@ -94,6 +94,7 @@ def test_spark_e2e_decode_through_media_seam(spark):
     rows = {r.asset_id: r for r in feat.collect()}
     for i in range(10):
         r = rows[i]
+        assert r.mime == "audio/wav"
         assert (r.sample_rate, r.channels, r.n_frames) == (8000 + 100 * i, 1, 30 + i)
         assert r.abs_sum == sum(abs(s) for s in _formula_samples(30 + i, i))
 
