@@ -119,12 +119,43 @@ def main() -> None:
             F.count(F.lit(1)), F.sum((F.col("raw") > 0).cast("long"))
         )
 
+    def png_decode_pipeline(docs):
+        # mirrors multimodal_png_decode: synth PNGs (mapInPandas) →
+        # stdlib decode (mapInPandas) — the Python-stage scale story
+        from datafusion_functions_variant_spark.operators import multimodal
+        from datafusion_functions_variant_spark.operators import png as pngmod
+
+        ids = docs.select("doc_id")
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                payloads = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    w, h = 8 + i % 5, 6 + i % 4
+                    pix = bytes(
+                        (i + 7 * x + 13 * y) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payloads.append(pngmod.encode_png(w, h, pix, 1, i % 5))
+                yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+        assets = ids.mapInPandas(gen, "asset_id long, payload binary")
+        feat = multimodal.featurize_binary(
+            assets, "payload", "asset_id", decoder=pngmod.png_decoder()
+        )
+        return feat.agg(F.count(F.lit(1)), F.sum("px_sum"))
+
     cases = {
         "dedup_minhash_lsh_xxhash": ("docs", minhash_lsh),
         "text_quality_stats": ("docs", token_quality),
         "vocab_token_agg": ("docs", vocab_agg),
         "similarity_dot_topk": ("emb", dot_topk),
         "classifier_broadcast_score": ("docs", classifier_score),
+        "multimodal_png_decode": ("docs", png_decode_pipeline),
     }
 
     results: dict[str, dict] = {}
