@@ -191,6 +191,63 @@ def minhash_signatures_text(
     return pre.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_inrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
+    keep: list | None = None,
+) -> DataFrame:
+    """Zero-shuffle minhash: the whole signature is computed INSIDE
+    one row (``array_min`` over the per-row gram-hash array), no
+    explode, no groupBy. Produces byte-identical signatures to
+    ``minhash_signatures_text`` (min over the same multiset), pinned
+    by a property test.
+
+    Trade-off vs the explode+groupBy formulation: this one is a pure
+    projection — usable in a STATELESS streaming query (no streaming
+    aggregation state) and free of even the map-side-combined shuffle
+    — but it holds each row's whole gram-hash array in memory at once,
+    so the explode path remains preferable for pathologically long
+    single documents. ``keep`` lists extra columns to carry through
+    (default: all original columns).
+
+    NOTE: the xor lambda must stay UNARY — pyspark treats a 2-arg HOF
+    lambda as (element, index), which would silently xor with the
+    array index instead of the permutation constant.
+    """
+    hx = F.transform(gram_array(text_col, n), lambda g: gram_hash(g, hash_fn))
+    out = df.withColumn("_hx", hx)
+
+    def xor_min(const: int) -> F.Column:
+        return F.array_min(
+            F.transform(F.col("_hx"), lambda x: x.bitwiseXOR(F.lit(const)))
+        )
+
+    for h in range(num_hashes):
+        out = out.withColumn(f"mh{h}", xor_min(XOR_CONSTS[h]))
+    cols = keep if keep is not None else [c for c in df.columns]
+    return out.select(*cols, *[f"mh{h}" for h in range(num_hashes)])
+
+
+def banded_hashes(
+    sigs: DataFrame, num_hashes: int = 8, bands: int = 2
+) -> list[F.Column]:
+    """The per-band hash expressions (same convention as ``_banded``:
+    md5 of the concatenated band signature values) as plain columns —
+    for callers that need band hashes IN-ROW (streaming ingest probes)
+    rather than exploded to (id, band) rows."""
+    r = num_hashes // bands
+    return [
+        F.md5(F.concat(*[F.col(f"mh{b * r + i}") for i in range(r)])).alias(
+            f"band_hash{b}"
+        )
+        for b in range(bands)
+    ]
+
+
 def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
     """(id, band_id, band_hash) — one row per (doc, band). The band
     hash concatenates the band's r minhash values; its cardinality is

@@ -932,3 +932,104 @@ def stream_classifier_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", raw.alias("raw"), (raw > 0).alias("kept")
     )
     return core.run_to_batch(scored, "append").orderBy("doc_id")
+
+
+@query(
+    "stream_neardup_at_ingest",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, substr(text, i::INT, 8) AS g
+      FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+            FROM documents)
+    ),
+    sigs AS (
+      SELECT doc_id,
+             min(xor(x, 1024421277861575701)) AS mh0,
+             min(xor(x, 895921051116304426)) AS mh1,
+             min(xor(x, 767420824371033151)) AS mh2,
+             min(xor(x, 638920597625761876)) AS mh3,
+             min(xor(x, 510420370880490601)) AS mh4,
+             min(xor(x, 381920144135219326)) AS mh5,
+             min(xor(x, 253419917389948051)) AS mh6,
+             min(xor(x, 124919690644676776)) AS mh7
+      FROM (SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS x
+            FROM grams)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(mh4 || mh5 || mh6 || mh7) AS band_hash FROM sigs
+    ),
+    hist AS (
+      SELECT DISTINCT band_id, band_hash FROM bands WHERE doc_id % 3 != 0
+    ),
+    hits AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matching_bands
+      FROM bands b JOIN hist h USING (band_id, band_hash)
+      WHERE b.doc_id % 3 = 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, h.n_matching_bands
+    FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def stream_neardup_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate screening at ingest — the streaming complement
+    to ``stream_dedup_against_corpus`` (which only catches byte-exact
+    content): each arriving document's MinHash-LSH band hashes are
+    computed IN-ROW (``array_min`` over the per-row gram-hash array —
+    no explode, no per-doc groupBy, so unlike the batch formulation
+    there is NO streaming aggregation) and probed against the
+    historical corpus' distinct band-bucket index via two broadcast
+    left joins. 100% STATELESS: no watermark, no state store, append
+    mode. At 100 TB of history the index is the distinct band-hash
+    set — ~2 hashes/doc, far smaller than the corpus, and it is the
+    SAME index the batch ``dedup_minhash_lsh`` bucket join builds, so
+    ingest screening and offline dedup share one artifact. Emits the
+    flagged docs with how many bands matched (2 = high-confidence
+    near-dup, 1 = candidate for the exact-Jaccard verify stage).
+    """
+    from ..operators.dedup import banded_hashes, minhash_signatures_inrow
+
+    def bands_for(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures_inrow(
+            df, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id", "lang"]
+        )
+        b0, b1 = banded_hashes(sigs, num_hashes=8, bands=2)
+        return sigs.select("doc_id", "lang", b0.alias("bh0"), b1.alias("bh1"))
+
+    from ..sources.tables import load_table
+
+    hist_bands = bands_for(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 != 0)
+    )
+    hist = (
+        hist_bands.select(F.lit(0).alias("band_id"), F.col("bh0").alias("band_hash"))
+        .unionByName(
+            hist_bands.select(
+                F.lit(1).alias("band_id"), F.col("bh1").alias("band_hash")
+            )
+        )
+        .distinct()
+    )
+    h0 = hist.where(F.col("band_id") == 0).select(F.col("band_hash").alias("_h0"))
+    h1 = hist.where(F.col("band_id") == 1).select(F.col("band_hash").alias("_h1"))
+
+    st = core.read_table_stream(spark, sf_dir, "documents")
+    new_bands = bands_for(st.where(F.col("doc_id") % 3 == 0))
+    flagged = (
+        new_bands.join(F.broadcast(h0), new_bands.bh0 == F.col("_h0"), "left")
+        .join(F.broadcast(h1), new_bands.bh1 == F.col("_h1"), "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("_h0").isNotNull().cast("long")
+                + F.col("_h1").isNotNull().cast("long")
+            ).alias("n_matching_bands"),
+        )
+        .where(F.col("n_matching_bands") > 0)
+    )
+    return core.run_to_batch(flagged, "append").orderBy("doc_id")

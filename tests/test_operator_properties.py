@@ -691,3 +691,37 @@ def test_ivf_full_probe_matches_naive_cosine(spark):
         for rank, vid in enumerate(ranked, 1):
             want[(qid, rank)] = vid
     assert got == want
+
+
+def test_inrow_minhash_matches_explode_groupby_formulation(spark):
+    """The zero-shuffle in-row minhash must produce byte-identical
+    signatures to the explode+groupBy formulation on random docs —
+    min over the same gram multiset, two plans, one answer."""
+    from datafusion_functions_variant_spark.operators import dedup
+
+    rng = random.Random(33)
+    alphabet = "abcdefghij "
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    agg = {
+        r.doc_id: tuple(r[f"mh{h}"] for h in range(8))
+        for r in dedup.minhash_signatures_text(
+            docs, "text", "doc_id", n=8, num_hashes=8
+        ).collect()
+    }
+    inrow = {
+        r.doc_id: tuple(r[f"mh{h}"] for h in range(8))
+        for r in dedup.minhash_signatures_inrow(
+            docs, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id"]
+        ).collect()
+    }
+    # docs shorter than the gram width produce no grams: absent from
+    # the groupBy formulation, all-NULL signature in the in-row one
+    for doc_id, sig in inrow.items():
+        if doc_id in agg:
+            assert sig == agg[doc_id], doc_id
+        else:
+            assert sig == (None,) * 8, doc_id
