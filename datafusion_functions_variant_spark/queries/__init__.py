@@ -287,6 +287,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import llmdata  # noqa: F401
     from . import analysis  # noqa: F401
     from . import curation  # noqa: F401
+    from . import ingestion  # noqa: F401
 
     verified = _driver_verified_names()
     verified -= _reverify_sample(verified)

@@ -496,11 +496,11 @@ _register_round4_tail()
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle() -> str:
-    """Unrolled-CTE DuckDB twin of the Spark BPE loop below: same
-    pair scoring (ALL adjacent pairs, overlap included, weighted by
-    word frequency), same (total DESC, a, b) tie-break, same
-    island-parity greedy merge."""
+def _bpe_cte_parts() -> list[str]:
+    """The unrolled DuckDB CTE chain of the BPE training loop
+    (v0 word frequencies → s0 initial symbols → per-round x/best/c/s
+    frames up to ``s{_BPE_ROUNDS}``), shared by the merge-table oracle
+    below and the encode oracle in queries/ingestion.py."""
     parts = [
         """v0 AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS n
@@ -554,6 +554,15 @@ def _bpe_oracle() -> str:
       )
     )"""
         )
+    return parts
+
+
+def _bpe_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of the Spark BPE loop below: same
+    pair scoring (ALL adjacent pairs, overlap included, weighted by
+    word frequency), same (total DESC, a, b) tie-break, same
+    island-parity greedy merge."""
+    parts = _bpe_cte_parts()
     unions = "\n      UNION ALL\n      ".join(
         f"SELECT {r + 1} AS step, a AS left_sym, b AS right_sym, total FROM best{r}"
         for r in range(_BPE_ROUNDS)

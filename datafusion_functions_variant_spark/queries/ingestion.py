@@ -1,0 +1,491 @@
+"""Continuous-ingest curation queries: the operations a crawl→corpus
+pipeline runs on every NEW batch of data against the EXISTING corpus,
+plus corpus-wide derivatives of already-trained artifacts.
+
+* ``dedup_incremental_index`` — near-dup screening of an incoming
+  batch against a persisted LSH band index (anti-join, never re-scans
+  the corpus text).
+* ``similarity_knn_graph`` — approximate 1-NN graph over the whole
+  embedding table via two independent sign-bit bucketings (multi-probe
+  blocked self-join, never all-pairs).
+* ``curation_funnel_report`` — the per-stage survivor report of a
+  chained quality-filter cascade (one corpus pass).
+* ``tokenizer_bpe_encode`` — token counts under the trained BPE
+  tokenizer, computed by encoding the VOCABULARY and joining counts
+  back to the corpus (encode cost scales with vocab, not data).
+
+All arithmetic is integer / md5-derived / decimal-exact so the DuckDB
+oracles reproduce results bit-for-bit (determinism rules in
+queries/__init__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..operators.similarity import _dot_decimal
+from ..sources.tables import load_table
+from . import query
+from .curation import _BPE_ROUNDS, _bpe_cte_parts
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup screening against a persisted band index
+# ---------------------------------------------------------------------------
+
+
+def _minhash_bands_cte(side: str, pred: str) -> str:
+    """DuckDB CTE chain grams_{side} → sigs_{side} → bands_{side} for
+    the documents rows matching ``pred`` — the same 8-perm minhash /
+    2-band construction as llmdata._BANDS_CTE, parameterized by a row
+    predicate so corpus and incoming sides can be built separately."""
+    mins = ",\n         ".join(
+        f"min(xor(x, {dedup.XOR_CONSTS[h]})) AS mh{h}" for h in range(8)
+    )
+    return f"""grams_{side} AS (
+      SELECT DISTINCT doc_id, substr(text, i::INT, 8) AS g
+      FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+            FROM documents WHERE {pred})
+    ),
+    sigs_{side} AS (
+      SELECT doc_id,
+         {mins}
+      FROM (SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS x
+            FROM grams_{side})
+      GROUP BY doc_id
+    ),
+    bands_{side} AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS band_hash
+      FROM sigs_{side}
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(mh4 || mh5 || mh6 || mh7) AS band_hash
+      FROM sigs_{side}
+    )"""
+
+
+@query(
+    "dedup_incremental_index",
+    oracle=f"""
+    WITH {_minhash_bands_cte("c", "doc_id % 5 <> 0")},
+    {_minhash_bands_cte("i", "doc_id % 5 = 0")},
+    idx AS (SELECT DISTINCT band_id, band_hash FROM bands_c),
+    flagged AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands_i b JOIN idx x
+        ON b.band_id = x.band_id AND b.band_hash = x.band_hash
+    ),
+    inc AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted
+    FROM inc LEFT JOIN flagged f ON inc.doc_id = f.doc_id
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen an incoming batch (doc_id % 5 = 0
+    stands in for today's crawl) against the LSH band index of the
+    already-ingested corpus (the other 80%), reporting per-language
+    admit/flag counts.
+
+    This is the operation a continuous pipeline actually runs — the
+    corpus text is NEVER re-read per batch. Here the index is derived
+    in-query so the oracle can reproduce it; in production it is the
+    persisted (band_id, band_hash) table that ``sink_*`` layouts
+    store, and only the probe side is computed fresh.
+
+    Plan shape at 100 TB: the index build is the corpus signature
+    pipeline (one shuffle, map-side combined); each batch then costs
+    one in-row signature projection over the BATCH only (zero-shuffle
+    ``minhash_signatures_inrow`` — the same stateless probe the
+    streaming twin ``stream_neardup_at_ingest`` uses) plus one
+    semi-join shuffled on band_hash, whose cardinality is ≈ #batch
+    rows × bands. No all-pairs, no corpus rescan, no skew (band
+    hashes are md5-uniform)."""
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "text"
+    )
+
+    sigs_c = dedup.minhash_signatures_text(
+        corpus, "text", "doc_id", n=8, num_hashes=8
+    )
+    index = dedup._banded(sigs_c, "doc_id", 8, 2).select(
+        "band_id", "band_hash"
+    ).distinct()
+
+    probe = dedup.minhash_signatures_inrow(
+        incoming, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id", "lang"]
+    )
+    bh = dedup.banded_hashes(probe, num_hashes=8, bands=2)
+    bands_i = probe.select("doc_id", *bh).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.col("band_hash0").alias("band_hash"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.col("band_hash1").alias("band_hash"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_hash")
+
+    flagged = (
+        bands_i.join(index, ["band_id", "band_hash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        incoming.join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incoming"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+                "n_flagged"
+            ),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_admitted"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate 1-NN graph over the embedding table (multi-probe sign-bit
+# blocking)
+# ---------------------------------------------------------------------------
+
+
+def _signbit_bucket_sql(lo: int) -> str:
+    """8-bit sign bucket over embedding dims lo+1..lo+8 (1-indexed)."""
+    return (
+        "("
+        + "\n            + ".join(
+            f"CASE WHEN embedding[{lo + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(8)
+        )
+        + ")::INT"
+    )
+
+
+@query(
+    "similarity_knn_graph",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             sqrt(CAST(SUM(CAST(CAST(e[i::INT] AS DOUBLE)
+                                * CAST(e[i::INT] AS DOUBLE)
+                                AS DECIMAL(30,15))) AS DOUBLE)) AS nrm,
+             {_signbit_bucket_sql(0)} AS b1,
+             {_signbit_bucket_sql(8)} AS b2
+      FROM (SELECT vec_id, embedding, embedding AS e,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+      GROUP BY vec_id, embedding
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(SUM(CAST(CAST(ea[i::INT] AS DOUBLE)
+                                 * CAST(eb[i::INT] AS DOUBLE)
+                                 AS DECIMAL(30,15))) AS DOUBLE)
+                   / (na * nb), 9) AS cosine
+      FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.embedding AS ea, b.embedding AS eb,
+                   a.nrm AS na, b.nrm AS nb,
+                   unnest(range(1, len(a.embedding) + 1)) AS i
+            FROM norms a
+            JOIN norms b ON (a.b1 = b.b1 OR a.b2 = b.b2)
+                        AND a.vec_id <> b.vec_id)
+      GROUP BY id_a, id_b, na, nb
+    )
+    SELECT id_a AS vec_id, id_b AS neighbor_id, cosine
+    FROM (SELECT pairs.*,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cosine DESC, id_b) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 1-NN graph over ALL embeddings — the neighbor
+    structure semantic-dedup and curriculum-mining pipelines consume.
+    Blocking: two INDEPENDENT 8-bit sign buckets (dims 1-8 and 9-16 —
+    fixed-hyperplane SimHash bands); a pair is a candidate if it
+    collides in EITHER band (multi-probe: two chances to meet, so
+    near-identical vectors are recalled even when one band's bits
+    straddle zero). Exact decimal-accumulated cosine on candidates
+    only; best neighbor per vector by (cosine DESC, id).
+
+    Plan shape at 100 TB: two bucket-keyed self-join shuffles (256
+    buckets per band from data-independent sign bits — no index to
+    train or broadcast), one pair-dedup + one per-vector top-1
+    aggregation, both shuffled on ids. Never all-pairs; the only
+    corpus-sized state in flight is the candidate pair stream.
+    """
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
+
+    def bucket(lo: int):
+        return (
+            sum(
+                F.when(
+                    F.element_at("embedding", lo + i + 1) > 0, F.lit(1 << i)
+                ).otherwise(0)
+                for i in range(8)
+            )
+        ).cast("int")
+
+    sides = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(_dot_decimal("embedding", "embedding")).alias("nrm"),
+        bucket(0).alias("b1"),
+        bucket(8).alias("b2"),
+    )
+    a = sides.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), F.col("b1").alias("ba1"),
+        F.col("b2").alias("ba2"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("b1").alias("bb1"),
+        F.col("b2").alias("bb2"),
+    )
+    cos = F.round(
+        _dot_decimal("va", "vb") / (F.col("na") * F.col("nb")), 9
+    ).alias("cosine")
+    neq = F.col("id_a") != F.col("id_b")
+    cand = (
+        a.join(b, F.col("ba1") == F.col("bb1")).where(neq)
+        .select("id_a", "id_b", cos)
+        .union(
+            a.join(b, F.col("ba2") == F.col("bb2")).where(neq)
+            .select("id_a", "id_b", cos)
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("neighbor_id"),
+            "cosine",
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter cascade survivor report
+# ---------------------------------------------------------------------------
+
+#: (stage_idx, stage name) — thresholds are in integer arithmetic so
+#: both engines compare identically (0.02 → 50*n_stop >= n_words etc.)
+_FUNNEL_STAGES = [
+    (1, "min_chars"),
+    (2, "stopword_floor"),
+    (3, "repetition_cap"),
+    (4, "prefix_dedup"),
+]
+
+
+@query(
+    "curation_funnel_report",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, n_chars,
+             len(ws) AS n_words,
+             len(list_filter(ws, x -> x IN ('a', 'the'))) AS n_stop,
+             list_max(list_transform(list_distinct(ws),
+                      w -> len(list_filter(ws, x -> x = w)))) AS max_freq,
+             row_number() OVER (PARTITION BY md5(substr(text, 1, 32))
+                                ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id, n_chars, text,
+                   string_split(text, ' ') AS ws
+            FROM documents)
+    ),
+    flags AS (
+      SELECT doc_id,
+             (n_chars >= 100) AS p1,
+             (50 * n_stop >= n_words) AS p2,
+             (100 * max_freq <= 18 * n_words) AS p3,
+             (rn = 1) AS p4
+      FROM feat
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s3,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s4
+      FROM flags
+    )
+    SELECT 1 AS stage_idx, 'min_chars' AS stage,
+           total AS docs_in, s1 AS docs_out FROM agg
+    UNION ALL SELECT 2, 'stopword_floor', s1, s2 FROM agg
+    UNION ALL SELECT 3, 'repetition_cap', s2, s3 FROM agg
+    UNION ALL SELECT 4, 'prefix_dedup', s3, s4 FROM agg
+    ORDER BY stage_idx
+    """,
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor report of a chained quality-filter cascade — the
+    funnel chart every curation run publishes: docs in/out at each
+    stage (length floor → stopword-ratio floor → max-word-repetition
+    cap → prefix-hash dedup), where stage k's input is stage k-1's
+    output.
+
+    All per-doc features are computed IN-ROW (split/filter/transform
+    HOFs — the repetition scan is O(distinct_words × words) inside the
+    row, no gram explode); the only shuffles are the prefix-hash
+    window (uniform md5 key) and the final single-row aggregate.
+    Thresholds are integer-arithmetic (50·stops ≥ words, 100·maxfreq ≤
+    18·words) so no float compare can disagree across engines. At
+    100 TB this is one corpus pass + one 4-row report."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    feat = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(ws).alias("n_words"),
+        F.size(
+            F.filter(ws, lambda x: x.isin("a", "the"))
+        ).alias("n_stop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda w: F.size(F.filter(ws, lambda x: x == w)),
+            )
+        ).alias("max_freq"),
+        F.md5(F.substring("text", 1, 32)).alias("pref"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("pref").orderBy("doc_id")
+    )
+    flags = feat.select(
+        (F.col("n_chars") >= 100).alias("p1"),
+        (50 * F.col("n_stop") >= F.col("n_words")).alias("p2"),
+        (100 * F.col("max_freq") <= 18 * F.col("n_words")).alias("p3"),
+        (rn == 1).alias("p4"),
+    )
+
+    def srv(*ps):
+        keep = ps[0]
+        for p in ps[1:]:
+            keep = keep & p
+        return F.sum(F.when(keep, 1).otherwise(0)).cast("long")
+
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        srv(F.col("p1")).alias("s1"),
+        srv(F.col("p1"), F.col("p2")).alias("s2"),
+        srv(F.col("p1"), F.col("p2"), F.col("p3")).alias("s3"),
+        srv(F.col("p1"), F.col("p2"), F.col("p3"), F.col("p4")).alias("s4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(idx).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("total" if idx == 1 else f"s{idx - 1}").alias("docs_in"),
+                F.col(f"s{idx}").alias("docs_out"),
+            )
+            for idx, name in _FUNNEL_STAGES
+        ]
+    )
+    return (
+        agg.select(F.explode(stages).alias("r"))
+        .select("r.stage_idx", "r.stage", "r.docs_in", "r.docs_out")
+        .orderBy("stage_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting under the trained BPE tokenizer (vocabulary encode)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    parts = _bpe_cte_parts()
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    enc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM s{_BPE_ROUNDS} GROUP BY word
+    ),
+    dw AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(word)) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE)
+                 / CAST(SUM(len(word)) AS BIGINT), 9) AS compression
+    FROM dw JOIN enc USING (word)
+    GROUP BY lang
+    ORDER BY lang
+    """
+    )
+
+
+@query("tokenizer_bpe_encode", oracle=_bpe_encode_oracle())
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token counts under the BPE tokenizer trained by
+    ``tokenizer_bpe_merges`` — the "how many tokens is my dataset"
+    number every training run budgets against, plus the per-language
+    compression ratio (BPE tokens per character).
+
+    The corpus is NEVER encoded row by row: ``bpe_merge_rounds``
+    already leaves the final per-word symbol table, so encoding is a
+    vocabulary-sized groupBy (word → token count) joined back to the
+    word stream. At 100 TB the encode cost scales with |vocab|, the
+    join broadcasts the encoded vocabulary (a few million words at
+    web scale), and the corpus pass is the same single explode that
+    computed the word frequencies."""
+    from ..operators.text import bpe_merge_rounds
+
+    docs = load_table(spark, sf_dir, "documents")
+    word_stream = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = word_stream.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    _, symbols = bpe_merge_rounds(vocab, rounds=_BPE_ROUNDS)
+    enc = symbols.groupBy("word").agg(F.count(F.lit(1)).alias("n_tok"))
+    return (
+        word_stream.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_char_tokens"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "compression",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_char_tokens"),
+                9,
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -597,3 +597,39 @@ def test_skew_profile_is_takeordered(spark):
     # purpose
     plan = plan_of(spark, "join_key_skew_profile")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_index_probe_equijoins_no_cartesian(spark):
+    # the incoming batch probes the corpus band index through equi-
+    # joins on (band_id, band_hash) — never a cartesian or a broadcast
+    # of the corpus side; the probe signatures are built in-row, so no
+    # gram explode/groupBy may appear on the incoming branch
+    plan = plan_of(spark, "dedup_incremental_index")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_graph_bucket_joins_never_all_pairs(spark):
+    # both band joins are hash equi-joins on the 8-bit sign bucket —
+    # a plain self cross-join here would be O(n^2) at any scale
+    plan = plan_of(spark, "similarity_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_funnel_report_single_scan_single_window(spark):
+    # the cascade computes every per-doc feature in-row over ONE
+    # documents scan; the only shuffles are the prefix-hash window and
+    # the final 1-row aggregate
+    plan = plan_of(spark, "curation_funnel_report")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Window") == 1
+
+
+def test_bpe_encode_vocab_broadcast_back(spark):
+    # the encoded vocabulary (word -> token count) must broadcast onto
+    # the corpus word stream — shuffling the corpus on `word` would
+    # move the whole dataset to encode it
+    plan = plan_of(spark, "tokenizer_bpe_encode")
+    assert "BroadcastHashJoin" in plan
