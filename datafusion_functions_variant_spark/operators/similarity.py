@@ -582,3 +582,96 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "dot", "rank")
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits_per_band: int = 8,
+    bands: int = 2,
+    exact: bool = True,
+) -> DataFrame:
+    """Approximate 1-NN graph over the WHOLE table by multi-probe
+    sign-bit blocking: each band b buckets on the sign bits of dims
+    [b*bits+1 .. (b+1)*bits] (fixed axis-aligned hyperplanes — data-
+    independent, nothing to train or version); a pair is a candidate
+    iff it collides in ANY band; candidates are scored by cosine
+    (decimal-exact when ``exact``, double fast-path otherwise) and the
+    best neighbor per vector wins by (cosine DESC, id ASC).
+
+    **The scale dial is ``bits_per_band``.** Expected bucket depth is
+    n / 2^bits, and the blocked self-join does O(depth) work per row —
+    so bits must GROW with the corpus (bits ≈ log2(n) - log2(target
+    depth)) to keep per-row work constant; a fixed 8 bits that is
+    right at 10^4 vectors is quadratic trouble at 10^9. Raising bits
+    costs recall per band; adding ``bands`` (disjoint dim ranges) buys
+    it back — the same rows-per-band vs bands trade as MinHash-LSH.
+    Measured in SCALE.md (probe case ``knn_graph``): scaling bits with
+    K holds wall-clock near-linear where fixed bits degrade toward
+    K². Degenerate corner: EXACT duplicate vectors collide in every
+    band at any bits — run exact dedup (a content-hash groupBy)
+    before graph construction, as ``text_dedup_pipeline`` does.
+
+    Requires vec dim >= bands * bits_per_band sign dims."""
+    norm = (
+        F.sqrt(_dot_decimal(vec_col, vec_col))
+        if exact
+        else F.sqrt(_dot_double(vec_col, vec_col))
+    )
+
+    def bucket(lo: int) -> F.Column:
+        return (
+            sum(
+                F.when(
+                    F.element_at(vec_col, lo + i + 1) > 0, F.lit(1 << i)
+                ).otherwise(0)
+                for i in range(bits_per_band)
+            )
+        ).cast("int")
+
+    sides = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm.alias("_nrm"),
+        *[
+            bucket(b * bits_per_band).alias(f"_b{b}")
+            for b in range(bands)
+        ],
+    )
+    a = sides.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_nrm").alias("na"),
+        *[F.col(f"_b{b}").alias(f"ba{b}") for b in range(bands)],
+    )
+    b_side = sides.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_nrm").alias("nb"),
+        *[F.col(f"_b{b}").alias(f"bb{b}") for b in range(bands)],
+    )
+    raw_cos = (
+        _dot_decimal("va", "vb") if exact else _dot_double("va", "vb")
+    ) / (F.col("na") * F.col("nb"))
+    cos = F.round(raw_cos, 9).alias("cosine")
+    neq = F.col("id_a") != F.col("id_b")
+
+    cand = None
+    for b in range(bands):
+        branch = (
+            a.join(b_side, F.col(f"ba{b}") == F.col(f"bb{b}"))
+            .where(neq)
+            .select("id_a", "id_b", cos)
+        )
+        cand = branch if cand is None else cand.union(branch)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("neighbor_id"),
+            "cosine",
+        )
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup
-from ..operators.similarity import _dot_decimal
+from ..operators.similarity import knn_graph
 from ..sources.tables import load_table
 from . import query
 from .curation import _BPE_ROUNDS, _bpe_cte_parts
@@ -229,65 +229,19 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle zero). Exact decimal-accumulated cosine on candidates
     only; best neighbor per vector by (cosine DESC, id).
 
-    Plan shape at 100 TB: two bucket-keyed self-join shuffles (256
+    Plan shape at 100 TB: two bucket-keyed self-join shuffles (2^bits
     buckets per band from data-independent sign bits — no index to
     train or broadcast), one pair-dedup + one per-vector top-1
-    aggregation, both shuffled on ids. Never all-pairs; the only
-    corpus-sized state in flight is the candidate pair stream.
-    """
+    aggregation, both shuffled on ids. Never all-pairs — and
+    ``bits_per_band`` is the dial that keeps bucket depth (n / 2^bits)
+    constant as the corpus grows; see ``operators/similarity.py::
+    knn_graph`` and the SCALE.md probe case for the measured fixed-
+    vs-scaled-bits curves. 8 bits here is sized for the sf-scale
+    corpus."""
     emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
-
-    def bucket(lo: int):
-        return (
-            sum(
-                F.when(
-                    F.element_at("embedding", lo + i + 1) > 0, F.lit(1 << i)
-                ).otherwise(0)
-                for i in range(8)
-            )
-        ).cast("int")
-
-    sides = emb.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        F.sqrt(_dot_decimal("embedding", "embedding")).alias("nrm"),
-        bucket(0).alias("b1"),
-        bucket(8).alias("b2"),
-    )
-    a = sides.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), F.col("b1").alias("ba1"),
-        F.col("b2").alias("ba2"),
-    )
-    b = sides.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), F.col("b1").alias("bb1"),
-        F.col("b2").alias("bb2"),
-    )
-    cos = F.round(
-        _dot_decimal("va", "vb") / (F.col("na") * F.col("nb")), 9
-    ).alias("cosine")
-    neq = F.col("id_a") != F.col("id_b")
-    cand = (
-        a.join(b, F.col("ba1") == F.col("bb1")).where(neq)
-        .select("id_a", "id_b", cos)
-        .union(
-            a.join(b, F.col("ba2") == F.col("bb2")).where(neq)
-            .select("id_a", "id_b", cos)
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("id_a").alias("vec_id"),
-            F.col("id_b").alias("neighbor_id"),
-            "cosine",
-        )
-        .orderBy("vec_id")
-    )
+    return knn_graph(
+        emb, "vec_id", "embedding", bits_per_band=8, bands=2, exact=True
+    ).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
