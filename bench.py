@@ -17,7 +17,12 @@ was 3) and the median is reported, bounding the run-to-run noise
 rounds 1 and 2 and again +26% between rounds 3 and 4 on unchanged
 code (sub-second queries at sf0.1 are harness-noise dominated).
 
-Round-over-round totals compare ONLY on shared keys: round 4 adds
+Round-over-round totals compare ONLY on shared keys. Round-5
+verification of the r3→r4 +26% drift: with BENCH_RUNS=5 the r3-shared
+total came back to 6.98 s vs r3's 7.51 s (0.93×) with the biggest r4
+"regressors" reverting on byte-identical code (similarity_dot_topk
+0.51→0.286 s, theta_join 0.653→0.453 s) — the drift was 3-run-median
+harness noise, not a plan regression. Round 4 adds
 ``dedup_minhash_xxhash`` (the Spark-native fast-hash twin). Its
 isolated signature stage is 1.47× faster than the md5 twin's
 (sf0.1, 7-run medians 1.90 s vs 2.78 s); end-to-end the two queries
@@ -58,6 +63,9 @@ HEADLINE = [
     "text_token_counts",
     # round 5: broadcast-model classifier inference family
     "text_quality_classifier",
+    # round 5 (second wave): continuous-ingest family
+    "dedup_incremental_index",
+    "similarity_knn_graph",
 ]
 
 
