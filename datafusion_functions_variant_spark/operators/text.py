@@ -323,22 +323,36 @@ def _dup_gram_char_fraction(t: F.Column, n: int) -> F.Column:
     Computed fully IN-ROW in O(G log G): sort the gram multiset, then
     an instance is duplicated iff it equals a sorted neighbor — no
     explode, no gram-level shuffle, scales with document count not
-    gram count. NULL when the doc has fewer than n words."""
+    gram count. NULL when the doc has fewer than n words.
+
+    Neighbor comparison is done by zipping the sorted array against
+    its slice-shifted self — NEVER by per-index ``element_at`` inside
+    an ``aggregate`` lambda: a lambda body's reference to an outer
+    array expression is re-INLINED (and so re-evaluated, array_sort
+    and all) for every element, which turns the intended O(G log G)
+    into O(G² log G) per row — measured 290 s for 500 sf0.01 docs
+    before this formulation, 0.5 s after."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.array_join(F.slice(t, i, n), " "),
     )
     s = F.array_sort(grams)
     sz = F.size(s)
-    at = lambda i: F.element_at(s, i)  # noqa: E731  (1-based)
+    null1 = F.array(F.lit(None).cast("string"))
+    prev = F.concat(null1, F.slice(s, 1, sz - 1))  # s[i-1] (null at i=0)
+    nxt = F.slice(s, 2, sz - 1)  # s[i+1] (absent → null pad)
+    eq_prev = F.zip_with(s, prev, lambda a, b: a.eqNullSafe(b))
+    eq_next = F.zip_with(s, nxt, lambda a, b: a.eqNullSafe(b))
+    dup_flags = F.zip_with(eq_prev, eq_next, lambda x, y: x | y)
+    lens = F.zip_with(
+        s,
+        dup_flags,
+        lambda x, f: F.when(f, F.length(x).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
     dup_len = F.aggregate(
-        F.sequence(F.lit(1), sz),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            ((i > 1) & (at(i) == at(i - 1))) | ((i < sz) & (at(i) == at(i + 1))),
-            F.length(at(i)).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+        lens, F.lit(0).cast("long"), lambda acc, v: acc + v
     )
     tot_len = F.aggregate(
         s, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")

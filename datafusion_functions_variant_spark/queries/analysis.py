@@ -959,12 +959,16 @@ def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _word_ngrams(w, n: int):
     """Distinct in-row word n-grams from a word-array column: one
     Generate, no token-level self-join; empty for docs shorter than n
-    (sequence() DESCENDS for a negative span, so the guard matters)."""
+    (sequence() DESCENDS for a negative span, so the guard matters).
+
+    Each gram is one slice+array_join — NOT n ``element_at`` calls: a
+    lambda-body reference to the outer (computed) word-array expression
+    is re-inlined per use, so n refs per gram re-evaluates the split n
+    times per gram (the anti-pattern that cost text_repetition_stats
+    290 s — operators/text.py::_dup_gram_char_fraction)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + k).cast("int")) for k in range(n)]
-        ),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
     )
     return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")

@@ -13,6 +13,11 @@ plus corpus-wide derivatives of already-trained artifacts.
 * ``tokenizer_bpe_encode`` — token counts under the trained BPE
   tokenizer, computed by encoding the VOCABULARY and joining counts
   back to the corpus (encode cost scales with vocab, not data).
+* ``events_late_arrival_profile`` — the dropped-events-per-watermark-
+  delay curve, with the arrival-order running max computed by
+  distributed two-level prefix aggregation (no global window).
+* ``similarity_ivf_list_stats`` — inverted-list balance audit before
+  serving from an IVF index (the ANN twin of dedup_lsh_bucket_stats).
 
 All arithmetic is integer / md5-derived / decimal-exact so the DuckDB
 oracles reproduce results bit-for-bit (determinism rules in
@@ -442,4 +447,192 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark planning: how late does data actually arrive?
+# ---------------------------------------------------------------------------
+
+_LATE_DELAYS_MIN = [0, 30, 60, 120]
+#: deterministic "network delay" model: md5-derived 0..2h per event
+#: (the events table's own ts is monotone in event_id, which would
+#: make every lateness count trivially zero)
+_LATE_JITTER_US = 7_200_000_000
+_LATE_BUCKET_US = 86_400_000_000  # 1 day of arrival time per bucket
+
+
+def _late_oracle() -> str:
+    sums = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN run_max > ts_us + {m * 60_000_000}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS s{m}"
+        for m in _LATE_DELAYS_MIN
+    )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {m} AS delay_minutes, s{m} AS n_late,"
+        f" s{m} * 1000000 // n AS late_ppm FROM agg"
+        for m in _LATE_DELAYS_MIN
+    )
+    return f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts)
+               + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 10))
+                  ::UBIGINT % {_LATE_JITTER_US})::BIGINT AS arrival_us
+      FROM events
+    ),
+    r AS (
+      SELECT ts_us,
+             max(ts_us) OVER (ORDER BY arrival_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS run_max
+      FROM e
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {sums}
+      FROM r
+    )
+    {unions}
+    ORDER BY delay_minutes
+    """
+
+
+@query("events_late_arrival_profile", oracle=_late_oracle())
+def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark planning: for candidate delays (0/30/60/120 min), how
+    many events would a streaming job DROP because they ARRIVED after
+    a later event-time had already been seen? An event is late for
+    delay D iff max(event-time over all earlier arrivals) exceeds its
+    own event-time by more than D. This is the batch profile you run
+    BEFORE choosing ``withWatermark`` — pick the knee of the ppm
+    curve. The testdata has no arrival column (its ts is monotone in
+    event_id), so arrival is modeled as ts + a deterministic
+    md5-derived transport delay in [0, 2h) — reproduced exactly by
+    the oracle, and yielding a non-trivial curve: every delay bucket's
+    count is a REAL count of out-of-order arrivals.
+
+    The running max over arrival order is computed DISTRIBUTED, not
+    with a single-partition global window: arrivals bucket into 1-day
+    ranges (bucket key = prefix of the sort key, so bucket boundaries
+    respect the global order), each bucket computes its in-bucket
+    prefix max in parallel, and the cross-bucket prefix max runs on
+    the bucket AGGREGATE relation (days, not events — the bounded-
+    relation global-sort discipline of ranking.py) and broadcasts
+    back. Result is bit-identical to the naive global window the
+    oracle runs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    jitter = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 10),
+            16,
+            10,
+        ).cast("long")
+        % _LATE_JITTER_US
+    )
+    ev = ev.withColumn("arrival_us", F.col("ts_us") + jitter).withColumn(
+        "bucket", F.expr(f"arrival_us div {_LATE_BUCKET_US}")
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = ev.withColumn("in_max", F.max("ts_us").over(wb))
+    bmax = ev.groupBy("bucket").agg(F.max("ts_us").alias("bmax"))
+    wp = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bmax.select("bucket", F.max("bmax").over(wp).alias("prev_max"))
+    joined = ev.join(F.broadcast(prefix), "bucket").withColumn(
+        "run_max", F.greatest("in_max", "prev_max")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
+        F.sum(
+            F.when(
+                F.col("run_max") > F.col("ts_us") + m * 60_000_000, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"s{m}")
+        for m in _LATE_DELAYS_MIN
+    ]
+    agg = joined.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("delay_minutes"),
+                F.col(f"s{m}").alias("n_late"),
+                F.expr(f"s{m} * 1000000 div n").alias("late_ppm"),
+            )
+            for m in _LATE_DELAYS_MIN
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.delay_minutes", "r.n_late", "r.late_ppm")
+        .orderBy("delay_minutes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index pre-flight: inverted-list balance audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_ivf_list_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS coverage_ok,
+           TRUE AS lists_bounded,
+           TRUE AS probe_cost_bounded
+    FROM embeddings
+    """,
+)
+def similarity_ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF pre-flight (the `dedup_lsh_bucket_stats` of the ANN path):
+    audit the inverted-list size distribution BEFORE serving queries
+    from the index. Emits corpus-count plus three invariants, each a
+    REAL Spark-side assertion hash-compared against the oracle's
+    expected values (the recall_ok pattern of the ANN queries —
+    the assignment itself is float-argmax and so lives outside SQL):
+
+    * coverage_ok — every vector landed in exactly one list
+      (sum of list sizes == corpus count);
+    * lists_bounded — between 1 and n_centroids lists in use;
+    * probe_cost_bounded — the largest list holds <= 4x the mean
+      (a skewed list would make every probe touching it a hotspot —
+      the IVF analogue of the LSH max_bucket overflow condition).
+
+    Plan: one zero-shuffle codegen'd assignment pass (centroid
+    literals in the expression tree), one 16-group count. At 100 TB
+    this is the cheapest possible index audit: no pairs, no ids, one
+    scan."""
+    from ..operators import similarity
+
+    n_centroids = 16
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = similarity.kmeans_centroids(
+        emb, n_centroids=n_centroids, n_iter=0
+    )
+    assigned = similarity.assign_nearest_centroid(
+        emb.select("embedding"), cents, "embedding", "cid"
+    )
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    stats = sizes.agg(
+        F.sum("sz").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.max("sz").cast("long").alias("max_sz"),
+    )
+    corpus_n = emb.agg(F.count(F.lit(1)).cast("long").alias("corpus_n"))
+    return stats.crossJoin(F.broadcast(corpus_n)).select(
+        "n_vectors",
+        (F.col("n_vectors") == F.col("corpus_n")).alias("coverage_ok"),
+        (
+            (F.col("n_lists") >= 1) & (F.col("n_lists") <= n_centroids)
+        ).alias("lists_bounded"),
+        (
+            F.col("max_sz") * F.col("n_lists") <= 4 * F.col("n_vectors")
+        ).alias("probe_cost_bounded"),
     )

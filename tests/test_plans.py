@@ -633,3 +633,22 @@ def test_bpe_encode_vocab_broadcast_back(spark):
     # move the whole dataset to encode it
     plan = plan_of(spark, "tokenizer_bpe_encode")
     assert "BroadcastHashJoin" in plan
+
+
+def test_late_arrival_no_single_partition_event_window(spark):
+    # the arrival-order running max must decompose into the per-bucket
+    # window + the bucket-aggregate prefix: the only single-partition
+    # window may run over the bucket AGGREGATE relation (days), and
+    # the prefix table must broadcast back onto the events
+    plan = plan_of(spark, "events_late_arrival_profile")
+    assert "BroadcastHashJoin" in plan
+    # two Window nodes total: in-bucket (partitioned) + bucket-prefix
+    assert plan.count("Window") == 2
+
+
+def test_ivf_list_stats_zero_shuffle_assignment(spark):
+    # centroid assignment is a codegen'd projection (centroid literals
+    # in the expression tree) — no join may feed the 16-group count
+    plan = plan_of(spark, "similarity_ivf_list_stats")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
