@@ -621,12 +621,18 @@ def knn_graph(
     )
 
     def bucket(lo: int) -> F.Column:
+        # seed with a literal so bits_per_band=0 (degenerate single
+        # bucket = exact all-pairs, used by property tests) stays a
+        # Column rather than a bare Python int
         return (
             sum(
-                F.when(
-                    F.element_at(vec_col, lo + i + 1) > 0, F.lit(1 << i)
-                ).otherwise(0)
-                for i in range(bits_per_band)
+                (
+                    F.when(
+                        F.element_at(vec_col, lo + i + 1) > 0, F.lit(1 << i)
+                    ).otherwise(0)
+                    for i in range(bits_per_band)
+                ),
+                F.lit(0),
             )
         ).cast("int")
 

@@ -1,0 +1,196 @@
+"""Property tests for the continuous-ingest operators
+(queries/ingestion.py, operators/similarity.py::knn_graph) against
+naive formulations on seeded random data — edge regions the synthetic
+tables can't guarantee (exact duplicates at ingest, degenerate bucket
+configurations, cross-bucket prefix boundaries with ties).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_knn_graph_degenerate_bucket_is_exact_1nn(spark):
+    """bits_per_band=0 puts every vector in one bucket — the blocked
+    join degenerates to all-pairs, so the result must equal the exact
+    brute-force 1-NN by (cosine DESC, id)."""
+    from datafusion_functions_variant_spark.operators.similarity import knn_graph
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vid", "vec"]).repartition(8)
+
+    got = {
+        (r.vid, r.neighbor_id)
+        for r in knn_graph(
+            df, "vid", "vec", bits_per_band=0, bands=1, exact=True
+        ).collect()
+    }
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 9)
+
+    naive = set()
+    for i, vi in rows:
+        best = min(
+            ((-cos(vi, vj), j) for j, vj in rows if j != i)
+        )
+        naive.add((i, best[1]))
+    assert got == naive
+
+
+def test_knn_graph_exact_duplicates_always_pair(spark):
+    """Exact duplicate vectors collide in EVERY sign band at any bits
+    setting, so each duplicate's best neighbor must be its twin
+    (cosine 1.0, lowest id wins ties)."""
+    from datafusion_functions_variant_spark.operators.similarity import knn_graph
+
+    rng = random.Random(23)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, base[i % 20]) for i in range(40)]  # every vector twice
+    df = spark.createDataFrame(rows, ["vid", "vec"]).repartition(8)
+    out = {
+        r.vid: (r.neighbor_id, r.cosine)
+        for r in knn_graph(
+            df, "vid", "vec", bits_per_band=8, bands=2, exact=True
+        ).collect()
+    }
+    for i in range(40):
+        twin = (i + 20) % 40
+        nid, c = out[i]
+        assert c == 1.0
+        # ties at cosine 1.0 break to the LOWEST id — which is the twin
+        # unless an even-lower-id duplicate of the same base exists
+        assert nid == min(twin, nid)
+
+
+def test_incremental_probe_flags_every_exact_duplicate(spark):
+    """An incoming doc byte-identical to a corpus doc has identical
+    minhash signatures, hence identical band hashes in every band —
+    the index semi-join must flag it, at any band split."""
+    from datafusion_functions_variant_spark.operators import dedup
+
+    rng = random.Random(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(30))
+
+    corpus_rows = [(i, doc()) for i in range(40)]
+    # incoming: 10 exact copies of corpus docs + 10 fresh ones
+    incoming_rows = [(100 + i, corpus_rows[i][1]) for i in range(10)] + [
+        (200 + i, doc() + " omega omega") for i in range(10)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    incoming = spark.createDataFrame(incoming_rows, ["doc_id", "text"])
+
+    sigs_c = dedup.minhash_signatures_text(corpus, "text", "doc_id", n=8, num_hashes=8)
+    index = dedup._banded(sigs_c, "doc_id", 8, 2).select(
+        "band_id", "band_hash"
+    ).distinct()
+    probe = dedup.minhash_signatures_inrow(
+        incoming, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id"]
+    )
+    bh = dedup.banded_hashes(probe, num_hashes=8, bands=2)
+    bands_i = probe.select("doc_id", *bh).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"),
+                         F.col("band_hash0").alias("band_hash")),
+                F.struct(F.lit(1).alias("band_id"),
+                         F.col("band_hash1").alias("band_hash")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_hash")
+    flagged = {
+        r.doc_id
+        for r in bands_i.join(
+            index, ["band_id", "band_hash"], "left_semi"
+        ).select("doc_id").distinct().collect()
+    }
+    for i in range(10):
+        assert 100 + i in flagged  # every exact copy caught
+
+
+def test_two_level_prefix_max_matches_global_window(spark):
+    """The bucketed running-max decomposition used by
+    events_late_arrival_profile must equal the naive single-partition
+    global window bit-for-bit — including ties on the sort key and
+    runs crossing bucket boundaries."""
+    rng = random.Random(17)
+    # small bucket width forces many cross-bucket prefix handoffs;
+    # duplicate arrival keys exercise the (arrival, id) tie-break
+    rows = [
+        (i, rng.randrange(0, 50), rng.randrange(0, 1000))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["id", "arrival", "ts"]).repartition(8)
+
+    bucket_w = 7
+    ev = df.withColumn("bucket", F.expr(f"arrival div {bucket_w}"))
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("arrival", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = ev.withColumn("in_max", F.max("ts").over(wb))
+    bmax = ev.groupBy("bucket").agg(F.max("ts").alias("bmax"))
+    wp = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bmax.select("bucket", F.max("bmax").over(wp).alias("prev_max"))
+    got = {
+        r.id: r.run_max
+        for r in ev.join(F.broadcast(prefix), "bucket")
+        .withColumn("run_max", F.greatest("in_max", "prev_max"))
+        .collect()
+    }
+
+    wg = (
+        Window.orderBy("arrival", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = {
+        r.id: r.run_max
+        for r in df.withColumn("run_max", F.max("ts").over(wg)).collect()
+    }
+    assert got == naive
+
+
+def test_bpe_encode_token_counts_bounded_by_chars(spark):
+    """Encoding with merges can only SHRINK the symbol count: for
+    every word, 1 <= n_tok <= len(word); and total corpus BPE tokens
+    must be strictly below total chars whenever at least one merge
+    fired on an occurring word."""
+    from datafusion_functions_variant_spark.operators.text import bpe_merge_rounds
+
+    rng = random.Random(29)
+    words_pool = ["".join(rng.choice("ab") for _ in range(rng.randrange(1, 6)))
+                  for _ in range(30)]
+    rows = [(i, " ".join(rng.choice(words_pool) for _ in range(20)))
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stream = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    vocab = stream.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    merges, symbols = bpe_merge_rounds(vocab, rounds=3)
+    enc = {
+        r.word: r.n_tok
+        for r in symbols.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .collect()
+    }
+    assert len(merges.collect()) == 3
+    for w, n_tok in enc.items():
+        assert 1 <= n_tok <= len(w)
+    total_chars = sum(len(r.word) for r in stream.collect())
+    total_toks = sum(enc[r.word] for r in stream.collect())
+    assert total_toks <= total_chars
