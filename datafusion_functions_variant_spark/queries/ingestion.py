@@ -636,3 +636,179 @@ def similarity_ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_sz") * F.col("n_lists") <= 4 * F.col("n_vectors")
         ).alias("probe_cost_bounded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-configuration sweep (S-curve tuning pre-flight)
+# ---------------------------------------------------------------------------
+
+_SWEEP_BANDS = [1, 2, 4]  # rows per band = 8 / bands
+
+
+def _sweep_threshold_ppm(bands: int, rows: int) -> int:
+    """floor(1e6 * (1/b)^(1/r)) — the Jaccard similarity at which a
+    pair's candidate probability crosses ~50% for (b, r) banding.
+    Computed HERE (query-definition time) and emitted as a literal on
+    both engines: transcendental pow never runs inside either plan."""
+    return int(1_000_000 * (1.0 / bands) ** (1.0 / rows))
+
+
+def _band_sweep_oracle() -> str:
+    from ..operators import dedup as _d
+
+    mins = ",\n             ".join(
+        f"min(xor(x, {_d.XOR_CONSTS[h]})) AS mh{h}" for h in range(8)
+    )
+    per_cfg = []
+    for b in _SWEEP_BANDS:
+        r = 8 // b
+        bands_sql = "\n      UNION ALL\n      ".join(
+            "SELECT doc_id, {bid} AS band_id, md5({concat}) AS band_hash"
+            " FROM sigs".format(
+                bid=bi,
+                concat=" || ".join(f"mh{bi * r + j}" for j in range(r)),
+            )
+            for bi in range(b)
+        )
+        per_cfg.append(f"""
+    SELECT {b} AS bands, {r} AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_colliding,
+           CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS candidate_slots,
+           {_sweep_threshold_ppm(b, r)} AS threshold_ppm
+    FROM (SELECT band_id, band_hash, COUNT(*) AS n
+          FROM ({bands_sql})
+          GROUP BY 1, 2)""")
+    unions = "\n    UNION ALL".join(per_cfg)
+    return f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, substr(text, i::INT, 8) AS g
+      FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+            FROM documents)
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM (SELECT doc_id,
+                   (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS x
+            FROM grams)
+      GROUP BY doc_id
+    )
+    {unions}
+    ORDER BY bands
+    """
+
+
+@query("dedup_lsh_band_sweep", oracle=_band_sweep_oracle())
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning pre-flight: the SAME 8-perm signatures evaluated
+    under three band splits (1x8, 2x4, 4x2), emitting per config the
+    bucket count, colliding-bucket count, total candidate-pair slots
+    (sum n·(n-1)/2 — the work the pair expansion WOULD do), and the
+    banding's ~50% S-curve threshold (floor(1e6·(1/b)^(1/r)), a
+    compile-time literal so no transcendental runs in-plan). This is
+    the table you read before choosing bands: more bands → lower
+    threshold → more candidates (candidate_slots column shows the
+    cost), fewer bands → only tighter duplicates recalled.
+
+    Plan: ONE signature pipeline (the dominant cost — grams hashed
+    once), then three count-only bucket aggregates, each map-side
+    combinable; no pair is ever materialized. At 100 TB this costs
+    one corpus pass + three vocabulary-sized shuffles."""
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures_text(
+        docs, "text", "doc_id", n=8, num_hashes=8
+    )
+    out = None
+    for b in _SWEEP_BANDS:
+        r = 8 // b
+        counts = (
+            dedup._banded(sigs, "doc_id", 8, b)
+            .groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cfg = counts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum((F.col("n") > 1).cast("long")).cast("long").alias(
+                "n_colliding"
+            ),
+            F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias(
+                "candidate_slots"
+            ),
+        ).select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            "n_buckets",
+            "n_colliding",
+            "candidate_slots",
+            F.lit(_sweep_threshold_ppm(b, r)).alias("threshold_ppm"),
+        )
+        out = cfg if out is None else out.unionByName(cfg)
+    return out.orderBy("bands")
+
+
+# ---------------------------------------------------------------------------
+# Embedding ingest QC: norm profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_norm_profile",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(CAST(e[i::INT] AS DOUBLE)
+                           * CAST(e[i::INT] AS DOUBLE)
+                           AS DECIMAL(30,15))) AS DOUBLE) AS sq
+      FROM (SELECT vec_id, embedding AS e,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+      GROUP BY vec_id
+    ),
+    b AS (
+      -- DuckDB has no width_bucket; this CASE is its exact definition
+      -- for (min 0, max 8, 16 buckets): bucket width 0.5
+      SELECT CASE WHEN ROUND(sqrt(sq), 9) < 0 THEN 0
+                  WHEN ROUND(sqrt(sq), 9) >= 8 THEN 17
+                  ELSE CAST(FLOOR(ROUND(sqrt(sq), 9) / 0.5) AS INT) + 1
+             END AS bucket,
+             sq
+      FROM norms
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(MIN(ROUND(sqrt(sq), 9)), 9) AS min_norm,
+           ROUND(MAX(ROUND(sqrt(sq), 9)), 9) AS max_norm
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-ingest QC: L2-norm histogram (16 equal-width buckets
+    over [0, 8]) with per-bucket min/max norms — the pre-flight that
+    catches unnormalized batches, zero vectors, and fp-overflow
+    spikes before they poison cosine math downstream. Exact decimal
+    sum-of-squares, sqrt rounded to 9 places BEFORE bucketing so the
+    bucket boundary decision is engine-identical. One zero-shuffle
+    projection + one 16-group aggregate."""
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
+    from ..operators.similarity import _dot_decimal
+
+    nrm = F.round(F.sqrt(_dot_decimal("embedding", "embedding")), 9)
+    b = emb.select(
+        F.width_bucket(nrm, F.lit(0.0), F.lit(8.0), F.lit(16))
+        .cast("int")
+        .alias("bucket"),
+        nrm.alias("nrm"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.min("nrm"), 9).alias("min_norm"),
+            F.round(F.max("nrm"), 9).alias("max_norm"),
+        )
+        .orderBy("bucket")
+    )

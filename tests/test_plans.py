@@ -652,3 +652,16 @@ def test_ivf_list_stats_zero_shuffle_assignment(spark):
     plan = plan_of(spark, "similarity_ivf_list_stats")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_band_sweep_no_pair_materialization(spark):
+    # three band configs share one signature pipeline and aggregate
+    # bucket COUNTS only — no join (pair expansion) anywhere
+    plan = plan_of(spark, "dedup_lsh_band_sweep")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_norm_profile_single_agg_no_join(spark):
+    plan = plan_of(spark, "embedding_norm_profile")
+    assert "Join" not in plan
