@@ -320,6 +320,29 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is one corpus pass + one 4-row report."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
+    # max word frequency = longest equal run in the SORTED word array,
+    # found by a single fold whose lambda touches only (acc, x) — an
+    # array_distinct × filter scan would be O(W·D) per row AND
+    # re-inline the split per distinct word (the HOF re-inlining trap,
+    # ARCHITECTURE.md)
+    def _run_step(acc, x):
+        cur = F.when(x.eqNullSafe(acc.prev), acc.cur + 1).otherwise(F.lit(1))
+        return F.struct(
+            cur.alias("cur"),
+            F.greatest(acc.best, cur).alias("best"),
+            x.alias("prev"),
+        )
+
+    max_freq = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        _run_step,
+        lambda acc: acc.best,
+    )
     feat = docs.select(
         "doc_id",
         "n_chars",
@@ -327,12 +350,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter(ws, lambda x: x.isin("a", "the"))
         ).alias("n_stop"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(ws),
-                lambda w: F.size(F.filter(ws, lambda x: x == w)),
-            )
-        ).alias("max_freq"),
+        max_freq.alias("max_freq"),
         F.md5(F.substring("text", 1, 32)).alias("pref"),
     )
     rn = F.row_number().over(
