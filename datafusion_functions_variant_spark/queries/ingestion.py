@@ -830,3 +830,248 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the whole curation pipeline as ONE query
+# ---------------------------------------------------------------------------
+
+_SHARD_TOKENS = 256
+
+
+def _pipeline_oracle() -> str:
+    from ..operators import dedup as _d
+
+    mins = ",\n             ".join(
+        f"min(xor(x, {_d.XOR_CONSTS[h]})) AS mh{h}" for h in range(8)
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> len(w) > 0)) AS BIGINT) AS n_tok,
+             (n_chars >= 100
+              AND 50 * len(list_filter(string_split(text, ' '),
+                                       x -> x IN ('a', 'the')))
+                  >= len(string_split(text, ' '))
+              AND 100 * list_max(list_transform(list_distinct(
+                            string_split(text, ' ')),
+                          w -> len(list_filter(string_split(text, ' '),
+                                               x -> x = w))))
+                  <= 18 * len(string_split(text, ' '))) AS q
+      FROM documents
+    ),
+    u AS (
+      SELECT *,
+             (q AND COALESCE(SUM(CASE WHEN q THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY md5(text) ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) = 0) AS uniq
+      FROM f
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, substr(text, i::INT, 8) AS g
+      FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+            FROM u WHERE uniq)
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM (SELECT doc_id,
+                   (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS x
+            FROM grams)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS bh
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(mh4 || mh5 || mh6 || mh7) AS bh
+      FROM sigs
+    ),
+    bucket_min AS (
+      SELECT band_id, bh, MIN(doc_id) AS min_doc FROM bands GROUP BY 1, 2
+    ),
+    near_flag AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b JOIN bucket_min m
+        ON b.band_id = m.band_id AND b.bh = m.bh AND b.doc_id > m.min_doc
+    ),
+    canon AS (
+      SELECT u.doc_id, u.lang, u.n_tok
+      FROM u LEFT JOIN near_flag nf ON u.doc_id = nf.doc_id
+      WHERE u.uniq AND nf.doc_id IS NULL
+    ),
+    packed AS (
+      SELECT lang,
+             (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n_tok)
+               // {_SHARD_TOKENS} AS seq_id
+      FROM canon
+    ),
+    shard_counts AS (
+      SELECT lang, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_shards
+      FROM packed GROUP BY lang
+    ),
+    canon_agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_canonical,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM canon GROUP BY lang
+    ),
+    stage_agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_raw,
+             CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(SUM(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      FROM u GROUP BY lang
+    )
+    SELECT s.lang, s.n_raw, s.n_quality, s.n_unique,
+           COALESCE(c.n_canonical, 0) AS n_canonical,
+           COALESCE(sh.n_shards, 0) AS n_shards,
+           COALESCE(c.n_tokens, 0) AS n_tokens
+    FROM stage_agg s
+    LEFT JOIN canon_agg c ON s.lang = c.lang
+    LEFT JOIN shard_counts sh ON s.lang = sh.lang
+    ORDER BY s.lang
+    """
+
+
+@query("pipeline_crawl_to_shards", oracle=_pipeline_oracle())
+def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative query — the
+    demonstration that a crawl→training-shards run needs no
+    orchestration glue between stages: quality gate (the funnel's
+    integer-threshold predicates) → exact dedup (first quality
+    survivor per content hash) → near-dup canonicalization (doc
+    dropped iff ANY of its LSH band buckets holds a lower-id
+    survivor — a bucket-min comparison, NO pair expansion at all) →
+    GPT-style sequence packing into {256}-token shards per language.
+    Emits the per-language stage counts + shard/token totals a
+    pipeline run would publish.
+
+    Plan shape at 100 TB: ONE corpus scan; per-doc features in-row
+    (sorted-run fold for repetition); one content-hash window; the
+    near-dup stage is signatures (in-row) + a bucket groupBy + a
+    bucket-min join — candidate pairs are never materialized, so the
+    boilerplate mega-cluster corner costs one min() per bucket; the
+    packing window shuffles once per language partition. Five small
+    per-lang aggregates join at the end."""
+    from ..operators.text import pack_sequences, words
+
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+
+    def _run_step(acc, x):
+        cur = F.when(x.eqNullSafe(acc.prev), acc.cur + 1).otherwise(F.lit(1))
+        return F.struct(
+            cur.alias("cur"),
+            F.greatest(acc.best, cur).alias("best"),
+            x.alias("prev"),
+        )
+
+    max_freq = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        _run_step,
+        lambda acc: acc.best,
+    )
+    quality = (
+        (F.col("n_chars") >= 100)
+        & (
+            50 * F.size(F.filter(ws, lambda x: x.isin("a", "the")))
+            >= F.size(ws)
+        )
+        & (100 * max_freq <= 18 * F.size(ws))
+    )
+    f = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(words("text")).cast("long").alias("n_tok"),
+        quality.alias("q"),
+        F.md5("text").alias("h"),
+    )
+    wq = (
+        Window.partitionBy("h")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    u = f.withColumn(
+        "uniq",
+        F.col("q")
+        & (
+            F.coalesce(
+                F.sum(F.col("q").cast("long")).over(wq), F.lit(0)
+            )
+            == 0
+        ),
+    )
+    survivors = u.where("uniq").select("doc_id", "lang", "n_tok", "text")
+    # checkpoint the NARROW signature frame (doc_id, lang, n_tok, mh*)
+    # — the stage artifact a real pipeline persists. Without it every
+    # downstream aggregate branch (bands, bucket_min, canon, packing)
+    # re-executes the scan+window lineage: measured 7 corpus scans in
+    # the executed plan; with it, the only remaining corpus read in
+    # the final plan is the stage-accounting branch (plan-pinned).
+    sigs = dedup.minhash_signatures_inrow(
+        survivors, "text", "doc_id", n=8, num_hashes=8,
+        keep=["doc_id", "lang", "n_tok"],
+    ).localCheckpoint(eager=True)
+    bh = dedup.banded_hashes(sigs, num_hashes=8, bands=2)
+    bands = sigs.select("doc_id", *bh).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"),
+                         F.col("band_hash0").alias("bh")),
+                F.struct(F.lit(1).alias("band_id"),
+                         F.col("band_hash1").alias("bh")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.bh")
+    bucket_min = bands.groupBy("band_id", "bh").agg(
+        F.min("doc_id").alias("min_doc")
+    )
+    near_flag = (
+        bands.join(bucket_min, ["band_id", "bh"])
+        .where(F.col("doc_id") > F.col("min_doc"))
+        .select("doc_id")
+        .distinct()
+    )
+    canon = sigs.select("doc_id", "lang", "n_tok").join(
+        near_flag, "doc_id", "left_anti"
+    )
+    packed = pack_sequences(canon, "n_tok", "doc_id", "lang",
+                            target=_SHARD_TOKENS)
+    shard_counts = packed.groupBy("lang").agg(
+        F.count_distinct("seq_id").cast("long").alias("n_shards")
+    )
+    canon_agg = canon.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_canonical"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    stage_agg = u.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(F.col("q").cast("long")).cast("long").alias("n_quality"),
+        F.sum(F.col("uniq").cast("long")).cast("long").alias("n_unique"),
+    )
+    return (
+        stage_agg.join(F.broadcast(canon_agg), "lang", "left")
+        .join(F.broadcast(shard_counts), "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            "n_quality",
+            "n_unique",
+            F.coalesce("n_canonical", F.lit(0)).alias("n_canonical"),
+            F.coalesce("n_shards", F.lit(0)).alias("n_shards"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -665,3 +665,13 @@ def test_band_sweep_no_pair_materialization(spark):
 def test_norm_profile_single_agg_no_join(spark):
     plan = plan_of(spark, "embedding_norm_profile")
     assert "Join" not in plan
+
+
+def test_pipeline_capstone_no_pair_expansion_single_scan(spark):
+    # the near-dup stage must be a bucket-min comparison (groupBy +
+    # join on the band key), never a pair-expansion join or cartesian;
+    # the whole pipeline reads documents ONCE
+    plan = plan_of(spark, "pipeline_crawl_to_shards")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan parquet") == 1
