@@ -194,3 +194,46 @@ def test_bpe_encode_token_counts_bounded_by_chars(spark):
     total_chars = sum(len(r.word) for r in stream.collect())
     total_toks = sum(enc[r.word] for r in stream.collect())
     assert total_toks <= total_chars
+
+
+def test_sorted_run_max_frequency_matches_naive_counts(spark):
+    """The longest-equal-run fold over the sorted word array (used by
+    curation_funnel_report and pipeline_crawl_to_shards) must equal
+    the naive max-of-counts word frequency on arbitrary word soups,
+    including all-identical and all-distinct rows."""
+    from collections import Counter
+
+    import random
+
+    rng = random.Random(41)
+    vocab = ["x", "yy", "zzz", "w"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40)))
+        for _ in range(50)
+    ] + ["x x x x x", "x yy zzz w"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    ws = F.split("text", " ")
+
+    def _run_step(acc, x):
+        cur = F.when(x.eqNullSafe(acc.prev), acc.cur + 1).otherwise(F.lit(1))
+        return F.struct(
+            cur.alias("cur"),
+            F.greatest(acc.best, cur).alias("best"),
+            x.alias("prev"),
+        )
+
+    max_freq = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        _run_step,
+        lambda acc: acc.best,
+    )
+    got = {r.doc_id: r.mf for r in df.select("doc_id", max_freq.alias("mf")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == max(Counter(t.split(" ")).values()), t
