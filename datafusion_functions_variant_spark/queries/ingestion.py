@@ -938,29 +938,13 @@ def _pipeline_oracle() -> str:
     """
 
 
-@query("pipeline_crawl_to_shards", oracle=_pipeline_oracle())
-def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole curation pipeline as ONE declarative query — the
-    demonstration that a crawl→training-shards run needs no
-    orchestration glue between stages: quality gate (the funnel's
-    integer-threshold predicates) → exact dedup (first quality
-    survivor per content hash) → near-dup canonicalization (doc
-    dropped iff ANY of its LSH band buckets holds a lower-id
-    survivor — a bucket-min comparison, NO pair expansion at all) →
-    GPT-style sequence packing into {256}-token shards per language.
-    Emits the per-language stage counts + shard/token totals a
-    pipeline run would publish.
-
-    Plan shape at 100 TB: ONE corpus scan; per-doc features in-row
-    (sorted-run fold for repetition); one content-hash window; the
-    near-dup stage is signatures (in-row) + a bucket groupBy + a
-    bucket-min join — candidate pairs are never materialized, so the
-    boilerplate mega-cluster corner costs one min() per bucket; the
-    packing window shuffles once per language partition. Five small
-    per-lang aggregates join at the end."""
+def crawl_to_shards_report(docs: DataFrame) -> DataFrame:
+    """Core of the capstone pipeline over any (doc_id, lang, text,
+    n_chars) frame — shared by the registry query below and the
+    scale probe (scale_probe.py replays it on K×-replicated corpora).
+    See ``pipeline_crawl_to_shards`` for the stage semantics."""
     from ..operators.text import pack_sequences, words
 
-    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
 
     def _run_step(acc, x):
@@ -1074,4 +1058,33 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         )
         .orderBy("lang")
+    )
+
+
+@query("pipeline_crawl_to_shards", oracle=_pipeline_oracle())
+def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative query — the
+    demonstration that a crawl→training-shards run needs no
+    orchestration glue between stages: quality gate (the funnel's
+    integer-threshold predicates) → exact dedup (first quality
+    survivor per content hash) → near-dup canonicalization (doc
+    dropped iff ANY of its LSH band buckets holds a lower-id
+    survivor — a bucket-min comparison, NO pair expansion at all) →
+    GPT-style sequence packing into 256-token shards per language.
+    Emits the per-language stage counts + shard/token totals a
+    pipeline run would publish.
+
+    Plan shape at 100 TB: ONE corpus scan in the final plan (the
+    narrow signature frame is eagerly checkpointed as the stage
+    artifact — without it every aggregate branch re-executed the
+    scan+window lineage, 7 scans measured); per-doc features in-row
+    (sorted-run fold for repetition); one content-hash window; the
+    near-dup stage is signatures (in-row) + a bucket groupBy + a
+    bucket-min join — candidate pairs are never materialized, so the
+    boilerplate mega-cluster corner costs one min() per bucket; the
+    packing window shuffles once per language partition. Five small
+    per-lang aggregates join at the end. Scaling measured in SCALE.md
+    (probe case ``pipeline_crawl_to_shards``)."""
+    return crawl_to_shards_report(
+        dedup.fan_out(load_table(spark, sf_dir, "documents"))
     )

@@ -246,6 +246,36 @@ def main() -> None:
             )
         return _reduce(lambda x, y: x.unionByName(y), copies)
 
+    # --- bespoke case: the whole capstone pipeline at K× -----------------
+    # quality gate → exact dedup → bucket-min near-dup → packing, one
+    # plan (queries/ingestion.py::crawl_to_shards_report). Replication
+    # makes every doc K×-duplicated — the exact-dedup window and the
+    # bucket-min stage absorb the entire K× inflation, so this is the
+    # adversarial all-dup corpus for the full pipeline.
+    from datafusion_functions_variant_spark.queries.ingestion import (
+        crawl_to_shards_report,
+    )
+
+    docs_full = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text", "lang", "n_chars")
+    per_k = {}
+    for k in KS:
+        rep = replicate(docs_full, k, "doc_id")
+        samples = []
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            crawl_to_shards_report(rep).collect()
+            if i:
+                samples.append(time.perf_counter() - t0)
+        per_k[k] = round(sorted(samples)[len(samples) // 2], 3)
+    results["pipeline_crawl_to_shards"] = {
+        "per_k": per_k,
+        "growth_8x": round(per_k[KS[-1]] / per_k[KS[0]], 2),
+    }
+    print(json.dumps({"case": "pipeline_crawl_to_shards",
+                      **results["pipeline_crawl_to_shards"]}), flush=True)
+
     for label, bits_of in (
         ("knn_graph_fixed_bits", lambda k: 8),
         ("knn_graph_scaled_bits", lambda k: 8 + max(0, k.bit_length() - 1)),
