@@ -7,7 +7,12 @@ hurt at scale."""
 from datafusion_functions_variant_spark.queries import load_all_queries
 
 REGISTRY = load_all_queries()
-SF = "/root/testdata/sf0.001"
+# PLANS_SF_DIR overrides the scale the pins are audited at — the pins
+# are SHAPE assertions and must hold at every SF (run the suite with
+# PLANS_SF_DIR=/root/testdata/sf0.01 to audit at driver scale)
+import os as _os
+
+SF = _os.environ.get("PLANS_SF_DIR", "/root/testdata/sf0.001")
 
 
 def plan_of(spark, name: str) -> str:
