@@ -680,3 +680,12 @@ def test_pipeline_capstone_no_pair_expansion_single_scan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_stump_search_topk_and_broadcast_only(spark):
+    # the split-search ranking must be TakeOrderedAndProject (top-5,
+    # never a full sort of the stump table) and the class totals must
+    # reach the stumps via broadcast, not a shuffled join
+    plan = plan_of(spark, "classifier_stump_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
