@@ -1239,3 +1239,120 @@ def classifier_stump_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("balanced_acc_ppm"), "stump_bucket", "threshold"
     ).limit(_STUMP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed persisted index: the per-batch probe without an index-side
+# shuffle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_incremental_bucketed_index",
+    oracle=f"""
+    WITH {_minhash_bands_cte("c", "doc_id % 5 <> 0")},
+    {_minhash_bands_cte("i", "doc_id % 5 = 0")},
+    idx AS (SELECT DISTINCT md5(band_id || band_hash) AS bh2 FROM bands_c),
+    flagged AS (
+      SELECT DISTINCT b.doc_id
+      FROM (SELECT doc_id, md5(band_id || band_hash) AS bh2 FROM bands_i) b
+      JOIN idx x ON b.bh2 = x.bh2
+    ),
+    inc AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted
+    FROM inc LEFT JOIN flagged f ON inc.doc_id = f.doc_id
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def dedup_incremental_bucketed_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_incremental_index`` with the index PERSISTED AS A
+    BUCKETED TABLE — the storage layout that makes per-batch probing
+    cheapest: the corpus' band index is written ``bucketBy(8, bh2)``
+    + ``sortBy`` once, so every subsequent batch's semi-join reads
+    index buckets IN PLACE and only the (small) batch side shuffles.
+    The (band_id, band_hash) pair is folded into one md5 key ``bh2``
+    so the join key equals the bucketing key exactly (a two-column
+    join would demand partitioning on both and re-shuffle the index).
+
+    Plan pin: the index scan is a bucketed read (SelectedBucketsCount)
+    and the only hash Exchange on the semi-join feeds the PROBE side.
+    At 100 TB the index is the big side (corpus × bands rows) — this
+    layout converts the recurring per-batch cost from 'shuffle the
+    index' to 'shuffle the batch'. Result identical to the
+    unbucketed twin (same oracle counts)."""
+    import os as _os2
+
+    from .catalog import _IO_DIR
+
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "text"
+    )
+
+    sigs_c = dedup.minhash_signatures_text(
+        corpus, "text", "doc_id", n=8, num_hashes=8
+    )
+    index = (
+        dedup._banded(sigs_c, "doc_id", 8, 2)
+        .select(
+            F.md5(F.concat("band_id", "band_hash")).alias("bh2")
+        )
+        .distinct()
+    )
+    spark.sql("DROP TABLE IF EXISTS band_index_b")
+    (
+        index.write.bucketBy(8, "bh2")
+        .sortBy("bh2")
+        .option("path", _os2.path.join(_IO_DIR, "band_index_b"))
+        .mode("overwrite")
+        .saveAsTable("band_index_b")
+    )
+    idx = spark.table("band_index_b")
+
+    probe = dedup.minhash_signatures_inrow(
+        incoming, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id", "lang"]
+    )
+    bh = dedup.banded_hashes(probe, num_hashes=8, bands=2)
+    bands_i = probe.select("doc_id", *bh).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(F.lit(b), F.col(f"band_hash{b}"))
+                    )
+                    for b in range(2)
+                ]
+            )
+        ).alias("bh2"),
+    )
+    flagged = (
+        bands_i.hint("merge")
+        .join(idx, "bh2", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        incoming.join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incoming"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+                "n_flagged"
+            ),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_admitted"),
+        )
+        .orderBy("lang")
+    )

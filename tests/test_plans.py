@@ -689,3 +689,13 @@ def test_stump_search_topk_and_broadcast_only(spark):
     plan = plan_of(spark, "classifier_stump_search")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_index_probe_shuffles_only_the_batch(spark):
+    # the persisted band index must be read as a BUCKETED table (no
+    # Exchange on the index side of the semi-join); the single hash
+    # exchange on the join key belongs to the probe (batch) side
+    plan = plan_of(spark, "dedup_incremental_bucketed_index")
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount" in plan
+    assert plan.count("Exchange hashpartitioning(bh2") == 1
