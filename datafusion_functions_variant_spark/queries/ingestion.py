@@ -1356,3 +1356,144 @@ def dedup_incremental_bucketed_index(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level NEAR dedup (the fuzzy counterpart of dedup_chunk_exact)
+# ---------------------------------------------------------------------------
+
+_NEAR_CHUNK_WORDS = 20
+_NEAR_KEY_SHIFT = 4096  # key = doc_id * SHIFT + pos (pos << SHIFT always)
+
+
+def _chunk_near_oracle() -> str:
+    from ..operators import dedup as _d
+
+    mins = ",\n             ".join(
+        f"min(xor(x, {_d.XOR_CONSTS[h]})) AS mh{h}" for h in range(8)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, i AS pos,
+             doc_id * {_NEAR_KEY_SHIFT} + i AS key,
+             array_to_string(words[(i*{_NEAR_CHUNK_WORDS}+1):
+                                   ((i+1)*{_NEAR_CHUNK_WORDS})], ' ') AS chunk
+      FROM (SELECT doc_id, words,
+                   unnest(range(0, CAST(ceil(len(words)
+                         / {_NEAR_CHUNK_WORDS}.0) AS BIGINT))) AS i
+            FROM w)
+    ),
+    grams AS (
+      SELECT key, substr(chunk, i::INT, 8) AS g
+      FROM (SELECT key, chunk, unnest(range(1, len(chunk) - 6)) AS i
+            FROM ch WHERE len(chunk) >= 8)
+    ),
+    sigs AS (
+      SELECT key,
+             {mins}
+      FROM (SELECT key,
+                   (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS x
+            FROM grams)
+      GROUP BY key
+    ),
+    bands AS (
+      SELECT key, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS bh FROM sigs
+      UNION ALL
+      SELECT key, 1 AS band_id, md5(mh4 || mh5 || mh6 || mh7) AS bh FROM sigs
+    ),
+    bucket_min AS (
+      SELECT band_id, bh, MIN(key) AS min_key FROM bands GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT DISTINCT b.key
+      FROM bands b JOIN bucket_min m
+        ON b.band_id = m.band_id AND b.bh = m.bh AND b.key > m.min_key
+    )
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.key IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_chunks
+    FROM ch LEFT JOIN flagged f ON ch.key = f.key
+    GROUP BY ch.doc_id
+    ORDER BY ch.doc_id
+    """
+
+
+@query("dedup_chunk_near", oracle=_chunk_near_oracle())
+def dedup_chunk_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document NEAR dedup — the fuzzy counterpart of
+    ``dedup_chunk_exact``: a 20-word chunk is flagged when any of its
+    MinHash band buckets already holds an EARLIER chunk (global
+    (doc_id, pos) order), catching lightly-edited boilerplate that
+    byte-exact chunk dedup misses. Per document: chunk count and
+    flagged-chunk count (the per-doc boilerplate fraction a cleaner
+    acts on). Chunks shorter than one 8-gram are unsignable and count
+    as never-near (deterministic on both engines).
+
+    Plan shape: chunks built IN-ROW (sequence+transform over the
+    split array), signatures in-row per chunk (``array_min`` over the
+    gram-hash array — chunk texts are small, the zero-shuffle path's
+    sweet spot), then the SAME bucket-min discipline as the capstone:
+    one groupBy on (band, hash) + one join back — earlier-chunk
+    precedence is a single integer compare (key = doc_id·4096 + pos),
+    candidate pairs never materialized. Two chunk-keyed shuffles
+    total at any corpus size."""
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    words_arr = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(
+        F.size(words_arr) / F.lit(float(_NEAR_CHUNK_WORDS))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words_arr, i * _NEAR_CHUNK_WORDS + 1,
+                         _NEAR_CHUNK_WORDS)
+        ),
+    )
+    ch = docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    ).withColumn(
+        "key",
+        F.col("doc_id") * _NEAR_KEY_SHIFT + F.col("pos"),
+    )
+    signable = ch.where(F.length("chunk") >= 8)
+    sigs = dedup.minhash_signatures_inrow(
+        signable.select("key", "chunk"), "chunk", "key",
+        n=8, num_hashes=8, keep=["key"],
+    )
+    bh = dedup.banded_hashes(sigs, num_hashes=8, bands=2)
+    bands = sigs.select("key", *bh).select(
+        "key",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"),
+                         F.col("band_hash0").alias("bh")),
+                F.struct(F.lit(1).alias("band_id"),
+                         F.col("band_hash1").alias("bh")),
+            )
+        ).alias("b"),
+    ).select("key", "b.band_id", "b.bh")
+    bucket_min = bands.groupBy("band_id", "bh").agg(
+        F.min("key").alias("min_key")
+    )
+    flagged = (
+        bands.join(bucket_min, ["band_id", "bh"])
+        .where(F.col("key") > F.col("min_key"))
+        .select("key")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ch.join(flagged, "key", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_near_chunks"),
+        )
+        .orderBy("doc_id")
+    )

@@ -699,3 +699,12 @@ def test_bucketed_index_probe_shuffles_only_the_batch(spark):
     assert "Bucketed: true" in plan
     assert "SelectedBucketsCount" in plan
     assert plan.count("Exchange hashpartitioning(bh2") == 1
+
+
+def test_chunk_near_bucket_min_no_pair_join(spark):
+    # near-chunk precedence must resolve via the bucket-min compare —
+    # no pair-expansion join, no cartesian, and the flag join is an
+    # equi-join on the chunk key
+    plan = plan_of(spark, "dedup_chunk_near")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
