@@ -1497,3 +1497,232 @@ def dedup_chunk_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boosting loop: two reweighted stump rounds
+# ---------------------------------------------------------------------------
+
+
+def _boost_oracle() -> str:
+    def search(n: int, featw: str, clsw: str) -> str:
+        per_t = "\n      UNION ALL".join(
+            f"""
+      SELECT b, {t} AS t,
+             CAST(SUM(CASE WHEN c >= {t} AND y = 1 THEN wt ELSE 0 END)
+                  AS BIGINT) AS wp,
+             CAST(SUM(CASE WHEN c >= {t} AND y = -1 THEN wt ELSE 0 END)
+                  AS BIGINT) AS wn
+      FROM {featw} GROUP BY b"""
+            for t in _STUMP_THRESHOLDS
+        )
+        return f"""
+    stumps{n} AS ({per_t}),
+    best{n} AS (
+      SELECT s.b, s.t, (c.posw - s.wp) + s.wn AS err, c.totw
+      FROM stumps{n} s, {clsw} c
+      ORDER BY err, s.b, s.t
+      LIMIT 1
+    )"""
+
+    return f"""
+    WITH labeled AS (
+      SELECT doc_id,
+             CASE WHEN 50 * len(list_filter(string_split(text, ' '),
+                                            x -> x IN ('a', 'the')))
+                       >= len(list_filter(string_split(text, ' '),
+                                          w -> len(w) > 0))
+                  THEN 1 ELSE -1 END AS y,
+             text
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, y,
+             (('0x' || substr(md5(word), 1, 4))::INT) % {_STUMP_BUCKETS} AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, y,
+                   unnest(list_filter(string_split(text, ' '),
+                                      w -> len(w) > 0)) AS word
+            FROM labeled)
+      GROUP BY doc_id, y, b
+    ),
+    feat1 AS (SELECT doc_id, y, b, c, 1 AS wt FROM feat),
+    cls1 AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS posw,
+             CAST(COUNT(*) AS BIGINT) AS totw
+      FROM labeled
+    ),
+    {search(1, "feat1", "cls1").lstrip()},
+    preds AS (
+      SELECT l.doc_id, l.y,
+             CASE WHEN COALESCE((SELECT SUM(f.c) FROM feat f, best1 bb
+                                 WHERE f.doc_id = l.doc_id AND f.b = bb.b), 0)
+                       >= (SELECT t FROM best1)
+                  THEN 1 ELSE -1 END AS pred
+      FROM labeled l
+    ),
+    weights AS (
+      SELECT doc_id, y, CASE WHEN pred <> y THEN 3 ELSE 1 END AS wt
+      FROM preds
+    ),
+    feat2 AS (
+      SELECT f.doc_id, f.y, f.b, f.c, w.wt
+      FROM feat f JOIN weights w ON f.doc_id = w.doc_id
+    ),
+    cls2 AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 THEN wt ELSE 0 END) AS BIGINT) AS posw,
+             CAST(SUM(wt) AS BIGINT) AS totw
+      FROM weights
+    ),
+    {search(2, "feat2", "cls2").lstrip()}
+    SELECT 1 AS round, b AS stump_bucket, t AS threshold,
+           CAST(err AS BIGINT) AS weighted_err,
+           CAST(totw AS BIGINT) AS total_weight
+    FROM best1
+    UNION ALL
+    SELECT 2, b, t, CAST(err AS BIGINT), CAST(totw AS BIGINT) FROM best2
+    ORDER BY round
+    """
+
+
+@query("classifier_boost_rounds", oracle=_boost_oracle())
+def classifier_boost_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of the boosting LOOP around the stump split search:
+    round 1 searches with unit weights, the misclassified docs get
+    integer weight 3, round 2 re-searches on the reweighted corpus.
+    The loop verifiably works: round 1 picks the md5 bucket of 'a',
+    and the reweighting forces round 2 to pick the bucket of 'the' —
+    the two features the bootstrap label (stopword-floor rule) is
+    built from, selected in succession exactly as AdaBoost intends.
+
+    The model state between rounds is the 1-ROW best-stump relation —
+    broadcast into the prediction pass, never collected (the BPE
+    best-pair discipline applied to classifier training). Each round
+    costs one vocabulary-keyed weighted aggregate; the reweighting is
+    a doc-keyed join of the unit-sized weights relation. Exact
+    integers throughout (weighted error ranked by (err, b, t))."""
+    from ..operators.text import token_bucket, words
+
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    ws = words("text")
+    y = F.when(
+        50 * F.size(F.filter(ws, lambda x: x.isin("a", "the")))
+        >= F.size(ws),
+        1,
+    ).otherwise(-1)
+    labeled = docs.select("doc_id", y.alias("y"))
+    feat = (
+        docs.select(
+            "doc_id", y.alias("y"), F.explode(words("text")).alias("word")
+        )
+        .select(
+            "doc_id", "y",
+            token_bucket("word", _STUMP_BUCKETS).alias("b"),
+        )
+        .groupBy("doc_id", "y", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def weighted_search(featw: DataFrame, clsw: DataFrame) -> DataFrame:
+        per_bucket = featw.groupBy("b").agg(
+            *[
+                agg
+                for t in _STUMP_THRESHOLDS
+                for agg in (
+                    F.sum(
+                        F.when(
+                            (F.col("c") >= t) & (F.col("y") == 1),
+                            F.col("wt"),
+                        ).otherwise(0)
+                    ).cast("long").alias(f"wp{t}"),
+                    F.sum(
+                        F.when(
+                            (F.col("c") >= t) & (F.col("y") == -1),
+                            F.col("wt"),
+                        ).otherwise(0)
+                    ).cast("long").alias(f"wn{t}"),
+                )
+            ]
+        )
+        stumps = per_bucket.select(
+            "b",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.col(f"wp{t}").alias("wp"),
+                            F.col(f"wn{t}").alias("wn"),
+                        )
+                        for t in _STUMP_THRESHOLDS
+                    ]
+                )
+            ).alias("s"),
+        ).select("b", "s.t", "s.wp", "s.wn")
+        return (
+            stumps.crossJoin(F.broadcast(clsw))
+            .select(
+                "b",
+                "t",
+                ((F.col("posw") - F.col("wp")) + F.col("wn")).alias("err"),
+                "totw",
+            )
+            .orderBy("err", "b", "t")
+            .limit(1)
+        )
+
+    feat1 = feat.withColumn("wt", F.lit(1))
+    cls1 = labeled.agg(
+        F.sum((F.col("y") == 1).cast("long")).alias("posw"),
+        F.count(F.lit(1)).cast("long").alias("totw"),
+    )
+    best1 = weighted_search(feat1, cls1).localCheckpoint(eager=True)
+
+    c_at_b1 = (
+        feat.crossJoin(F.broadcast(best1.select(
+            F.col("b").alias("b1"), F.col("t").alias("t1"))))
+        .groupBy("doc_id", "y", "t1")
+        .agg(
+            F.sum(
+                F.when(F.col("b") == F.col("b1"), F.col("c")).otherwise(0)
+            ).alias("c1")
+        )
+    )
+    weights = c_at_b1.select(
+        "doc_id",
+        "y",
+        F.when(
+            (
+                F.when(F.col("c1") >= F.col("t1"), 1).otherwise(-1)
+            )
+            != F.col("y"),
+            3,
+        )
+        .otherwise(1)
+        .alias("wt"),
+    )
+    feat2 = feat.join(weights.select("doc_id", "wt"), "doc_id")
+    cls2 = weights.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("wt")).otherwise(0))
+        .cast("long")
+        .alias("posw"),
+        F.sum("wt").cast("long").alias("totw"),
+    )
+    best2 = weighted_search(feat2, cls2)
+
+    out1 = best1.select(
+        F.lit(1).alias("round"),
+        F.col("b").alias("stump_bucket"),
+        F.col("t").alias("threshold"),
+        F.col("err").cast("long").alias("weighted_err"),
+        F.col("totw").cast("long").alias("total_weight"),
+    )
+    out2 = best2.select(
+        F.lit(2).alias("round"),
+        F.col("b").alias("stump_bucket"),
+        F.col("t").alias("threshold"),
+        F.col("err").cast("long").alias("weighted_err"),
+        F.col("totw").cast("long").alias("total_weight"),
+    )
+    return out1.unionByName(out2).orderBy("round")
