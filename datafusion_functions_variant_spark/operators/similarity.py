@@ -591,6 +591,7 @@ def knn_graph(
     bits_per_band: int = 8,
     bands: int = 2,
     exact: bool = True,
+    k: int = 1,
 ) -> DataFrame:
     """Approximate 1-NN graph over the WHOLE table by multi-probe
     sign-bit blocking: each band b buckets on the sign bits of dims
@@ -598,7 +599,10 @@ def knn_graph(
     independent, nothing to train or version); a pair is a candidate
     iff it collides in ANY band; candidates are scored by cosine
     (decimal-exact when ``exact``, double fast-path otherwise) and the
-    best neighbor per vector wins by (cosine DESC, id ASC).
+    top ``k`` neighbors per vector win by (cosine DESC, id ASC) —
+    k=1 (default) emits (id, neighbor_id, cosine); k>1 adds a
+    ``rank`` column, turning the output into the k-NN graph
+    semantic-dedup and curriculum mining consume.
 
     **The scale dial is ``bits_per_band``.** Expected bucket depth is
     n / 2^bits, and the blocked self-join does O(depth) work per row —
@@ -672,12 +676,14 @@ def knn_graph(
     cand = cand.dropDuplicates(["id_a", "id_b"])
 
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("id_a").alias(id_col),
-            F.col("id_b").alias("neighbor_id"),
-            "cosine",
-        )
+    out = cand.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
     )
+    cols = [
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("neighbor_id"),
+        "cosine",
+    ]
+    if k > 1:
+        cols.append(F.col("rn").cast("long").alias("rank"))
+    return out.select(*cols)

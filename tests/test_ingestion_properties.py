@@ -237,3 +237,39 @@ def test_sorted_run_max_frequency_matches_naive_counts(spark):
     got = {r.doc_id: r.mf for r in df.select("doc_id", max_freq.alias("mf")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == max(Counter(t.split(" ")).values()), t
+
+
+def test_knn_graph_k3_matches_exact_topk_in_degenerate_bucket(spark):
+    """k>1 with bits=0 must equal the exact brute-force top-k ranking
+    (cosine DESC, id ASC) and carry a correct rank column."""
+    from datafusion_functions_variant_spark.operators.similarity import knn_graph
+
+    import math
+
+    rng = random.Random(53)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vid", "vec"]).repartition(4)
+    got = {
+        (r.vid, r.rank): r.neighbor_id
+        for r in knn_graph(
+            df, "vid", "vec", bits_per_band=0, bands=1, exact=True, k=3
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            ),
+            9,
+        )
+
+    for i, vi in rows:
+        ranked = sorted(
+            ((-cos(vi, vj), j) for j, vj in rows if j != i)
+        )[:3]
+        for rk, (_, j) in enumerate(ranked, start=1):
+            assert got[(i, rk)] == j
