@@ -1726,3 +1726,88 @@ def classifier_boost_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("totw").cast("long").alias("total_weight"),
     )
     return out1.unionByName(out2).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer stats audit (the manifest-trust check behind pruning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_parquet_stats_audit",
+    oracle="""
+    SELECT 'l_shipdate' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_shipdate) AS BIGINT) AS n_values,
+           CAST(MIN(l_shipdate) AS VARCHAR) AS stat_min,
+           CAST(MAX(l_shipdate) AS VARCHAR) AS stat_max
+    FROM lineitem
+    """,
+)
+def source_parquet_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust-but-verify for manifest pruning: read the parquet FOOTER
+    statistics of `lineitem` (row-group row counts, l_shipdate
+    min/max/value-count) through a DISTRIBUTED pyarrow pass — each
+    file's footer parsed inside ``mapInPandas`` over the ``binaryFile``
+    source, per-row-group rows reduced to the table summary — and
+    hash-compare them against the DATA-side aggregates the oracle
+    computes. Row-group pruning, z-order extents and manifest-based
+    planning are only as good as these stats; this is the audit that
+    catches a writer emitting wrong or missing min/max.
+
+    Scale shape: footers are O(KB) per file regardless of data size —
+    this is the cheapest possible whole-corpus 'scan' (metadata
+    plane only); the reduce is a single tiny aggregate. The same
+    pattern builds the file manifest a table format would persist.
+    Timestamp stats format as '%Y-%m-%d %H:%M:%S' strings, which sort
+    lexicographically = chronologically, so string MIN/MAX aggregate
+    correctly across row groups and files."""
+    import os as _os3
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .load(sf_dir)
+        .select("path", "content")
+    )
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {
+                "n_rows": [], "n_values": [],
+                "stat_min": [], "stat_max": [],
+            }
+            for content in pdf["content"]:
+                md = pq.ParquetFile(pa.BufferReader(content)).metadata
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for ci in range(rg.num_columns):
+                        col = rg.column(ci)
+                        if col.path_in_schema != "l_shipdate":
+                            continue
+                        st = col.statistics
+                        out["n_rows"].append(rg.num_rows)
+                        out["n_values"].append(st.num_values)
+                        out["stat_min"].append(
+                            st.min.strftime("%Y-%m-%d %H:%M:%S")
+                        )
+                        out["stat_max"].append(
+                            st.max.strftime("%Y-%m-%d %H:%M:%S")
+                        )
+            yield pd.DataFrame(out)
+
+    per_rg = bin_df.mapInPandas(
+        read_footers,
+        "n_rows long, n_values long, stat_min string, stat_max string",
+    )
+    return per_rg.agg(
+        F.lit("l_shipdate").alias("col_name"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_values").cast("long").alias("n_values"),
+        F.min("stat_min").alias("stat_min"),
+        F.max("stat_max").alias("stat_max"),
+    )
