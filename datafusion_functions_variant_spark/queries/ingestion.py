@@ -1811,3 +1811,88 @@ def source_parquet_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("stat_min").alias("stat_min"),
         F.max("stat_max").alias("stat_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch reshuffle (training-order assignment without a
+# global sort)
+# ---------------------------------------------------------------------------
+
+_EPOCH_SHARDS = 8
+_EPOCHS = [0, 1]
+
+
+@query(
+    "dataset_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(e.epoch || ':' || d.doc_id) AS k
+      FROM documents d,
+           (SELECT unnest([{", ".join(str(e) for e in _EPOCHS)}]) AS epoch) e
+    ),
+    sharded AS (
+      SELECT epoch, doc_id, k,
+             (('0x' || substr(k, 1, 4))::INT) % {_EPOCH_SHARDS} AS shard
+      FROM keyed
+    )
+    SELECT epoch, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(arg_min(doc_id, k) AS BIGINT) AS head_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id))
+             AS order_md5
+    FROM sharded
+    GROUP BY epoch, shard
+    ORDER BY epoch, shard
+    """,
+)
+def dataset_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training-order assignment WITHOUT a global sort:
+    every (epoch, doc) gets the deterministic key md5(epoch:doc_id);
+    the key's leading bytes pick one of 8 reader shards and the key
+    orders docs WITHIN the shard — so each epoch presents every
+    reader a different, reproducible permutation, and reshuffling an
+    epoch costs one hash projection + a shard-keyed exchange (never a
+    corpus-wide orderBy). Emits per (epoch, shard): doc count, the
+    first doc in reading order, and the md5 of the full in-shard
+    reading order — so the driver hash-check verifies the ENTIRE
+    permutation, not just counts. Epoch 0 and epoch 1 provably
+    differ (different head docs / order hashes for the same shard).
+
+    Scale shape: the shard assignment is in-row; the per-shard order
+    md5 is a sorted aggregation within each (epoch, shard) partition —
+    at 1000 executors each reader sorts only its own shard slice, the
+    exact pattern a streaming data-loader uses to feed trainers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in _EPOCHS])
+    ).alias("epoch")
+    keyed = docs.select("doc_id", epochs).select(
+        "epoch",
+        "doc_id",
+        F.md5(F.concat_ws(":", "epoch", "doc_id")).alias("k"),
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        (F.conv(F.substring("k", 1, 4), 16, 10).cast("int")
+         % _EPOCH_SHARDS),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("k", "doc_id"))
+    )
+    return (
+        sharded.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(F.struct("k", "doc_id"))["doc_id"]
+            .cast("long")
+            .alias("head_doc"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(ordered, lambda s: s.doc_id.cast("string")),
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("epoch", "shard")
+    )

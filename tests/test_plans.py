@@ -708,3 +708,11 @@ def test_chunk_near_bucket_min_no_pair_join(spark):
     plan = plan_of(spark, "dedup_chunk_near")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    # the per-epoch permutation must come from hash keys + shard-local
+    # sorted aggregation — a corpus-wide single-partition sort would
+    # defeat the design
+    plan = plan_of(spark, "dataset_epoch_shuffle")
+    assert "SinglePartition" not in plan
