@@ -347,3 +347,24 @@ def test_chunk_near_flags_repeated_chunks_across_docs(spark):
     assert 0 * 4096 + 0 not in flagged
     for d in range(1, 5):
         assert d * 4096 + 1 in flagged, d
+
+
+def test_bucketed_and_unbucketed_incremental_twins_agree(spark):
+    """The bucketed-table index layout must not change RESULTS — the
+    per-language admit/flag counts of the two incremental-dedup twins
+    are identical on the same corpus."""
+    from datafusion_functions_variant_spark.queries import load_all_queries
+
+    reg = load_all_queries()
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        tuple(r)
+        for r in reg["dedup_incremental_index"].build(spark, sf).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in reg["dedup_incremental_bucketed_index"]
+        .build(spark, sf)
+        .collect()
+    )
+    assert a == b
