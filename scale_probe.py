@@ -18,7 +18,9 @@ is deliberately NOT applied: identical replicas are the ADVERSARIAL
 case for dedup (maximum bucket collision pressure — every LSH bucket
 is K× deeper), making these numbers upper bounds.
 
-Run: ``python3 scale_probe.py`` (≈ 3-6 min on local[32]).
+Run: ``python3 scale_probe.py`` (≈ 8-12 min on local[32] with the
+round-5 cases: incremental-index probe, capstone pipeline, and the
+kNN fixed-vs-scaled-bits pair).
 """
 
 from __future__ import annotations
