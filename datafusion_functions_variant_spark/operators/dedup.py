@@ -248,6 +248,41 @@ def banded_hashes(
     ]
 
 
+def banded_rows_inrow(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    keep: list | None = None,
+) -> DataFrame:
+    """Melt a signature frame's IN-ROW band hashes (``banded_hashes``
+    columns) into (id, band_id, band_hash) rows — the probe-side twin
+    of ``_banded`` for frames whose signatures were computed with
+    ``minhash_signatures_inrow`` (streaming ingest probes, batch
+    screening, chunk-level dedup). ``keep`` lists extra columns to
+    carry through. One in-row explode; no shuffle."""
+    bh = banded_hashes(sigs, num_hashes=num_hashes, bands=bands)
+    extra = keep or []
+    melted = sigs.select(id_col, *extra, *bh).select(
+        id_col,
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band_hash{b}").alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bnd"),
+    )
+    return melted.select(
+        id_col, *extra, "_bnd.band_id", "_bnd.band_hash"
+    )
+
+
 def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
     """(id, band_id, band_hash) — one row per (doc, band). The band
     hash concatenates the band's r minhash values; its cardinality is

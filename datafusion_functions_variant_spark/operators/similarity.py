@@ -592,6 +592,7 @@ def knn_graph(
     bands: int = 2,
     exact: bool = True,
     k: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate 1-NN graph over the WHOLE table by multi-probe
     sign-bit blocking: each band b buckets on the sign bits of dims
@@ -617,7 +618,15 @@ def knn_graph(
     band at any bits — run exact dedup (a content-hash groupBy)
     before graph construction, as ``text_dedup_pipeline`` does.
 
-    Requires vec dim >= bands * bits_per_band sign dims."""
+    Requires vec dim >= bands * bits_per_band sign dims — pass
+    ``dim`` to enforce it: an out-of-range ``element_at`` returns NULL
+    and the bit silently reads 0, collapsing that band's bucket space
+    (256× the intended depth at 8 missing bits) with no error."""
+    if dim is not None and bands * bits_per_band > dim:
+        raise ValueError(
+            f"bands*bits_per_band = {bands * bits_per_band} sign dims "
+            f"requested but vectors have only dim={dim}"
+        )
     norm = (
         F.sqrt(_dot_decimal(vec_col, vec_col))
         if exact
@@ -640,40 +649,45 @@ def knn_graph(
             )
         ).cast("int")
 
+    # ONE exploded (band_id, bucket) relation serves every band: the
+    # per-band-branch formulation joined `sides` once per band per
+    # join side, re-executing the decimal norm pass 2*bands times —
+    # the multi-branch re-execution trap (ARCHITECTURE.md). Here the
+    # norm is evaluated once per side; explode only duplicates rows.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                bucket(b * bits_per_band).alias("bkt"),
+            )
+            for b in range(bands)
+        ]
+    )
     sides = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         norm.alias("_nrm"),
-        *[
-            bucket(b * bits_per_band).alias(f"_b{b}")
-            for b in range(bands)
-        ],
-    )
+        F.explode(band_structs).alias("_bb"),
+    ).select("_id", "_v", "_nrm", "_bb.band_id", "_bb.bkt")
     a = sides.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("va"),
-        F.col("_nrm").alias("na"),
-        *[F.col(f"_b{b}").alias(f"ba{b}") for b in range(bands)],
+        F.col("_nrm").alias("na"), "band_id", "bkt",
     )
     b_side = sides.select(
         F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
-        F.col("_nrm").alias("nb"),
-        *[F.col(f"_b{b}").alias(f"bb{b}") for b in range(bands)],
+        F.col("_nrm").alias("nb"), "band_id", "bkt",
     )
     raw_cos = (
         _dot_decimal("va", "vb") if exact else _dot_double("va", "vb")
     ) / (F.col("na") * F.col("nb"))
     cos = F.round(raw_cos, 9).alias("cosine")
-    neq = F.col("id_a") != F.col("id_b")
 
-    cand = None
-    for b in range(bands):
-        branch = (
-            a.join(b_side, F.col(f"ba{b}") == F.col(f"bb{b}"))
-            .where(neq)
-            .select("id_a", "id_b", cos)
-        )
-        cand = branch if cand is None else cand.union(branch)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    cand = (
+        a.join(b_side, ["band_id", "bkt"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cos)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     out = cand.withColumn("rn", F.row_number().over(w)).where(

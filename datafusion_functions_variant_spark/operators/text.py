@@ -48,6 +48,38 @@ def bucket_weight(col) -> F.Column:
     return (b.cast("long") * F.lit(2654435761)) % 2001 - 1000
 
 
+def max_word_run_frequency(ws) -> F.Column:
+    """Max occurrence count of any single word in a word-array column,
+    as the LONGEST EQUAL RUN of the sorted array — one fold whose
+    lambda touches only (acc, x), O(W log W) in-row. The obvious
+    array_distinct × filter scan is O(W·D) per row AND re-inlines the
+    outer array per distinct word (the HOF re-inlining trap,
+    ARCHITECTURE.md). Shared by curation_funnel_report,
+    pipeline_crawl_to_shards, and their property test — the fold and
+    the DuckDB oracles' list_max formulation must agree, so it lives
+    in exactly one place."""
+    c = F.col(ws) if isinstance(ws, str) else ws
+
+    def _run_step(acc, x):
+        cur = F.when(x.eqNullSafe(acc.prev), acc.cur + 1).otherwise(F.lit(1))
+        return F.struct(
+            cur.alias("cur"),
+            F.greatest(acc.best, cur).alias("best"),
+            x.alias("prev"),
+        )
+
+    return F.aggregate(
+        F.array_sort(c),
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        _run_step,
+        lambda acc: acc.best,
+    )
+
+
 def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features: lengths, word stats, character-
     class ratios, stopword ratio. The classic cheap quality filters

@@ -128,22 +128,7 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = dedup.minhash_signatures_inrow(
         incoming, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id", "lang"]
     )
-    bh = dedup.banded_hashes(probe, num_hashes=8, bands=2)
-    bands_i = probe.select("doc_id", *bh).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("band_id"),
-                    F.col("band_hash0").alias("band_hash"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band_id"),
-                    F.col("band_hash1").alias("band_hash"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_id", "b.band_hash")
+    bands_i = dedup.banded_rows_inrow(probe, "doc_id", num_hashes=8, bands=2)
 
     flagged = (
         bands_i.join(index, ["band_id", "band_hash"], "left_semi")
@@ -245,7 +230,8 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus."""
     emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
     return knn_graph(
-        emb, "vec_id", "embedding", bits_per_band=8, bands=2, exact=True
+        emb, "vec_id", "embedding",
+        bits_per_band=8, bands=2, exact=True, dim=64,
     ).orderBy("vec_id")
 
 
@@ -267,24 +253,32 @@ _FUNNEL_STAGES = [
     "curation_funnel_report",
     oracle="""
     WITH feat AS (
-      SELECT doc_id, n_chars,
+      SELECT doc_id, n_chars, text,
              len(ws) AS n_words,
              len(list_filter(ws, x -> x IN ('a', 'the'))) AS n_stop,
              list_max(list_transform(list_distinct(ws),
-                      w -> len(list_filter(ws, x -> x = w)))) AS max_freq,
-             row_number() OVER (PARTITION BY md5(substr(text, 1, 32))
-                                ORDER BY doc_id) AS rn
+                      w -> len(list_filter(ws, x -> x = w)))) AS max_freq
       FROM (SELECT doc_id, n_chars, text,
                    string_split(text, ' ') AS ws
             FROM documents)
     ),
     flags AS (
-      SELECT doc_id,
-             (n_chars >= 100) AS p1,
-             (50 * n_stop >= n_words) AS p2,
-             (100 * max_freq <= 18 * n_words) AS p3,
-             (rn = 1) AS p4
-      FROM feat
+      -- stage 4 must rank among STAGE-3 SURVIVORS only (stage k's
+      -- input is stage k-1's output): a failed doc holding the first
+      -- occurrence of a prefix must not knock out a surviving doc
+      SELECT doc_id, p1, p2, p3,
+             (p1 AND p2 AND p3
+              AND COALESCE(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1
+                               ELSE 0 END)
+                  OVER (PARTITION BY md5(substr(text, 1, 32))
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) = 0) AS p4
+      FROM (SELECT doc_id, text,
+                   (n_chars >= 100) AS p1,
+                   (50 * n_stop >= n_words) AS p2,
+                   (100 * max_freq <= 18 * n_words) AS p3
+            FROM feat)
     ),
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS total,
@@ -318,31 +312,11 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Thresholds are integer-arithmetic (50·stops ≥ words, 100·maxfreq ≤
     18·words) so no float compare can disagree across engines. At
     100 TB this is one corpus pass + one 4-row report."""
+    from ..operators.text import max_word_run_frequency
+
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
-    # max word frequency = longest equal run in the SORTED word array,
-    # found by a single fold whose lambda touches only (acc, x) — an
-    # array_distinct × filter scan would be O(W·D) per row AND
-    # re-inline the split per distinct word (the HOF re-inlining trap,
-    # ARCHITECTURE.md)
-    def _run_step(acc, x):
-        cur = F.when(x.eqNullSafe(acc.prev), acc.cur + 1).otherwise(F.lit(1))
-        return F.struct(
-            cur.alias("cur"),
-            F.greatest(acc.best, cur).alias("best"),
-            x.alias("prev"),
-        )
-
-    max_freq = F.aggregate(
-        F.array_sort(ws),
-        F.struct(
-            F.lit(0).alias("cur"),
-            F.lit(0).alias("best"),
-            F.lit(None).cast("string").alias("prev"),
-        ),
-        _run_step,
-        lambda acc: acc.best,
-    )
+    max_freq = max_word_run_frequency(ws)
     feat = docs.select(
         "doc_id",
         "n_chars",
@@ -353,14 +327,36 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_freq.alias("max_freq"),
         F.md5(F.substring("text", 1, 32)).alias("pref"),
     )
-    rn = F.row_number().over(
-        Window.partitionBy("pref").orderBy("doc_id")
-    )
-    flags = feat.select(
+    pre = feat.select(
+        "doc_id",
+        "pref",
         (F.col("n_chars") >= 100).alias("p1"),
         (50 * F.col("n_stop") >= F.col("n_words")).alias("p2"),
         (100 * F.col("max_freq") <= 18 * F.col("n_words")).alias("p3"),
-        (rn == 1).alias("p4"),
+    )
+    # stage 4 ranks among STAGE-3 SURVIVORS only (stage k's input is
+    # stage k-1's output — the same survivor-window discipline as the
+    # capstone's exact-dedup stage): a failed doc holding a prefix's
+    # first occurrence must not knock out a surviving doc
+    wq = (
+        Window.partitionBy("pref")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p123 = F.col("p1") & F.col("p2") & F.col("p3")
+    flags = pre.select(
+        "p1",
+        "p2",
+        "p3",
+        (
+            p123
+            & (
+                F.coalesce(
+                    F.sum(p123.cast("long")).over(wq), F.lit(0)
+                )
+                == 0
+            )
+        ).alias("p4"),
     )
 
     def srv(*ps):
@@ -943,28 +939,14 @@ def crawl_to_shards_report(docs: DataFrame) -> DataFrame:
     n_chars) frame — shared by the registry query below and the
     scale probe (scale_probe.py replays it on K×-replicated corpora).
     See ``pipeline_crawl_to_shards`` for the stage semantics."""
-    from ..operators.text import pack_sequences, words
+    from ..operators.text import (
+        max_word_run_frequency,
+        pack_sequences,
+        words,
+    )
 
     ws = F.split("text", " ")
-
-    def _run_step(acc, x):
-        cur = F.when(x.eqNullSafe(acc.prev), acc.cur + 1).otherwise(F.lit(1))
-        return F.struct(
-            cur.alias("cur"),
-            F.greatest(acc.best, cur).alias("best"),
-            x.alias("prev"),
-        )
-
-    max_freq = F.aggregate(
-        F.array_sort(ws),
-        F.struct(
-            F.lit(0).alias("cur"),
-            F.lit(0).alias("best"),
-            F.lit(None).cast("string").alias("prev"),
-        ),
-        _run_step,
-        lambda acc: acc.best,
-    )
+    max_freq = max_word_run_frequency(ws)
     quality = (
         (F.col("n_chars") >= 100)
         & (
@@ -1007,23 +989,12 @@ def crawl_to_shards_report(docs: DataFrame) -> DataFrame:
         survivors, "text", "doc_id", n=8, num_hashes=8,
         keep=["doc_id", "lang", "n_tok"],
     ).localCheckpoint(eager=True)
-    bh = dedup.banded_hashes(sigs, num_hashes=8, bands=2)
-    bands = sigs.select("doc_id", *bh).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_id"),
-                         F.col("band_hash0").alias("bh")),
-                F.struct(F.lit(1).alias("band_id"),
-                         F.col("band_hash1").alias("bh")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_id", "b.bh")
-    bucket_min = bands.groupBy("band_id", "bh").agg(
+    bands = dedup.banded_rows_inrow(sigs, "doc_id", num_hashes=8, bands=2)
+    bucket_min = bands.groupBy("band_id", "band_hash").agg(
         F.min("doc_id").alias("min_doc")
     )
     near_flag = (
-        bands.join(bucket_min, ["band_id", "bh"])
+        bands.join(bucket_min, ["band_id", "band_hash"])
         .where(F.col("doc_id") > F.col("min_doc"))
         .select("doc_id")
         .distinct()
@@ -1321,19 +1292,11 @@ def dedup_incremental_bucketed_index(
     probe = dedup.minhash_signatures_inrow(
         incoming, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id", "lang"]
     )
-    bh = dedup.banded_hashes(probe, num_hashes=8, bands=2)
-    bands_i = probe.select("doc_id", *bh).select(
+    bands_i = dedup.banded_rows_inrow(
+        probe, "doc_id", num_hashes=8, bands=2
+    ).select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat(F.lit(b), F.col(f"band_hash{b}"))
-                    )
-                    for b in range(2)
-                ]
-            )
-        ).alias("bh2"),
+        F.md5(F.concat("band_id", "band_hash")).alias("bh2"),
     )
     flagged = (
         bands_i.hint("merge")
@@ -1363,7 +1326,10 @@ def dedup_incremental_bucketed_index(
 # ---------------------------------------------------------------------------
 
 _NEAR_CHUNK_WORDS = 20
-_NEAR_KEY_SHIFT = 4096  # key = doc_id * SHIFT + pos (pos << SHIFT always)
+#: key = doc_id * SHIFT + pos. 2^20 chunk slots = 20M-word docs before
+#: collision; the builder additionally ASSERTS pos < SHIFT at runtime
+#: (a silent collision would attribute flags to the wrong document)
+_NEAR_KEY_SHIFT = 1 << 20
 
 
 def _chunk_near_oracle() -> str:
@@ -1457,30 +1423,26 @@ def dedup_chunk_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(chunks).alias("pos", "chunk")
     ).withColumn(
         "key",
-        F.col("doc_id") * _NEAR_KEY_SHIFT + F.col("pos"),
+        F.col("doc_id") * _NEAR_KEY_SHIFT
+        + F.assert_true(
+            F.col("pos") < _NEAR_KEY_SHIFT,
+            F.lit("doc exceeds chunk-key capacity; raise _NEAR_KEY_SHIFT"),
+        ).isNull()
+        .cast("int")
+        * 0
+        + F.col("pos"),
     )
     signable = ch.where(F.length("chunk") >= 8)
     sigs = dedup.minhash_signatures_inrow(
         signable.select("key", "chunk"), "chunk", "key",
         n=8, num_hashes=8, keep=["key"],
     )
-    bh = dedup.banded_hashes(sigs, num_hashes=8, bands=2)
-    bands = sigs.select("key", *bh).select(
-        "key",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_id"),
-                         F.col("band_hash0").alias("bh")),
-                F.struct(F.lit(1).alias("band_id"),
-                         F.col("band_hash1").alias("bh")),
-            )
-        ).alias("b"),
-    ).select("key", "b.band_id", "b.bh")
-    bucket_min = bands.groupBy("band_id", "bh").agg(
+    bands = dedup.banded_rows_inrow(sigs, "key", num_hashes=8, bands=2)
+    bucket_min = bands.groupBy("band_id", "band_hash").agg(
         F.min("key").alias("min_key")
     )
     flagged = (
-        bands.join(bucket_min, ["band_id", "bh"])
+        bands.join(bucket_min, ["band_id", "band_hash"])
         .where(F.col("key") > F.col("min_key"))
         .select("key")
         .distinct()
@@ -1680,27 +1642,35 @@ def classifier_boost_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     best1 = weighted_search(feat1, cls1).localCheckpoint(eager=True)
 
     c_at_b1 = (
-        feat.crossJoin(F.broadcast(best1.select(
-            F.col("b").alias("b1"), F.col("t").alias("t1"))))
-        .groupBy("doc_id", "y", "t1")
+        feat.crossJoin(F.broadcast(best1.select(F.col("b").alias("b1"))))
+        .groupBy("doc_id")
         .agg(
             F.sum(
                 F.when(F.col("b") == F.col("b1"), F.col("c")).otherwise(0)
             ).alias("c1")
         )
     )
-    weights = c_at_b1.select(
-        "doc_id",
-        "y",
-        F.when(
-            (
-                F.when(F.col("c1") >= F.col("t1"), 1).otherwise(-1)
+    # weights must cover EVERY labeled doc (the oracle's preds CTE
+    # does): a zero-word doc has no feat rows, scores 0 via c1=0, and
+    # still reweights — deriving weights from feat alone would drop it
+    weights = (
+        labeled.crossJoin(F.broadcast(best1.select(F.col("t").alias("t1"))))
+        .join(c_at_b1, "doc_id", "left")
+        .select(
+            "doc_id",
+            "y",
+            F.when(
+                (
+                    F.when(
+                        F.coalesce(F.col("c1"), F.lit(0)) >= F.col("t1"), 1
+                    ).otherwise(-1)
+                )
+                != F.col("y"),
+                3,
             )
-            != F.col("y"),
-            3,
+            .otherwise(1)
+            .alias("wt"),
         )
-        .otherwise(1)
-        .alias("wt"),
     )
     feat2 = feat.join(weights.select("doc_id", "wt"), "doc_id")
     cls2 = weights.agg(
@@ -1761,9 +1731,11 @@ def source_parquet_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern builds the file manifest a table format would persist.
     Timestamp stats format as '%Y-%m-%d %H:%M:%S' strings, which sort
     lexicographically = chronologically, so string MIN/MAX aggregate
-    correctly across row groups and files."""
-    import os as _os3
-
+    correctly across row groups and files. A row group with ABSENT
+    statistics (the defect this audit exists to catch) emits the
+    sentinel 'MISSING-STATS' — lexicographically above any date, so it
+    surfaces in the aggregated stat_max as a visible value mismatch
+    against the data-side oracle rather than an executor crash."""
     bin_df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "lineitem.parquet")
@@ -1791,13 +1763,24 @@ def source_parquet_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                             continue
                         st = col.statistics
                         out["n_rows"].append(rg.num_rows)
-                        out["n_values"].append(st.num_values)
-                        out["stat_min"].append(
-                            st.min.strftime("%Y-%m-%d %H:%M:%S")
+                        # st.num_values = non-null count (matches the
+                        # oracle's COUNT(col)); fall back to the chunk
+                        # total only when stats are absent entirely
+                        out["n_values"].append(
+                            st.num_values
+                            if st is not None
+                            else col.num_values
                         )
-                        out["stat_max"].append(
-                            st.max.strftime("%Y-%m-%d %H:%M:%S")
-                        )
+                        if st is not None and st.has_min_max:
+                            out["stat_min"].append(
+                                st.min.strftime("%Y-%m-%d %H:%M:%S")
+                            )
+                            out["stat_max"].append(
+                                st.max.strftime("%Y-%m-%d %H:%M:%S")
+                            )
+                        else:
+                            out["stat_min"].append("MISSING-STATS")
+                            out["stat_max"].append("MISSING-STATS")
             yield pd.DataFrame(out)
 
     per_rg = bin_df.mapInPandas(

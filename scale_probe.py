@@ -176,18 +176,9 @@ def main() -> None:
             batch.select("doc_id", "text"), "text", "doc_id",
             hash_fn="xxhash64", keep=["doc_id"],
         )
-        bh = dedup.banded_hashes(probe, num_hashes=8, bands=2)
-        bands_i = probe.select("doc_id", *bh).select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("band_id"),
-                             F.col("band_hash0").alias("band_hash")),
-                    F.struct(F.lit(1).alias("band_id"),
-                             F.col("band_hash1").alias("band_hash")),
-                )
-            ).alias("b"),
-        ).select("doc_id", "b.band_id", "b.band_hash")
+        bands_i = dedup.banded_rows_inrow(
+            probe, "doc_id", num_hashes=8, bands=2
+        )
         hits = bands_i.join(index, ["band_id", "band_hash"], "left_semi")
         return hits.agg(F.count(F.lit(1)), F.count_distinct("doc_id"))
 

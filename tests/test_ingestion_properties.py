@@ -101,18 +101,7 @@ def test_incremental_probe_flags_every_exact_duplicate(spark):
     probe = dedup.minhash_signatures_inrow(
         incoming, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id"]
     )
-    bh = dedup.banded_hashes(probe, num_hashes=8, bands=2)
-    bands_i = probe.select("doc_id", *bh).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_id"),
-                         F.col("band_hash0").alias("band_hash")),
-                F.struct(F.lit(1).alias("band_id"),
-                         F.col("band_hash1").alias("band_hash")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_id", "b.band_hash")
+    bands_i = dedup.banded_rows_inrow(probe, "doc_id", num_hashes=8, bands=2)
     flagged = {
         r.doc_id
         for r in bands_i.join(
@@ -211,29 +200,15 @@ def test_sorted_run_max_frequency_matches_naive_counts(spark):
         " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40)))
         for _ in range(50)
     ] + ["x x x x x", "x yy zzz w"]
+    from datafusion_functions_variant_spark.operators.text import (
+        max_word_run_frequency,
+    )
+
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
     ws = F.split("text", " ")
-
-    def _run_step(acc, x):
-        cur = F.when(x.eqNullSafe(acc.prev), acc.cur + 1).otherwise(F.lit(1))
-        return F.struct(
-            cur.alias("cur"),
-            F.greatest(acc.best, cur).alias("best"),
-            x.alias("prev"),
-        )
-
-    max_freq = F.aggregate(
-        F.array_sort(ws),
-        F.struct(
-            F.lit(0).alias("cur"),
-            F.lit(0).alias("best"),
-            F.lit(None).cast("string").alias("prev"),
-        ),
-        _run_step,
-        lambda acc: acc.best,
-    )
+    max_freq = max_word_run_frequency(ws)
     got = {r.doc_id: r.mf for r in df.select("doc_id", max_freq.alias("mf")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == max(Counter(t.split(" ")).values()), t
@@ -323,22 +298,13 @@ def test_chunk_near_flags_repeated_chunks_across_docs(spark):
         ch.where(F.length("chunk") >= 8).select("key", "chunk"),
         "chunk", "key", n=8, num_hashes=8, keep=["key"],
     )
-    bh = dedup.banded_hashes(sigs, num_hashes=8, bands=2)
-    bands = sigs.select("key", *bh).select(
-        "key",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("band_id"),
-                     F.col("band_hash0").alias("bh")),
-            F.struct(F.lit(1).alias("band_id"),
-                     F.col("band_hash1").alias("bh")),
-        )).alias("b"),
-    ).select("key", "b.band_id", "b.bh")
-    bucket_min = bands.groupBy("band_id", "bh").agg(
+    bands = dedup.banded_rows_inrow(sigs, "key", num_hashes=8, bands=2)
+    bucket_min = bands.groupBy("band_id", "band_hash").agg(
         F.min("key").alias("min_key")
     )
     flagged = {
         r.key
-        for r in bands.join(bucket_min, ["band_id", "bh"])
+        for r in bands.join(bucket_min, ["band_id", "band_hash"])
         .where(F.col("key") > F.col("min_key"))
         .select("key").distinct().collect()
     }
