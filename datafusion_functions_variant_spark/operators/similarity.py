@@ -654,6 +654,8 @@ def knn_graph(
     # join side, re-executing the decimal norm pass 2*bands times —
     # the multi-branch re-execution trap (ARCHITECTURE.md). Here the
     # norm is evaluated once per side; explode only duplicates rows.
+    # Measured (similarity_knn_graph, sf0.1, 5-run median): 0.85 s vs
+    # 1.03-1.06 s for the branch-per-band form.
     band_structs = F.array(
         *[
             F.struct(
