@@ -74,9 +74,14 @@ def brute_force_topk(
             .select("query_id", "vec_id", "dot", "rank")
         )
     # exact path: cheap double prefilter keeps a wide candidate margin,
-    # the (BigDecimal-heavy) exact dot re-scores only those. Double fp
-    # error (~1e-12 relative) can't reorder across a 5k-wide margin,
-    # so the final top-k is identical to all-exact scoring.
+    # the (BigDecimal-heavy) exact dot re-scores only those. The margin
+    # is RANK-based (top max(16k, 64) per query), so it scales with the
+    # values themselves: double fp error (~1e-12 RELATIVE to the dot
+    # magnitude) would have to reorder a true top-k member past ≥61
+    # closer candidates to escape the margin — impossible unless ≥61
+    # distinct dots sit within ~1e-12 relative of each other, in which
+    # case the decimal-exact rescore of the shared margin still breaks
+    # the tie deterministically.
     margin = max(k * 16, 64)
     fast = c.crossJoin(F.broadcast(q)).select(
         "query_id", "vec_id", "_qvec", "_cvec",
@@ -259,12 +264,12 @@ def kmeans_centroids(
     partitions x n_centroids x dim rows, not the corpus. The centroid
     matrix (n_centroids x dim doubles) is the only driver-side state:
     that's the index, not the data."""
-    cents = [
+    cents = sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in corpus.where(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
         .collect()
-    ]
+    )  # sort by id: collect order depends on partition layout
     cents = [(i, v) for i, (_, v) in enumerate(cents)]
     for _ in range(n_iter):
         assigned = assign_nearest_centroid(
@@ -405,9 +410,11 @@ def radius_search(
     dot) for every corpus vector with inner product ≥ threshold.
 
     Same 100 TB shape as brute_force_topk: queries broadcast, corpus
-    never shuffles, and a cheap double prefilter (threshold − 1e-6
-    margin) gates the DECIMAL-exact rescore so the heavy arithmetic
-    touches only near-threshold candidates. The emitted dot and the
+    never shuffles, and a cheap double prefilter (threshold − a
+    RELATIVE 1e-6 margin, scaled by the candidate dot's magnitude so
+    large-magnitude embeddings can't outgrow an absolute epsilon)
+    gates the DECIMAL-exact rescore so the heavy arithmetic touches
+    only near-threshold candidates. The emitted dot and the
     membership test both use the exact decimal rounded to 9 places,
     so any engine reproduces the same set.
     """
@@ -416,7 +423,11 @@ def radius_search(
     cand = (
         c.crossJoin(F.broadcast(q))
         .withColumn("_fast", _dot_double("_qvec", "_cvec"))
-        .where(F.col("_fast") >= threshold - 1e-6)
+        .where(
+            F.col("_fast")
+            >= threshold
+            - 1e-6 * F.greatest(F.lit(1.0), F.abs(F.col("_fast")))
+        )
     )
     rescored = cand.select(
         "query_id", "vec_id", F.round(_dot_decimal("_qvec", "_cvec"), 9).alias("dot")
@@ -553,13 +564,16 @@ def pq_topk(
         F.lit(0.0),
     )
     scored = encoded.crossJoin(F.broadcast(q)).select(
-        "query_id", "vec_id", score.alias("adc_dot")
+        "query_id", "vec_id", score.alias("_adc")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), "vec_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("_adc"), "vec_id")
     ranked = scored.withColumn("rank", F.row_number().over(w))
+    # both exits emit the SAME schema (query_id, vec_id, score, rank):
+    # the score column's name must not depend on the shortlist tuning
+    # parameter (callers select it by name).
     if shortlist <= k:
         return ranked.where(F.col("rank") <= k).select(
-            "query_id", "vec_id", "adc_dot", "rank"
+            "query_id", "vec_id", F.col("_adc").alias("score"), "rank"
         )
     # exact re-rank of the ADC shortlist: the candidate list is
     # queries x shortlist rows — broadcast it onto the corpus and
@@ -574,13 +588,13 @@ def pq_topk(
     rescored = (
         cvec.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "vec_id", _dot_double("_qvec", "_cvec").alias("dot"))
+        .select("query_id", "vec_id", _dot_double("_qvec", "_cvec").alias("score"))
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("dot"), "vec_id")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
     return (
         rescored.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "dot", "rank")
+        .select("query_id", "vec_id", "score", "rank")
     )
 
 

@@ -134,7 +134,12 @@ _DRIVER_PRIORITY = [
 #: changes in shared dependencies — operators/, sources/ — that the
 #: per-query spec hash cannot see).
 _WINDOW = 50
-_REVERIFY_SAMPLE = 3
+#: Raised 3→8 in round 6 (full 222-query sweep completes with the
+#: round-6 window): with every query driver-verified at least once, the
+#: rotation's job shifts to re-hashing queries whose shared operators
+#: changed under an unchanged spec hash — 8/round re-covers any given
+#: operator family within ~2 rounds instead of ~5.
+_REVERIFY_SAMPLE = 8
 _SPEC_LEDGER = "QUERY_SPECS.json"
 
 

@@ -1404,7 +1404,8 @@ def dedup_chunk_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram-hash array — chunk texts are small, the zero-shuffle path's
     sweet spot), then the SAME bucket-min discipline as the capstone:
     one groupBy on (band, hash) + one join back — earlier-chunk
-    precedence is a single integer compare (key = doc_id·4096 + pos),
+    precedence is a single integer compare (key = doc_id·(1<<20) + pos,
+    the runtime-asserted ``_NEAR_KEY_SHIFT`` capacity),
     candidate pairs never materialized. Two chunk-keyed shuffles
     total at any corpus size."""
     docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
