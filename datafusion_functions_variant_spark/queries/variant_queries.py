@@ -305,6 +305,86 @@ def variant_shredded_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_shredded_wildcard",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_type,
+             value,
+             CAST(props->>'$.k' AS BIGINT) % 5 + 1 AS qty1
+      FROM events
+    )
+    SELECT event_type AS first_sku, COUNT(*) AS n,
+           {dsum_sql("value * qty1 + value * 2 * 2", "sum_revenue")}
+    FROM src
+    WHERE qty1 >= 2
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def variant_shredded_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard array-of-object shredding (``$.items[*].price``): one
+    field extracted from EVERY element of a variant array into a typed
+    ``array<double>`` column at WRITE time — the composition the
+    reference reads per element (ArrayRef read.rs:216-280 walking
+    ObjectRef read.rs:99-211) becomes a single ``transform`` over
+    ``array<variant>`` inside codegen, no per-row Python anywhere
+    (plan-pinned in tests/test_plans.py). ``$.items[*].qty`` shreds
+    alongside; per-row revenue folds the two typed arrays JVM-side
+    (``zip_with`` + ``aggregate``) without touching the variant at
+    query time. ``$.items[0].sku`` was NOT shredded and is served from
+    the residual via the shredded_col wildcard-aware fallback.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    qty1 = (
+        F.variant_get(F.parse_json("props"), "$.k", "bigint") % 5 + 1
+    )
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.col("event_type").alias("sku"),
+                    F.col("value").alias("price"),
+                    qty1.alias("qty"),
+                ),
+                F.struct(
+                    F.lit("restock").alias("sku"),
+                    (F.col("value") * 2).alias("price"),
+                    F.lit(2).cast("bigint").alias("qty"),
+                ),
+            ).alias("items"),
+        )
+    )
+    src = ev.select("event_id", payload.alias("payload"))
+    out_dir = os.path.join(_IO_DIR, "events_shredded_wildcard")
+    shredded.write_shredded(
+        src,
+        "payload",
+        {
+            "prices": ("$.items[*].price", "array<double>"),
+            "qtys": ("$.items[*].qty", "array<bigint>"),
+        },
+        out_dir,
+    )
+    df, spec = shredded.read_shredded(spark, out_dir)
+    revenue = F.aggregate(
+        F.zip_with("prices", "qtys", lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.where(F.element_at("qtys", 1) >= 2)
+        .select(
+            shredded.shredded_col(spec, "$.items[0].sku", "string").alias(
+                "first_sku"
+            ),
+            revenue.alias("row_revenue"),
+        )
+        .groupBy("first_sku")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("row_revenue", "sum_revenue"))
+        .orderBy("first_sku")
+    )
+
+
+@query(
     "variant_array_paths",
     oracle="""
     WITH src AS (

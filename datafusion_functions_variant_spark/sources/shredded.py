@@ -30,6 +30,14 @@ removal only applies to top-level keys — removing a leaf from a nested
 object server-side would force a recursive rebuild per row; the spec
 handles this with nested shredding groups, which map naturally onto
 re-running write_shredded on an exploded child column if ever needed.
+
+Wildcard paths (``$.items[*].price``) shred one field out of EVERY
+element of an array-of-objects into a typed ``array<T>`` column (a
+``transform`` over ``array<variant>`` at write time — the composition
+the reference's reader walks per element, ArrayRef read.rs:216-280
+over ObjectRef read.rs:99-211, done once at ingest). The parent array
+stays in the residual (partial element shredding), so non-shredded
+element fields remain reachable through the shredded_col fallback.
 """
 
 from __future__ import annotations
@@ -46,6 +54,39 @@ SPEC_FILE = "_shred_spec.json"
 
 #: Residual column name (JSON text of non-shredded top-level fields).
 RESIDUAL_COL = "_residual"
+
+
+def _wildcard_parts(path: str) -> tuple[str, str] | None:
+    """``$.items[*].price`` → (``$.items``, ``$.price``): the array
+    prefix and the per-element path. ``$.items[*]`` → (``$.items``,
+    ``$``) (elements themselves). None for non-wildcard paths. One
+    ``[*]`` step is supported — the reference's read path composes
+    ArrayRef over ObjectRef one level at a time too
+    (read.rs:216-280 over read.rs:99-211)."""
+    if "[*]" not in path:
+        return None
+    prefix, _, suffix = path.partition("[*]")
+    if "[*]" in suffix:
+        raise ValueError(f"only one [*] step supported: {path}")
+    return prefix, ("$" + suffix) if suffix else "$"
+
+
+def _shred_expr(v: Column, path: str, dtype: str) -> Column:
+    """The write-time extraction for one shred-spec entry. Plain paths
+    are a single ``try_variant_get``; wildcard paths extract one field
+    from EVERY element of an array-of-objects into a typed array
+    column (``$.items[*].price`` + ``array<double>`` → per-row
+    ``array<double>`` of all the prices) via ``transform`` over
+    ``array<variant>`` — all JVM expressions, no per-row Python."""
+    wc = _wildcard_parts(path)
+    if wc is None:
+        return F.try_variant_get(v, path, dtype)
+    if not (dtype.startswith("array<") and dtype.endswith(">")):
+        raise ValueError(f"wildcard path {path} needs an array<...> dtype, got {dtype}")
+    elem_type = dtype[len("array<") : -1]
+    prefix, elem_path = wc
+    arr = F.try_variant_get(v, prefix, "array<variant>")
+    return F.transform(arr, lambda e: F.try_variant_get(e, elem_path, elem_type))
 
 
 def _top_level_key(path: str) -> str | None:
@@ -79,7 +120,7 @@ def write_shredded(
     v = F.try_parse_json(src) if is_string else src
 
     typed = [
-        F.try_variant_get(v, path, dtype).alias(name)
+        _shred_expr(v, path, dtype).alias(name)
         for name, (path, dtype) in spec.items()
     ]
 
@@ -126,4 +167,4 @@ def shredded_col(spec: Mapping[str, tuple[str, str]], path: str, dtype: str) -> 
         if spath == path:
             c = F.col(name)
             return c if sdtype == dtype else c.cast(dtype)
-    return F.try_variant_get(F.try_parse_json(F.col(RESIDUAL_COL)), path, dtype)
+    return _shred_expr(F.try_parse_json(F.col(RESIDUAL_COL)), path, dtype)

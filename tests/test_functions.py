@@ -300,6 +300,55 @@ def test_shredded_write_read_residual(spark, tmp_path):
     assert got[3].k_str is None and got[3].tag == "b"
 
 
+def test_shredded_wildcard_paths(spark, tmp_path):
+    """Wildcard shredding ($.items[*].price): every element's field
+    lands in a typed array column; missing array -> NULL, empty array
+    -> empty; shredded_col resolves wildcard paths from the residual
+    too; malformed specs raise."""
+    import pytest as _pytest
+
+    from datafusion_functions_variant_spark.sources import shredded
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"items":[{"sku":"a","price":1.5},{"sku":"b","price":3.0}]}'),
+            (2, '{"items":[]}'),
+            (3, '{"other": 1}'),
+        ],
+        ["id", "payload"],
+    )
+    out = str(tmp_path / "wc")
+    shredded.write_shredded(
+        df, "payload", {"prices": ("$.items[*].price", "array<double>")}, out
+    )
+    back, spec = shredded.read_shredded(spark, out)
+    rows = {r.id: r for r in back.collect()}
+    assert list(rows[1].prices) == [1.5, 3.0]
+    assert list(rows[2].prices) == []
+    assert rows[3].prices is None
+
+    got = {
+        r.id: r
+        for r in back.select(
+            "id",
+            shredded.shredded_col(spec, "$.items[*].price", "array<double>").alias(
+                "typed"
+            ),
+            shredded.shredded_col(spec, "$.items[*].sku", "array<string>").alias(
+                "fallback"
+            ),
+        ).collect()
+    }
+    assert list(got[1].typed) == [1.5, 3.0]  # served from typed column
+    assert list(got[1].fallback) == ["a", "b"]  # served from residual
+    assert got[3].fallback is None
+
+    with _pytest.raises(ValueError, match="array<"):
+        shredded._shred_expr(None, "$.items[*].price", "double")
+    with _pytest.raises(ValueError, match="one"):
+        shredded._wildcard_parts("$.a[*].b[*].c")
+
+
 def test_chunk_text_edges(spark):
     """Empty doc -> one empty chunk; doc shorter than size -> one
     chunk; overlap stitches: chunk i+1 starts (size-overlap) after

@@ -309,6 +309,22 @@ def test_shredded_array_pushes_indexed_path_filter(spark):
     assert "In(tag0" in pushed
 
 
+def test_shredded_wildcard_no_python_and_pruned_scan(spark):
+    # $.items[*].price shredding: the read-back query must run with
+    # ZERO Python evaluation (the per-element extraction happened at
+    # write time; the fold is zip_with/aggregate inside codegen) and
+    # the scan must prune to exactly the columns it needs — the
+    # residual is read only for the $.items[0].sku fallback
+    plan = formatted(spark, "variant_shredded_wildcard")
+    read_back = plan.split("Scan parquet")[-1]
+    assert "BatchEvalPython" not in read_back
+    assert "ArrowEvalPython" not in read_back
+    assert "FlatMapsInPandas" not in read_back
+    schema = read_back.split("ReadSchema")[-1][:300]
+    assert "prices" in schema and "qtys" in schema
+    assert "event_id" not in schema  # unused passthrough pruned away
+
+
 def test_orc_roundtrip_pushes_predicate(spark):
     # the l_quantity predicate must reach the ORC scan (stripe min/max
     # pruning) just as it would a parquet scan
