@@ -66,7 +66,103 @@ HEADLINE = [
     # round 5 (second wave): continuous-ingest family
     "dedup_incremental_index",
     "similarity_knn_graph",
+    # round 6: the production shape of the incremental index — index
+    # persisted bucketBy(8) so only the batch side shuffles. Timed
+    # end-to-end here (build+probe, comparable with the unbucketed
+    # twin) AND probe-only as dedup_incremental_bucketed_probe (the
+    # steady-state per-batch cost, measured after one untimed build).
+    "dedup_incremental_bucketed_index",
+    # round 6: duplicate-proof 1-NN graph (exact canonicalize first) —
+    # at the 10x all-duplicates scaled point this collapses the graph
+    # back to 1x size before the bucket join
+    "similarity_knn_graph_canonical",
 ]
+
+
+# --- scaled bench point -----------------------------------------------------
+#
+# At sf0.1 every headline query is sub-second and harness-noise
+# dominated (BASELINE.md documents ±30% swings on byte-identical
+# code). The scaled point replays the same queries at ~sf1: the sf0.1
+# tables replicated SCALE_K× on disk with re-keyed ids (consistent
+# offsets per key domain, so each replica joins within itself —
+# region/nation stay fixed, like TPC-H scaling). documents/embeddings
+# replicate as exact copies, which makes the dedup queries
+# deliberately ADVERSARIAL (every doc has SCALE_K-1 duplicates — the
+# regime where an uncapped LSH bucket join would go quadratic).
+
+#: key-domain offset per replica; each is a power of two comfortably
+#: above the sf0.1 max key (orderkey max 149,999 < 2^18, etc.)
+_KEY_SHIFTS = {
+    "order": 1 << 18,
+    "cust": 1 << 14,
+    "part": 1 << 15,
+    "supp": 1 << 10,
+    "event": 1 << 17,
+    "user": 1 << 11,
+    "doc": 1 << 13,
+    "vec": 1 << 11,
+}
+
+#: table → {key column → key domain}; keys in the same domain shift by
+#: the same offset so fk relationships hold within each replica.
+#: nationkey/regionkey columns are NOT shifted (dims stay fixed).
+_SCALED_KEYS = {
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part", "l_suppkey": "supp"},
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+
+
+def ensure_scaled_dir(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    """Write the K×-replicated copy of ``sf_dir`` under ``out_dir``
+    (cached: a meta sidecar records (src, k) and the write is skipped
+    when it matches). One Spark write per table; the union of K offset
+    projections also multiplies the split count by K, so the scaled
+    read gets proportionally more tasks — the cluster scenario."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from datafusion_functions_variant_spark.sources.tables import (
+        TABLE_NAMES,
+        load_table,
+    )
+
+    meta_path = os.path.join(out_dir, "_scale_meta.json")
+    want = {"src": os.path.abspath(sf_dir), "k": k, "v": 1}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if _json.load(fh) == want:
+                return
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLE_NAMES:
+        base = load_table(spark, sf_dir, name)
+        shifts = _SCALED_KEYS.get(name)
+        if shifts is None:  # region / nation: fixed dimensions
+            out = base
+        else:
+            copies = []
+            for r in range(k):
+                c = base
+                for col, domain in shifts.items():
+                    c = c.withColumn(
+                        col, F.col(col) + F.lit(r * _KEY_SHIFTS[domain])
+                    )
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    with open(meta_path, "w") as fh:
+        _json.dump(want, fh)
 
 
 def main() -> None:
@@ -95,37 +191,81 @@ def main() -> None:
             F.sum(F.crc32(F.to_json(F.struct(*df.columns)).cast("binary")))
         ).collect()
 
-    runs = int(os.environ.get("BENCH_RUNS", "5"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = registry.get(name)
-        if spec is None:
-            continue
+    from datafusion_functions_variant_spark.queries.ingestion import (
+        bucketed_index_build,
+        bucketed_index_probe,
+    )
+
+    def run_set(dir_: str, runs: int) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            spec = registry.get(name)
+            if spec is None:
+                continue
+            samples = []
+            # one untimed warm-up: JIT + page cache + shuffle-file
+            # reuse otherwise land in the first timed sample and skew
+            # a short median upward by ~2x on the UDF-heavy queries
+            for i in range(runs + 1):
+                # timer starts BEFORE build(): builders that do eager
+                # work (persist an index table, collect model/bucket
+                # state) must pay for it in their end-to-end number —
+                # with t0 after build(), dedup_incremental_bucketed_
+                # index's saveAsTable write escaped the clock entirely
+                t0 = time.perf_counter()
+                df = spec.build(spark, dir_)
+                consume(df)
+                if i:
+                    samples.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # steady-state probe of the persisted bucketed index: one
+        # untimed build, then the probe alone per run — the recurring
+        # per-batch cost a continuous pipeline pays (the end-to-end
+        # twin above re-pays the index build every run)
+        bucketed_index_build(spark, dir_)
         samples = []
-        # one untimed warm-up: JIT + page cache + shuffle-file reuse
-        # otherwise land in the first timed sample and skew a 3-run
-        # median upward by ~2x on the UDF-heavy queries
         for i in range(runs + 1):
-            df = spec.build(spark, sf_dir)
             t0 = time.perf_counter()
+            df = bucketed_index_probe(spark, dir_)
             consume(df)
             if i:
                 samples.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        timings["dedup_incremental_bucketed_probe"] = round(
+            sorted(samples)[len(samples) // 2], 3
+        )
+        return timings
 
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
+    timings = run_set(sf_dir, runs)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # scaled point (~sf1): same queries over the K×-replicated copy.
+    # 3 runs by default — at 10× the data the queries are no longer
+    # overhead-dominated, so the median stabilizes with fewer samples.
+    scale_k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "10"))
+    if scale_k > 1:
+        scaled_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".tmp_bench",
+            f"scaled{scale_k}x",
         )
-    )
+        ensure_scaled_dir(spark, sf_dir, scale_k, scaled_dir)
+        scaled_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
+        scaled = run_set(scaled_dir, scaled_runs)
+        out["scaled_queries"] = scaled
+        out["scaled_total"] = round(sum(scaled.values()), 3)
+        out["scale_k"] = scale_k
+
+    print(json.dumps(out))
     spark.stop()
 
 

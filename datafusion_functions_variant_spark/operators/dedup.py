@@ -27,6 +27,15 @@ Scale design (100 TB of documents):
   distance. The brute pair scan here is for the oracle-checkable
   small path; at scale you'd block on signature prefixes (same LSH
   pattern as above).
+* **Persisted bucketed band index** (continuous ingest): the corpus'
+  (band, hash) index written ``bucketBy(8)`` once means each batch
+  probe shuffles only the BATCH side. Measured (bench.py r6, 5-run
+  medians): probe-only 0.791 s vs 1.378 s for the unbucketed
+  end-to-end at sf0.1 (0.57×), and 1.250 s vs 2.864 s at the 10×
+  scaled point (0.44×) — the gap is the index build+shuffle the
+  steady state never re-pays, and it widens with corpus size
+  because the probe cost tracks the BATCH, not the corpus. See
+  ``queries/ingestion.py::bucketed_index_build/_probe``.
 """
 
 from __future__ import annotations

@@ -295,7 +295,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import ingestion  # noqa: F401
 
     verified = _driver_verified_names()
-    verified -= _reverify_sample(verified)
+    resample = _reverify_sample(verified)
 
     def rank(name: str) -> int:
         for i, pat in enumerate(_DRIVER_PRIORITY):
@@ -303,7 +303,15 @@ def load_all_queries() -> dict[str, QuerySpec]:
                 return i
         return len(_DRIVER_PRIORITY)
 
-    ordered = sorted(REGISTRY, key=lambda n: (n in verified, rank(n)))
+    def tier(name: str) -> int:
+        """0 = never-verified / stale (MUST front the window — a
+        re-verify sample may never displace one), 1 = rotating
+        re-verify sample, 2 = verified rest."""
+        if name not in verified:
+            return 0
+        return 1 if name in resample else 2
+
+    ordered = sorted(REGISTRY, key=lambda n: (tier(n), rank(n)))
     # stable sort: ties keep their module insertion order
     reordered = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()

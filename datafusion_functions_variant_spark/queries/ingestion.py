@@ -226,12 +226,29 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bits_per_band`` is the dial that keeps bucket depth (n / 2^bits)
     constant as the corpus grows; see ``operators/similarity.py::
     knn_graph`` and the SCALE.md probe case for the measured fixed-
-    vs-scaled-bits curves. 8 bits here is sized for the sf-scale
-    corpus."""
+    vs-scaled-bits curves.
+
+    The dial is AUTO-SIZED from the corpus count: bits = clamp(
+    ceil(log2(n / 8)), 8, 32) targets ~8 vectors per bucket. The
+    floor of 8 makes the formula yield exactly 8 at every correctness
+    scale (n = 500 at sf0.001/sf0.01, n = 2000 at sf0.1), so the
+    DuckDB oracle's fixed 8-bit twin stays bit-identical there; past
+    that the bits grow with log2(n) — at bench.py's 10× scaled point
+    (n = 20000 → 12 bits; every vector has 9 EXACT duplicates by
+    construction, which collide at any bits) the fixed-8-bit form
+    measured 6.0 s vs 2.3 s auto-sized (vs 0.72 s at 1× — near-linear
+    once organic bucket depth is held at ~8; the residual slope is
+    the duplicate clusters, which only an exact pre-dedup removes).
+    The count() that sizes the dial is a column-pruned parquet scan —
+    metadata-cheap, and included in the bench timing."""
+    import math
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    bits = min(32, max(8, math.ceil(math.log2(max(n, 2) / 8))))
     emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
     return knn_graph(
         emb, "vec_id", "embedding",
-        bits_per_band=8, bands=2, exact=True, dim=64,
+        bits_per_band=bits, bands=2, exact=True, dim=64,
     ).orderBy("vec_id")
 
 
@@ -1218,9 +1235,7 @@ def classifier_stump_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_incremental_bucketed_index",
-    oracle=f"""
+_BUCKETED_IDX_ORACLE = f"""
     WITH {_minhash_bands_cte("c", "doc_id % 5 <> 0")},
     {_minhash_bands_cte("i", "doc_id % 5 = 0")},
     idx AS (SELECT DISTINCT md5(band_id || band_hash) AS bh2 FROM bands_c),
@@ -1239,36 +1254,25 @@ def classifier_stump_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inc LEFT JOIN flagged f ON inc.doc_id = f.doc_id
     GROUP BY lang
     ORDER BY lang
-    """,
-)
-def dedup_incremental_bucketed_index(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """``dedup_incremental_index`` with the index PERSISTED AS A
-    BUCKETED TABLE — the storage layout that makes per-batch probing
-    cheapest: the corpus' band index is written ``bucketBy(8, bh2)``
-    + ``sortBy`` once, so every subsequent batch's semi-join reads
-    index buckets IN PLACE and only the (small) batch side shuffles.
-    The (band_id, band_hash) pair is folded into one md5 key ``bh2``
-    so the join key equals the bucketing key exactly (a two-column
-    join would demand partitioning on both and re-shuffle the index).
+    """
 
-    Plan pin: the index scan is a bucketed read (SelectedBucketsCount)
-    and the only hash Exchange on the semi-join feeds the PROBE side.
-    At 100 TB the index is the big side (corpus × bands rows) — this
-    layout converts the recurring per-batch cost from 'shuffle the
-    index' to 'shuffle the batch'. Result identical to the
-    unbucketed twin (same oracle counts)."""
+
+def bucketed_index_build(spark: SparkSession, sf_dir: str) -> None:
+    """The ONE-TIME half of ``dedup_incremental_bucketed_index``:
+    derive the corpus' (band_id, band_hash) LSH index, fold the pair
+    into one md5 key ``bh2`` (so the join key equals the bucketing key
+    exactly — a two-column join would demand partitioning on both and
+    re-shuffle the index), and persist it ``bucketBy(8, bh2)`` +
+    ``sortBy``. Every subsequent batch probe then reads index buckets
+    IN PLACE. Exposed separately so bench.py can time the recurring
+    probe without re-paying the build (the steady-state cost a
+    continuous pipeline actually sees)."""
     import os as _os2
 
     from .catalog import _IO_DIR
 
     docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     corpus = docs.where(F.col("doc_id") % 5 != 0)
-    incoming = docs.where(F.col("doc_id") % 5 == 0).select(
-        "doc_id", "lang", "text"
-    )
-
     sigs_c = dedup.minhash_signatures_text(
         corpus, "text", "doc_id", n=8, num_hashes=8
     )
@@ -1286,6 +1290,21 @@ def dedup_incremental_bucketed_index(
         .option("path", _os2.path.join(_IO_DIR, "band_index_b"))
         .mode("overwrite")
         .saveAsTable("band_index_b")
+    )
+
+
+def bucketed_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECURRING half of ``dedup_incremental_bucketed_index``:
+    screen the incoming batch against the ALREADY-PERSISTED bucketed
+    band index (``bucketed_index_build`` must have run). The index
+    scan is a bucketed read (SelectedBucketsCount) and the only hash
+    Exchange on the semi-join feeds the PROBE side — at 100 TB the
+    index is the big side (corpus × bands rows), so this layout
+    converts the per-batch cost from 'shuffle the index' to 'shuffle
+    the batch'."""
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    incoming = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "text"
     )
     idx = spark.table("band_index_b")
 
@@ -1319,6 +1338,25 @@ def dedup_incremental_bucketed_index(
         )
         .orderBy("lang")
     )
+
+
+def dedup_incremental_bucketed_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_incremental_index`` with the index PERSISTED AS A
+    BUCKETED TABLE — the storage layout that makes per-batch probing
+    cheapest (see ``bucketed_index_build`` / ``bucketed_index_probe``,
+    which this query composes end-to-end so the oracle covers both
+    halves; bench.py times the probe half alone as
+    ``dedup_incremental_bucketed_probe``). Result identical to the
+    unbucketed twin (same oracle counts)."""
+    bucketed_index_build(spark, sf_dir)
+    return bucketed_index_probe(spark, sf_dir)
+
+
+query("dedup_incremental_bucketed_index", oracle=_BUCKETED_IDX_ORACLE)(
+    dedup_incremental_bucketed_index
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1879,4 +1917,99 @@ def dataset_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("order_md5"),
         )
         .orderBy("epoch", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonicalize-then-kNN: the duplicate-proof form of the 1-NN graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_knn_graph_canonical",
+    oracle=f"""
+    WITH canon AS (
+      SELECT embedding, MIN(vec_id) AS vec_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dups
+      FROM embeddings GROUP BY embedding
+    ),
+    norms AS (
+      SELECT vec_id, n_dups, embedding,
+             sqrt(CAST(SUM(CAST(CAST(e[i::INT] AS DOUBLE)
+                                * CAST(e[i::INT] AS DOUBLE)
+                                AS DECIMAL(30,15))) AS DOUBLE)) AS nrm,
+             {_signbit_bucket_sql(0)} AS b1,
+             {_signbit_bucket_sql(8)} AS b2
+      FROM (SELECT vec_id, n_dups, embedding, embedding AS e,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM canon)
+      GROUP BY vec_id, n_dups, embedding
+    ),
+    pairs AS (
+      SELECT id_a, id_b, n_dups,
+             ROUND(CAST(SUM(CAST(CAST(ea[i::INT] AS DOUBLE)
+                                 * CAST(eb[i::INT] AS DOUBLE)
+                                 AS DECIMAL(30,15))) AS DOUBLE)
+                   / (na * nb), 9) AS cosine
+      FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n_dups AS n_dups,
+                   a.embedding AS ea, b.embedding AS eb,
+                   a.nrm AS na, b.nrm AS nb,
+                   unnest(range(1, len(a.embedding) + 1)) AS i
+            FROM norms a
+            JOIN norms b ON (a.b1 = b.b1 OR a.b2 = b.b2)
+                        AND a.vec_id <> b.vec_id)
+      GROUP BY id_a, id_b, n_dups, na, nb
+    )
+    SELECT id_a AS vec_id, n_dups, id_b AS neighbor_id, cosine
+    FROM (SELECT pairs.*,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY cosine DESC, id_b) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def similarity_knn_graph_canonical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``similarity_knn_graph`` with the documented degenerate corner
+    CLOSED: exact duplicates collide in every sign band at any bits,
+    so a duplicated corpus pays bucket depth no dial can remove — the
+    fix is an exact content dedup FIRST (one groupBy on the embedding
+    itself: min vec_id becomes the canonical rep, the multiplicity
+    rides along as ``n_dups``), then the 1-NN graph over canonical
+    vectors only. bench.py's 10× replica point (every vector × 10)
+    collapses back to the 1× graph size after the canonicalize step —
+    the duplicate mass costs one map-side-combined shuffle instead of
+    a quadratic bucket term.
+
+    Plan shape at 100 TB: groupBy(embedding) shuffles the corpus once
+    on the vector bytes (map-side combine folds replicas early —
+    crawl dup clusters are within-shard heavy, so most of the fold
+    happens before the exchange); the canonical set is
+    ``localCheckpoint``ed because THREE consumers read it (the dial-
+    sizing count, both knn self-join sides, and the n_dups join-back)
+    — without it the groupBy re-executes per consumer. Bits auto-size
+    from the CANONICAL count (the depth that matters)."""
+    import math
+
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
+    canon = (
+        emb.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .localCheckpoint()
+    )
+    n = canon.count()
+    bits = min(32, max(8, math.ceil(math.log2(max(n, 2) / 8))))
+    g = knn_graph(
+        canon.select("vec_id", "embedding"), "vec_id", "embedding",
+        bits_per_band=bits, bands=2, exact=True, dim=64,
+    )
+    return (
+        g.join(canon.select("vec_id", "n_dups"), "vec_id")
+        .select("vec_id", "n_dups", "neighbor_id", "cosine")
+        .orderBy("vec_id")
     )

@@ -8,7 +8,15 @@ fails and package installation is out of scope for this environment,
 so the skip stands as a documented container block — the operator
 itself (streaming/core.py) is exercised indirectly by its
 applyInPandasWithState twin, which shares the state-transition
-logic and IS runtime-tested."""
+logic and IS runtime-tested.
+
+Round-6 status check (2026-08-14): re-confirmed ``import
+google.protobuf`` → ModuleNotFoundError; the environment policy
+forbids package installation (no pip/apt), so the dependency cannot
+be provisioned from inside the round. Skip remains the correct,
+documented behavior; the test runs ungated on any cluster with a
+normal PySpark 4 connect/streaming provisioning (protobuf is a
+standard pyspark[connect] dependency)."""
 
 from __future__ import annotations
 
