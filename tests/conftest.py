@@ -25,7 +25,14 @@ def spark():
     os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from datafusion_functions_variant_spark.plans.session import get_session
 
-    s = get_session(app_name="pytest", master="local[8]", shuffle_partitions=8)
+    # overridable for driver-configuration replays, e.g.
+    # TEST_SPARK_MASTER='local[32]' TEST_SHUFFLE_PARTITIONS=32
+    # TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py
+    s = get_session(
+        app_name="pytest",
+        master=os.environ.get("TEST_SPARK_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("TEST_SHUFFLE_PARTITIONS", "8")),
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

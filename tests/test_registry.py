@@ -77,3 +77,22 @@ def test_unverified_queries_fill_window_first():
             seen_verified = True
         elif seen_verified:
             raise AssertionError(f"unverified query {n!r} behind verified ones")
+
+
+def test_never_verified_queries_all_front_the_window():
+    """A never-driver-verified (or stale-spec) query must NEVER be
+    displaced from the verification window by the rotating re-verify
+    sample — tier 0 strictly outranks tier 1 (regression: round 6's
+    new query landed at position _WINDOW+1 behind 8 sample entries)."""
+    reg = Q.load_all_queries()
+    window = set(list(reg)[: Q._WINDOW])
+    unverified = [n for n in reg if n not in Q._driver_verified_names()]
+    overflow = [n for n in unverified if n not in window]
+    # only legitimate overflow: more unverified queries than slots
+    assert len(unverified) <= Q._WINDOW or not window - set(unverified), (
+        f"re-verify sample displaced never-verified queries: {overflow}"
+    )
+    if len(unverified) <= Q._WINDOW:
+        assert not overflow, (
+            f"never-verified queries outside the window: {overflow}"
+        )
