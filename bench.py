@@ -147,6 +147,20 @@ def ensure_scaled_dir(spark, sf_dir: str, k: int, out_dir: str) -> None:
         if shifts is None:  # region / nation: fixed dimensions
             out = base
         else:
+            # fail loudly if the source's keys outgrow the offsets
+            # (replica ranges would silently overlap and every join
+            # would fan out across replicas — a corrupted "scaled"
+            # corpus with no error)
+            maxima = base.select(
+                *[F.max(c).alias(c) for c in shifts]
+            ).collect()[0]
+            for col, domain in shifts.items():
+                if maxima[col] is not None and maxima[col] >= _KEY_SHIFTS[domain]:
+                    raise ValueError(
+                        f"{name}.{col} max {maxima[col]} >= replica "
+                        f"offset {_KEY_SHIFTS[domain]} — raise "
+                        f"_KEY_SHIFTS['{domain}'] for this source dir"
+                    )
             copies = []
             for r in range(k):
                 c = base

@@ -411,22 +411,37 @@ def radius_search(
 
     Same 100 TB shape as brute_force_topk: queries broadcast, corpus
     never shuffles, and a cheap double prefilter (threshold − a
-    RELATIVE 1e-6 margin, scaled by the candidate dot's magnitude so
-    large-magnitude embeddings can't outgrow an absolute epsilon)
-    gates the DECIMAL-exact rescore so the heavy arithmetic touches
-    only near-threshold candidates. The emitted dot and the
-    membership test both use the exact decimal rounded to 9 places,
-    so any engine reproduces the same set.
+    1e-6·‖q‖‖c‖ margin — the Cauchy-Schwarz bound on the double
+    fold's accumulated error, so neither large magnitudes nor large
+    cancelling terms can outgrow it) gates the DECIMAL-exact rescore
+    so the heavy arithmetic touches only near-threshold candidates.
+    The emitted dot and the membership test both use the exact
+    decimal rounded to 9 places, so any engine reproduces the same
+    set.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(_dot_double(vec_col, vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.sqrt(_dot_double(vec_col, vec_col)).alias("_cn"),
+    )
+    # prefilter margin: fp error of the double fold is bounded by
+    # ~dim·eps·Σ|q_i·c_i| ≤ dim·eps·‖q‖‖c‖ (Cauchy-Schwarz) ≈
+    # 1.4e-14·‖q‖‖c‖ at dim 64 — 1e-6·‖q‖‖c‖ is a 10⁸× cushion that
+    # still scales with magnitude (a margin keyed to |dot| would miss
+    # large cancelling terms; an absolute 1e-6 would miss large
+    # magnitudes). Norms are computed once per side before the join.
     cand = (
         c.crossJoin(F.broadcast(q))
         .withColumn("_fast", _dot_double("_qvec", "_cvec"))
         .where(
             F.col("_fast")
             >= threshold
-            - 1e-6 * F.greatest(F.lit(1.0), F.abs(F.col("_fast")))
+            - 1e-6 * F.greatest(F.lit(1.0), F.col("_qn") * F.col("_cn"))
         )
     )
     rescored = cand.select(

@@ -31,14 +31,27 @@ class QuerySpec:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None → driver runs rows-only check
     doc: str = ""
+    #: extra callables whose SOURCE participates in spec_hash — for
+    #: builders that are thin wrappers over module-level helpers (the
+    #: helper IS the query's primary logic, unlike shared operators/*
+    #: utilities, which the re-verify rotation covers instead). Without
+    #: this, editing the helper would leave the spec hash — and thus
+    #: the driver-verification evidence — unchanged.
+    hash_deps: tuple = ()
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, hash_deps: tuple = ()):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name=name, build=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            build=fn,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            hash_deps=hash_deps,
+        )
         return fn
 
     return deco
@@ -152,21 +165,26 @@ def _repo_root() -> str:
 
 
 def spec_hash(spec: QuerySpec) -> str:
-    """Fingerprint of a query's builder source + oracle SQL. Changing
-    either re-fronts the query for driver re-verification. Limitation:
-    changes in modules the builder CALLS (operators/*.py) don't move
-    this hash — the rotating re-verify sample and the local oracle-
-    parity suite cover that gap."""
+    """Fingerprint of a query's builder source + declared hash_deps
+    sources + oracle SQL. Changing any of them re-fronts the query for
+    driver re-verification. Limitation: changes in modules the builder
+    CALLS (operators/*.py) don't move this hash — the rotating
+    re-verify sample and the local oracle-parity suite cover that gap;
+    builders that are thin wrappers over a query-specific helper must
+    declare it in ``hash_deps`` so the primary logic stays covered."""
     import hashlib
     import inspect
 
-    try:
-        src = inspect.getsource(spec.build)
-    except OSError:  # source unavailable (REPL-defined) — name only
-        src = spec.build.__qualname__
-    return hashlib.md5(
-        (src + "\x00" + (spec.oracle or "")).encode()
-    ).hexdigest()
+    def src_of(fn) -> str:
+        try:
+            return inspect.getsource(fn)
+        except OSError:  # source unavailable (REPL-defined) — name only
+            return fn.__qualname__
+
+    parts = [src_of(spec.build)]
+    parts.extend(src_of(dep) for dep in spec.hash_deps)
+    parts.append(spec.oracle or "")
+    return hashlib.md5("\x00".join(parts).encode()).hexdigest()
 
 
 def _load_spec_ledger() -> dict:

@@ -86,7 +86,8 @@ def test_never_verified_queries_all_front_the_window():
     new query landed at position _WINDOW+1 behind 8 sample entries)."""
     reg = Q.load_all_queries()
     window = set(list(reg)[: Q._WINDOW])
-    unverified = [n for n in reg if n not in Q._driver_verified_names()]
+    verified = Q._driver_verified_names()
+    unverified = [n for n in reg if n not in verified]
     overflow = [n for n in unverified if n not in window]
     # only legitimate overflow: more unverified queries than slots
     assert len(unverified) <= Q._WINDOW or not window - set(unverified), (
