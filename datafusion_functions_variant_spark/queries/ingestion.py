@@ -2008,6 +2008,12 @@ def similarity_knn_graph_canonical(
             F.min("vec_id").alias("vec_id"),
             F.count(F.lit(1)).cast("long").alias("n_dups"),
         )
+        # AQE coalesces the small agg output to ONE partition; the
+        # checkpoint would freeze that, serializing the whole
+        # decimal-exact graph stage downstream (measured 2.07 s vs
+        # 1.15 s for the identical knn over a 32-partition source).
+        # fan_out re-spreads the (tiny) canonical rows first.
+        .transform(dedup.fan_out)
         .localCheckpoint()
     )
     n = canon.count()
