@@ -2027,3 +2027,100 @@ def similarity_knn_graph_canonical(
         .select("vec_id", "n_dups", "neighbor_id", "cosine")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN blocking pre-flight: bucket-depth audit for the auto-sized dial
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_bucket_stats",
+    oracle=f"""
+    WITH sides AS (
+      SELECT vec_id,
+             {_signbit_bucket_sql(0)} AS b0,
+             {_signbit_bucket_sql(8)} AS b1
+      FROM (SELECT vec_id, embedding FROM embeddings)
+    ),
+    exploded AS (
+      SELECT 0 AS band_id, b0 AS bkt FROM sides
+      UNION ALL
+      SELECT 1 AS band_id, b1 AS bkt FROM sides
+    ),
+    buckets AS (
+      SELECT band_id, bkt, COUNT(*) AS depth
+      FROM exploded GROUP BY band_id, bkt
+    )
+    SELECT band_id,
+           CAST((SELECT GREATEST(8, CEIL(LOG2(COUNT(*) / 8.0)))
+                 FROM embeddings) AS BIGINT) AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(depth) AS BIGINT) AS total_rows,
+           CAST(SUM(depth * (depth - 1)) AS BIGINT) AS candidate_pairs
+    FROM buckets
+    GROUP BY band_id ORDER BY band_id
+    """,
+)
+def knn_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight audit for ``similarity_knn_graph``'s auto-sized
+    blocking: per band, the bucket count, the DEEPEST bucket, and the
+    exact candidate-pair workload (Σ depth·(depth−1)) the self-join
+    would generate — the number an operator checks BEFORE launching
+    the graph build on a new corpus (a skewed max_depth or a pair
+    count ≫ 8·n means the dial needs more bits or the corpus needs an
+    exact pre-dedup first, see similarity_knn_graph_canonical).
+
+    Count-only and JOINLESS: one exploded projection + one
+    (band, bucket) groupBy + one per-band aggregate — the same
+    audit-fusion discipline as ``dedup_lsh_band_sweep``. The reported
+    ``bits`` column is the dial the graph query would choose
+    (clamp(ceil(log2(n/8)), 8, 32)); the bucket histogram itself is
+    computed at the oracle-checked 8-bit setting, exact at every
+    correctness scale (n ≤ 2048 → auto-dial = 8, see
+    similarity_knn_graph)."""
+    import math
+
+    emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
+    n = load_table(spark, sf_dir, "embeddings").count()
+    bits_val = min(32, max(8, math.ceil(math.log2(max(n, 2) / 8))))
+
+    def bucket(lo: int) -> F.Column:
+        return (
+            sum(
+                (
+                    F.when(
+                        F.element_at("embedding", lo + i + 1) > 0,
+                        F.lit(1 << i),
+                    ).otherwise(0)
+                    for i in range(8)
+                ),
+                F.lit(0),
+            )
+        ).cast("int")
+
+    exploded = emb.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), bucket(0).alias("bkt")),
+                F.struct(F.lit(1).alias("band_id"), bucket(8).alias("bkt")),
+            )
+        ).alias("_bb")
+    ).select("_bb.band_id", "_bb.bkt")
+    depths = exploded.groupBy("band_id", "bkt").agg(
+        F.count(F.lit(1)).alias("depth")
+    )
+    return (
+        depths.groupBy("band_id")
+        .agg(
+            F.lit(bits_val).cast("long").alias("bits"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.sum("depth").cast("long").alias("total_rows"),
+            F.sum(F.col("depth") * (F.col("depth") - 1))
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band_id")
+    )
