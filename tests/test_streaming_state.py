@@ -16,7 +16,12 @@ forbids package installation (no pip/apt), so the dependency cannot
 be provisioned from inside the round. Skip remains the correct,
 documented behavior; the test runs ungated on any cluster with a
 normal PySpark 4 connect/streaming provisioning (protobuf is a
-standard pyspark[connect] dependency)."""
+standard pyspark[connect] dependency).
+
+Round-6 install attempt (2026-08-14, per VERDICT.md item 4): ran
+``pip install protobuf`` — fails with "No matching distribution
+found" (the container has no reachable package index), so the
+dependency genuinely cannot be provisioned from inside the round."""
 
 from __future__ import annotations
 
