@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, graph, multimodal, similarity, text
+from ..operators import dedup, graph, multimodal, ranking, similarity, text
 from ..sources.tables import load_table
 from . import query
 
@@ -1245,4 +1245,72 @@ def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 3)
     return similarity.radius_search(emb, queries_df, threshold=0.2).orderBy(
         "query_id", "vec_id"
+    )
+
+
+@query(
+    "dataset_curriculum_stages",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text,' '), w -> len(w) > 0))
+                  AS BIGINT) AS tok_cnt
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, tok_cnt,
+             ROW_NUMBER() OVER (ORDER BY tok_cnt, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM toks
+    ),
+    staged AS (
+      SELECT tok_cnt,
+             CAST(((rnk - 1) * 4) // n AS BIGINT) + 1 AS stage
+      FROM ranked
+    )
+    SELECT stage, COUNT(*) AS n_docs,
+           MIN(tok_cnt) AS min_tokens, MAX(tok_cnt) AS max_tokens,
+           CAST(SUM(tok_cnt) AS BIGINT) AS sum_tokens
+    FROM staged GROUP BY stage ORDER BY stage
+    """,
+    hash_deps=(ranking.global_rank,),
+)
+def dataset_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum binning: assign every document to one of
+    4 equal-population training stages by whitespace-token count
+    (short → long, the standard warm-up curriculum), then report each
+    stage's document count and token budget. The global quartile
+    assignment needs an exact total order — done with
+    ``ranking.global_rank`` (literal range buckets + per-bucket window
+    + broadcast offsets), NEVER a single-partition ``row_number()``
+    window, so the plan holds at any corpus size. Stage id is the
+    explicit integer formula ((rank-1)·4) div n + 1 in BOTH engines —
+    exact, no NTILE remainder ambiguity, no float quantile drift."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        )
+        .cast("long")
+        .alias("tok_cnt"),
+    )
+    ranked = ranking.global_rank(
+        docs, "tok_cnt", "doc_id", ascending=True, rank_col="rnk"
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    staged = ranked.crossJoin(F.broadcast(n)).select(
+        "tok_cnt",
+        (
+            F.floor(((F.col("rnk") - 1) * 4) / F.col("n")).cast("long") + 1
+        ).alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("tok_cnt").alias("min_tokens"),
+            F.max("tok_cnt").alias("max_tokens"),
+            F.sum("tok_cnt").alias("sum_tokens"),
+        )
+        .orderBy("stage")
     )

@@ -429,3 +429,74 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("val", "bal").cast("double").alias("balance"),
         F.coalesce("n_changes", F.lit(0)).cast("long").alias("n_changes"),
     ).orderBy("key")
+
+
+@query(
+    "scd2_asof_snapshot",
+    oracle="""
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS asof_us
+      FROM events
+    ),
+    ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    hist AS (
+      SELECT user_id, event_type AS status,
+             epoch_us(ts) AS since_us,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS until_us
+      FROM changes
+    )
+    SELECT h.user_id, h.status, h.since_us, b.asof_us
+    FROM hist h CROSS JOIN bounds b
+    WHERE h.since_us <= b.asof_us
+      AND (h.until_us IS NULL OR h.until_us > b.asof_us)
+    ORDER BY h.user_id
+    """,
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read over the SCD-2 history: rebuild
+    each user's state AS OF a fixed instant — here the midpoint of the
+    observed event range, derived with integer microsecond arithmetic
+    so every engine lands on the identical instant. The history build
+    shares ``scd2_user_status_history``'s single (user_id) sort+shuffle;
+    the as-of instant is a 1-row aggregate broadcast into the filter,
+    so the snapshot costs one corpus scan + one window exchange at any
+    scale — never a second pass to "replay" history. This is the read
+    side the reference's TODO relational layer would need for temporal
+    queries (README.md:15-16); Spark expresses it as windows + a
+    broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+        .cast("long")
+        .alias("asof_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    hist = changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros("ts").alias("since_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("until_us"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("since_us") <= F.col("asof_us"))
+            & (F.col("until_us").isNull() | (F.col("until_us") > F.col("asof_us")))
+        )
+        .select("user_id", "status", "since_us", "asof_us")
+        .orderBy("user_id")
+    )

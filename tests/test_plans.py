@@ -734,3 +734,25 @@ def test_epoch_shuffle_no_global_sort(spark):
     # defeat the design
     plan = plan_of(spark, "dataset_epoch_shuffle")
     assert "SinglePartition" not in plan
+
+
+def test_curriculum_stages_no_single_partition_sort(spark):
+    # quartile assignment rides global_rank's bucketed ranking — the
+    # naive NTILE() OVER (ORDER BY ...) would put the whole corpus
+    # through one unpartitioned window; here every window is keyed by
+    # the range bucket, and the only SinglePartition exchange is the
+    # 1-row scalar count() that broadcasts back as the stage divisor
+    plan = plan_of(spark, "dataset_curriculum_stages")
+    assert "windowspecdefinition(_bucket" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "CartesianProduct" not in plan  # count joins via broadcast
+
+
+def test_asof_snapshot_one_window_exchange_broadcast_scalar(spark):
+    # lag (change detect) + lead (validity) share ONE user_id
+    # partitioning, and the as-of instant joins in as a broadcast
+    # 1-row aggregate — never a second history pass
+    plan = plan_of(spark, "scd2_asof_snapshot")
+    assert plan.count("hashpartitioning(user_id") <= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
