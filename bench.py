@@ -76,6 +76,12 @@ HEADLINE = [
     # at the 10x all-duplicates scaled point this collapses the graph
     # back to 1x size before the bucket join
     "similarity_knn_graph_canonical",
+    # round 6 (late): distributed total-order ranking under load —
+    # length-curriculum quartiles via global_rank (literal range
+    # buckets, no single-partition window); at the 10x scaled point
+    # this is the recorded evidence that exact global ranking stays
+    # flat when the corpus grows
+    "dataset_curriculum_stages",
 ]
 
 

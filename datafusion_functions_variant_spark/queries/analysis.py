@@ -1146,3 +1146,89 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("i").cast("long"), F.col("j").cast("long"), "gram")
         .orderBy("i", "j")
     )
+
+
+@query(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    prefixed AS (
+      SELECT event_type, day, x,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS pk,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS k,
+             SUM(x) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type, day, n,
+             ABS(n * pk - k * total) AS t_abs
+      FROM prefixed
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(MIN(day) FILTER (
+             WHERE t_abs = (SELECT MAX(s2.t_abs) FROM stats s2
+                            WHERE s2.event_type = stats.event_type)
+           ) AS BIGINT) AS cp_day,
+           CAST(MAX(t_abs) AS BIGINT) AS cusum_stat
+    FROM stats
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint detection per event-type series: the
+    day k that maximizes |S_k| where S_k = Σ_{i≤k}(x_i − mean) over the
+    daily event counts — the standard single-changepoint location
+    statistic (ties → earliest day). Computed INTEGER-EXACTLY by
+    scaling out the fractional mean: n·S_k = n·P_k − k·total, so both
+    engines land on identical BIGINTs and the argmax is
+    drift-free.
+
+    Plan shape: one corpus scan → (type, day) count aggregate (the
+    series relation is tiny — days × types), then ONE event_type-keyed
+    window exchange computes prefix sums, ranks, and per-type totals
+    in the same partitioning; the argmax is a per-type max_by. At
+    100 TB the corpus cost is the daily aggregate's map-side combine;
+    everything after runs on the bounded series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wp = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        F.abs(
+            F.count(F.lit(1)).over(wt) * F.sum("x").over(wp)
+            - F.row_number().over(wp) * F.sum("x").over(wt)
+        ).alias("t_abs"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    return (
+        stats.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.expr("min_by(day, struct(-t_abs, day))")
+            .cast("long")
+            .alias("cp_day"),
+            F.max("t_abs").cast("long").alias("cusum_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -756,3 +756,17 @@ def test_asof_snapshot_one_window_exchange_broadcast_scalar(spark):
     assert plan.count("hashpartitioning(user_id") <= 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cusum_one_series_exchange_mapside_combine(spark):
+    # daily counts partial-aggregate map-side; ONE event_type exchange
+    # feeds both window frames (prefix + totals) AND the final argmax
+    # aggregate — the corpus never shuffles twice
+    plan = plan_of(spark, "timeseries_cusum_changepoint")
+    import re
+    series_exchanges = re.findall(
+        r"Exchange hashpartitioning\(event_type#\d+, \d+\)", plan
+    )
+    assert len(series_exchanges) == 1
+    assert "partial_count" in plan
+    assert plan.count("Window") == 2
