@@ -725,3 +725,70 @@ def test_inrow_minhash_matches_explode_groupby_formulation(spark):
             assert sig == agg[doc_id], doc_id
         else:
             assert sig == (None,) * 8, doc_id
+
+
+def test_cusum_changepoint_matches_bruteforce(spark):
+    """Second oracle for timeseries_cusum_changepoint: pure-Python
+    integer CUSUM over the same parquet (argmax_k |n*P_k - k*total|,
+    ties to the earliest day) — independent of both Spark windows and
+    the DuckDB SQL twin."""
+    import collections
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from datafusion_functions_variant_spark.queries import load_all_queries
+    from .conftest import SF_DIR
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type", "ts"])
+    daily = collections.Counter()
+    epoch = datetime.date(1970, 1, 1)
+    for et, ts in zip(tbl["event_type"].to_pylist(), tbl["ts"].to_pylist()):
+        daily[(et, (ts.date() - epoch).days)] += 1
+    series = collections.defaultdict(list)
+    for (et, day), x in sorted(daily.items()):
+        series[et].append((day, x))
+    expect = {}
+    for et, pts in series.items():
+        n, total = len(pts), sum(x for _, x in pts)
+        pk, best = 0, None
+        for k, (day, x) in enumerate(pts, start=1):
+            pk += x
+            t_abs = abs(n * pk - k * total)
+            if best is None or t_abs > best[0]:
+                best = (t_abs, day)
+        expect[et] = (n, best[1], best[0])
+
+    reg = load_all_queries()
+    rows = reg["timeseries_cusum_changepoint"].build(spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, cp, stat = expect[r["event_type"]]
+        assert (r["n_days"], r["cp_day"], r["cusum_stat"]) == (n, cp, stat)
+
+
+def test_curriculum_stages_are_balanced_ordered_partition(spark):
+    """Stage populations differ by at most 1, cover the corpus
+    exactly, and stage token ranges are non-overlapping ascending —
+    the invariants of an exact-rank quartile split (independent of the
+    DuckDB twin's formula)."""
+    import pyarrow.parquet as pq
+
+    from datafusion_functions_variant_spark.queries import load_all_queries
+    from .conftest import SF_DIR
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    reg = load_all_queries()
+    rows = (
+        reg["dataset_curriculum_stages"]
+        .build(spark, SF_DIR)
+        .orderBy("stage")
+        .collect()
+    )
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4]
+    sizes = [r["n_docs"] for r in rows]
+    assert sum(sizes) == n_docs
+    assert max(sizes) - min(sizes) <= 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_tokens"] <= hi["min_tokens"]
+        assert lo["min_tokens"] <= lo["max_tokens"]
