@@ -329,7 +329,19 @@ def load_all_queries() -> dict[str, QuerySpec]:
             return 0
         return 1 if name in resample else 2
 
-    ordered = sorted(REGISTRY, key=lambda n: (tier(n), rank(n)))
+    def rot(name: str) -> str:
+        """Tier-2 ties rotate per round: without this, the window
+        slots left after tiers 0/1 would always go to the same
+        verified queries (static module order) and the rest would
+        never earn a second driver row. The md5(round:name) key is
+        deterministic within a round and reshuffles every round."""
+        if tier(name) != 2:
+            return ""  # tiers 0/1 keep module insertion order
+        import hashlib
+
+        return hashlib.md5(f"{_current_round()}:{name}".encode()).hexdigest()
+
+    ordered = sorted(REGISTRY, key=lambda n: (tier(n), rank(n), rot(n)))
     # stable sort: ties keep their module insertion order
     reordered = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()

@@ -97,3 +97,32 @@ def test_never_verified_queries_all_front_the_window():
         assert not overflow, (
             f"never-verified queries outside the window: {overflow}"
         )
+
+
+def test_window_capacity_not_exceeded_by_new_queries():
+    """Hard cap for in-round additions: every never-verified query
+    must fit the driver window in ONE round, or the cumulative-sweep
+    guarantee (every query driver-hashed at least once) silently
+    breaks. If this fails, STOP adding registry queries this round."""
+    reg = Q.load_all_queries()
+    unverified = [n for n in reg if n not in Q._driver_verified_names()]
+    assert len(unverified) <= Q._WINDOW, (
+        f"{len(unverified)} never-verified queries > window "
+        f"{Q._WINDOW}: the overflow would miss this round's sweep"
+    )
+
+
+def test_tier2_order_rotates_with_round(monkeypatch):
+    """Verified queries beyond the re-verify sample must not freeze in
+    module order: the free window slots should land on different
+    verified queries each round."""
+    orders = []
+    for rnd in (7, 8):
+        monkeypatch.setattr(Q, "_current_round", lambda r=rnd: r)
+        reg = Q.load_all_queries()
+        verified = Q._driver_verified_names()
+        sample = Q._reverify_sample(verified)
+        orders.append(
+            [n for n in reg if n in verified and n not in sample][:20]
+        )
+    assert orders[0] != orders[1]
