@@ -770,3 +770,16 @@ def test_cusum_one_series_exchange_mapside_combine(spark):
     assert len(series_exchanges) == 1
     assert "partial_count" in plan
     assert plan.count("Window") == 2
+
+
+def test_knn_canonical_no_all_pairs_and_checkpointed_canon(spark):
+    # the canonicalized twin: exact groupBy(embedding) first, then the
+    # same bucket equi-joins — never a cross join; the canonical set
+    # must enter the graph as a checkpointed scan (three consumers),
+    # not as a re-executed aggregate lineage
+    plan = plan_of(spark, "similarity_knn_graph_canonical")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # the localCheckpoint artifact
+    # the embedding groupBy must NOT re-run inside the graph stage
+    assert "HashAggregate(keys=[embedding" not in plan
