@@ -783,3 +783,13 @@ def test_knn_canonical_no_all_pairs_and_checkpointed_canon(spark):
     assert "Scan ExistingRDD" in plan  # the localCheckpoint artifact
     # the embedding groupBy must NOT re-run inside the graph stage
     assert "HashAggregate(keys=[embedding" not in plan
+
+
+def test_knn_bucket_stats_joinless_two_aggregates(spark):
+    # the pre-flight audit prices the candidate-pair workload WITHOUT
+    # running any join: one exploded projection, one (band,bucket)
+    # groupBy, one per-band aggregate — if a join appears here the
+    # audit costs what it was meant to predict
+    plan = plan_of(spark, "knn_bucket_stats")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
