@@ -341,7 +341,16 @@ def load_all_queries() -> dict[str, QuerySpec]:
 
         return hashlib.md5(f"{_current_round()}:{name}".encode()).hexdigest()
 
-    ordered = sorted(REGISTRY, key=lambda n: (tier(n), rank(n), rot(n)))
+    # rank() orders ONLY the never-verified tier-0 front (the flagship /
+    # category priorities). Applying it to tier 2 would permanently pin
+    # the ~50 priority names at the tier-2 front in fixed order and rot()
+    # would only shuffle the names behind them — i.e. rotation would be
+    # dead and verified non-priority queries would never re-enter the
+    # window (round-6 verdict: 42/50 slots frozen across rounds 7-9).
+    ordered = sorted(
+        REGISTRY,
+        key=lambda n: (tier(n), rank(n) if tier(n) == 0 else 0, rot(n)),
+    )
     # stable sort: ties keep their module insertion order
     reordered = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()

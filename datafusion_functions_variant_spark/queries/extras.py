@@ -113,6 +113,117 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_cosine_canonical",
+    oracle="""
+    WITH canon AS (
+      SELECT embedding, MIN(vec_id) AS vec_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dups
+      FROM embeddings GROUP BY embedding
+    ),
+    norms AS (
+      SELECT vec_id, n_dups, embedding,
+             sqrt(CAST(SUM(CAST(CAST(e[i::INT] AS DOUBLE)
+                                * CAST(e[i::INT] AS DOUBLE)
+                                AS DECIMAL(30,15))) AS DOUBLE)) AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)::INT AS bucket
+      FROM (SELECT vec_id, n_dups, embedding, embedding AS e,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM canon)
+      GROUP BY vec_id, n_dups, embedding
+    ),
+    pairs AS (
+      SELECT id_a, id_b, n_pairs,
+             CAST(SUM(CAST(CAST(ea[i::INT] AS DOUBLE)
+                           * CAST(eb[i::INT] AS DOUBLE)
+                           AS DECIMAL(30,15))) AS DOUBLE)
+               / (nrm_a * nrm_b) AS cosine
+      FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(a.n_dups * b.n_dups AS BIGINT) AS n_pairs,
+                   a.embedding AS ea, b.embedding AS eb,
+                   a.nrm AS nrm_a, b.nrm AS nrm_b,
+                   unnest(range(1, len(a.embedding) + 1)) AS i
+            FROM norms a
+            JOIN norms b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      GROUP BY id_a, id_b, n_pairs, nrm_a, nrm_b
+    )
+    SELECT id_a, id_b, ROUND(cosine, 9) AS cosine, n_pairs FROM pairs
+    WHERE ROUND(cosine, 9) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine_canonical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_embedding_cosine`` in its scale-safe form: exact
+    content dedup FIRST (one ``groupBy(embedding)`` — min vec_id is
+    the canonical rep, the cluster size rides along as ``n_dups``),
+    then the sign-bucket blocked cosine join over CANONICAL vectors
+    only. Each emitted canonical pair carries
+    ``n_pairs = n_dups_a * n_dups_b`` — the number of raw near-dup
+    pairs it stands for — so the output is informationally equivalent
+    to the pair-enumerating twin's cross-cluster pairs WITHOUT the K²
+    blow-up: on bench.py's 10× replica corpus (every vector × 10,
+    the adversarial all-dup regime where the twin's output itself
+    grows ~100×) this emits exactly the 1× pair set with
+    n_pairs = 100. At 100 TB: one map-side-combined shuffle on the
+    vector bytes absorbs the duplicate mass, the self-join only ever
+    sees distinct vectors. The K² contrast is a recorded number in
+    BENCH scaled columns (VERDICT r6 ask #4)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    canon = (
+        emb.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        # re-spread before the self-join: AQE coalesces the tiny agg
+        # output to one partition, which would serialize the
+        # decimal-exact pair stage (same fix as knn_graph_canonical)
+        .transform(fan_out)
+    )
+    bucket = sum(
+        (F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(0))
+        for i in range(6)
+    ).cast("int")
+    sides = canon.select(
+        "vec_id",
+        "n_dups",
+        F.col("embedding").alias("v"),
+        F.sqrt(_dot_decimal("embedding", "embedding")).alias("nrm"),
+        bucket.alias("bucket"),
+    )
+    a = sides.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), F.col("n_dups").alias("da"), "bucket",
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("n_dups").alias("db"), "bucket",
+    )
+    pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+    fast_cos = _dot_double("va", "vb") / (F.col("na") * F.col("nb"))
+    cos = F.round(
+        _dot_decimal("va", "vb") / (F.col("na") * F.col("nb")), 9
+    ).alias("cosine")
+    return (
+        pairs.where(fast_cos >= 0.3 - 1e-6)
+        .select(
+            "id_a",
+            "id_b",
+            cos,
+            (F.col("da") * F.col("db")).cast("long").alias("n_pairs"),
+        )
+        .where(F.col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --- window frame functions --------------------------------------------------
 
 

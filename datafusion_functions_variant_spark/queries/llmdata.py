@@ -1298,11 +1298,13 @@ def dataset_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "tok_cnt", "doc_id", ascending=True, rank_col="rnk"
     )
     n = docs.agg(F.count(F.lit(1)).alias("n"))
+    # integer `div` on longs, NOT floor(double /): the oracle's `//`
+    # is integer division, and double division only coincides while
+    # 4*n fits double precision — at extreme corpus sizes the float
+    # path would round differently from the exact integer formula
     staged = ranked.crossJoin(F.broadcast(n)).select(
         "tok_cnt",
-        (
-            F.floor(((F.col("rnk") - 1) * 4) / F.col("n")).cast("long") + 1
-        ).alias("stage"),
+        (F.expr("((rnk - 1) * 4) div n").cast("long") + 1).alias("stage"),
     )
     return (
         staged.groupBy("stage")

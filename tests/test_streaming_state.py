@@ -21,7 +21,13 @@ standard pyspark[connect] dependency).
 Round-6 install attempt (2026-08-14, per VERDICT.md item 4): ran
 ``pip install protobuf`` — fails with "No matching distribution
 found" (the container has no reachable package index), so the
-dependency genuinely cannot be provisioned from inside the round."""
+dependency genuinely cannot be provisioned from inside the round.
+
+Round-7 install attempt (2026-08-14, per VERDICT.md r6 ask #6):
+``pip install protobuf`` again — the configured index host does not
+resolve (NewConnectionError, "Name or service not known" after 5
+retries), "No matching distribution found for protobuf". Gate
+stands; re-attempt next round."""
 
 from __future__ import annotations
 
