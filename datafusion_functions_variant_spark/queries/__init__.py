@@ -311,6 +311,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from . import analysis  # noqa: F401
     from . import curation  # noqa: F401
     from . import ingestion  # noqa: F401
+    from . import audits  # noqa: F401
 
     verified = _driver_verified_names()
     resample = _reverify_sample(verified)

@@ -793,3 +793,24 @@ def test_knn_bucket_stats_joinless_two_aggregates(spark):
     plan = plan_of(spark, "knn_bucket_stats")
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_similarity_recall_audit_bucket_join_not_all_pairs(spark):
+    # the audit's approximate side must use the equi-join on bucket
+    # (the scheme it audits); the only nested-loop join allowed is the
+    # intended broadcast cross for the exact baseline — and NO
+    # non-broadcast cartesian anywhere, or the audit itself would not
+    # survive the corpus it is meant to pre-flight
+    plan = plan_of(spark, "similarity_recall_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # bucket equi-join, queries broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # exact baseline only
+
+
+def test_dedup_lsh_recall_audit_gram_blocked_truth(spark):
+    # ground truth must be gram-BLOCKED (equi-join on the gram), never
+    # an all-pairs document cross; the final 1-row summary crosses are
+    # broadcast by construction
+    plan = plan_of(spark, "dedup_lsh_recall_audit")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # gram join
