@@ -27,7 +27,6 @@ from ..operators import dedup
 from ..operators.similarity import _dot_decimal, _hyperplane
 from ..sources.tables import load_table
 from . import query
-from .llmdata import _SIGS_CTE
 
 _N_PLANES = 4
 _DIM = 64
@@ -228,10 +227,53 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The audit's LSH chain over CANONICAL documents (exact-dup collapse
+#: first). Mirrors llmdata._SIGS_CTE but reads ``canon`` instead of
+#: ``documents`` — identical texts have identical gram sets, so the
+#: collapse changes nothing about which DISTINCT texts pair up while
+#: removing the duplicate-mass K² from both the ground-truth gram
+#: join and the candidate buckets.
+_CANON_SIGS_CTE = (
+    """
+canon AS (
+  SELECT text, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY text
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(text, i::INT, 8) AS g
+  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+        FROM canon)
+),
+sigs AS (
+  SELECT doc_id,
+         """
+    + ",\n         ".join(
+        f"min(xor(x, {dedup.XOR_CONSTS[h]})) AS mh{h}" for h in range(8)
+    )
+    + """
+  FROM (SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS x
+        FROM grams)
+  GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, md5(mh4 || mh5 || mh6 || mh7) AS band_hash FROM sigs
+),
+candidates AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+)
+
+
 @query(
     "dedup_lsh_recall_audit",
     oracle=f"""
-    WITH {_SIGS_CTE},
+    WITH {_CANON_SIGS_CTE},
     inter AS (
       SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS n_inter
       FROM grams ga
@@ -252,7 +294,9 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.doc_a, c.doc_b FROM cand c
       JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
     )
-    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS n_canon,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
            CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
            CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
            ROUND((SELECT COUNT(*) FROM hits)
@@ -267,19 +311,31 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall AND precision of MinHash-LSH candidate
     generation (8 md5 permutations × 2 bands — the production
     ``dedup_minhash_lsh`` config) against exact ground truth: every
-    pair with 8-gram Jaccard ≥ 0.9. Ground truth is gram-BLOCKED, not
-    all-pairs — a pair at Jaccard ≥ 0.9 shares grams by definition, so
-    joining on the gram and grouping finds exactly the qualifying
-    pairs; cost is quadratic only inside shared-gram groups.
+    pair of DISTINCT texts with 8-gram Jaccard ≥ 0.9. Two scale
+    disciplines stack: (1) exact-dup collapse FIRST — identical texts
+    have identical gram sets, so canonicalizing changes nothing about
+    which distinct texts pair up while removing the duplicate-mass K²
+    from both the truth join and the candidate buckets (on bench.py's
+    10× replica corpus the whole audit collapses back to 1× after one
+    ``groupBy(text)``; without it the truth join grew ~100× per gram
+    group and ran for minutes); (2) ground truth is gram-BLOCKED, not
+    all-pairs — a pair at Jaccard ≥ 0.9 shares grams by definition,
+    so joining on the gram finds exactly the qualifying pairs, and
+    cost is quadratic only inside shared-gram groups of distinct
+    texts.
 
-    100 TB: ground-truth computation is the expensive side (that is
-    WHY LSH exists), so the audit runs on a bounded subcorpus — a
-    shard, a day, a stratified sample — and the measured recall
-    calibrates the band/row S-curve before the full-corpus LSH job
-    (`dedup_lsh_band_sweep` estimates the curve analytically; this
-    query measures it). Single-row output: counts as exact integers,
+    100 TB: ground-truth computation is still the expensive side
+    (that is WHY LSH exists), so the audit runs on a bounded
+    subcorpus — a shard, a day, a stratified sample — and the
+    measured recall calibrates the band/row S-curve before the
+    full-corpus LSH job (`dedup_lsh_band_sweep` estimates the curve
+    analytically; this query measures it). Single-row output: counts
+    as exact integers (incl. the n_docs → n_canon collapse),
     recall/precision as ROUND(9) doubles."""
-    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
+    docs = dedup.fan_out(
+        raw.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    )
     grams = dedup.char_ngrams(docs, "text", "doc_id", n=8)
     # truth: gram-blocked exact Jaccard >= 0.9 over ALL qualifying pairs
     ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
@@ -308,13 +364,19 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    nd = raw.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nk = docs.agg(F.count(F.lit(1)).cast("long").alias("n_canon"))
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     return (
-        nt.crossJoin(nc)
+        nd.crossJoin(nk)
+        .crossJoin(nt)
+        .crossJoin(nc)
         .crossJoin(nh)
         .select(
+            "n_docs",
+            "n_canon",
             "n_truth",
             "n_candidates",
             "n_hits",
