@@ -569,3 +569,63 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def substring_span_stats(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 32,
+    stride: int = 8,
+) -> DataFrame:
+    """Per-document cross-corpus repeated-substring statistics — the
+    exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), adapted to sampled
+    char-``k``-grams: a sampled position is *duplicated* when the same
+    ``k``-char window occurs in at least one OTHER document.
+
+    Returns (id_col, n_grams, n_dup_grams): total sampled windows and
+    how many of them are cross-document duplicates. Downstream callers
+    turn this into span-coverage ratios or trimming decisions.
+
+    Scale shape (100 TB):
+    - Window extraction is IN-ROW (``sequence`` + ``transform`` +
+      ``posexplode``) — no shuffle, no Python; stride bounds the gram
+      stream to len(text)/stride rows per doc.
+    - Document frequency is a two-phase groupBy on the gram (distinct
+      (gram, doc) map-side, then counts) — the standard df-gate, never
+      all-pairs.
+    - The dup-flag join back onto the gram stream is one row per gram
+      on the build side, so join output == probe input: a boilerplate
+      gram shared by a million docs adds NO fan-out (contrast pair
+      enumeration, which is quadratic there).
+    - Per-doc rollup is a map-side-combined groupBy on the doc id.
+    Three shuffles total, all key-uniform except the gram df-count,
+    where AQE's skew split handles pathological single-gram mass.
+    """
+    grams = (
+        docs.where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k - 1},"
+                    f" {stride}), p -> substring({text_col}, p, {k}))"
+                )
+            ).alias("gram"),
+        )
+    )
+    # document frequency per gram, duplicated = seen in >= 2 docs
+    df_counts = (
+        grams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    flagged = grams.join(
+        df_counts.select("gram", (F.col("df") >= 2).alias("is_dup")), "gram"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_grams"),
+    )

@@ -1316,3 +1316,58 @@ def dataset_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH spans AS (
+      SELECT doc_id, substr(text, p::INT, 32) AS gram
+      FROM (SELECT doc_id, text, unnest(range(1, len(text) - 30, 8)) AS p
+            FROM documents WHERE len(text) >= 32)
+    ),
+    dfreq AS (
+      SELECT gram, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, gram FROM spans)
+      GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM spans s JOIN dfreq d USING (gram)
+      GROUP BY s.doc_id
+    )
+    SELECT doc.source, doc.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(p.n_dup) AS BIGINT) AS n_dup_grams,
+           CAST(MAX(p.n_dup) AS BIGINT) AS max_dup_grams_per_doc
+    FROM per_doc p JOIN documents doc USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    hash_deps=(dedup.substring_span_stats,),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication profile (Lee et al.
+    2022 style), rolled up per (source, lang): of the char-32 windows
+    sampled every 8 chars, how many occur verbatim in another document.
+    The quadratic-free counterpart to pair-emitting dedup — the answer
+    an operator reads before deciding to run span trimming at all.
+    Positions are in-row; document frequency is one df-gated groupBy;
+    the flag join adds zero fan-out (one row per gram on the build
+    side). Reference scope: beyond the variant codec — LLM-pipeline
+    extension (SURVEY.md §2 training-data operators)."""
+    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    stats = dedup.substring_span_stats(docs, "text", "doc_id", k=32, stride=8)
+    return (
+        stats.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_dup_grams").alias("n_dup_grams"),
+            F.max("n_dup_grams").alias("max_dup_grams_per_doc"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -814,3 +814,21 @@ def test_dedup_lsh_recall_audit_gram_blocked_truth(spark):
     plan = plan_of(spark, "dedup_lsh_recall_audit")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # gram join
+
+
+def test_dedup_substring_spans_no_fanout_join_no_python(spark):
+    # the Lee-et-al span profile: gram extraction is in-row (zero
+    # Python nodes), the df-gate flag join is an equi-join (never a
+    # cartesian), and the per-gram build side has one row per key so
+    # join output == probe input — no pair enumeration anywhere
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # equi-joins only; the strategy (broadcast at tiny SF, shuffle at
+    # scale) is Catalyst's call — the pin is "never a pair cross"
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
