@@ -515,3 +515,51 @@ def bpe_merge_rounds(
     for m in merges[1:]:
         out = out.union(m)
     return out, syms
+
+
+def token_budget(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group token-budget capping: greedily keep documents in
+    ``id_col`` order (ingestion order) until the group's cumulative
+    whitespace-token count exceeds ``budget``; report per-group
+    kept/total doc and token accounting.
+
+    This is the "cap each domain/source at N tokens" step a training-
+    data mixture pipeline runs before sampling (over-represented
+    domains would otherwise dominate the mixture; the reference's
+    relational layer — the DataFusion crate its README.md:13-16 marks
+    TODO — has no counterpart, so the shape is defined here).
+
+    Scale notes: ONE shuffle on ``group_col`` for the running-sum
+    window; the follow-up groupBy reuses the same hash partitioning,
+    so Catalyst plans zero additional Exchanges (plan-pinned). Domains
+    are numerous and the per-domain state is a single running counter,
+    so the window never concentrates a 100 TB corpus on few tasks
+    unless one domain IS the corpus — in which case the same skew
+    salting used by ``skew_salted_agg`` applies upstream.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.size(words(text_col)).cast("long").alias("toks"),
+    )
+    cum = toks.withColumn("cum_toks", F.sum("toks").over(w))
+    kept = F.col("cum_toks") <= budget
+    return cum.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_docs"),
+        F.sum(F.when(kept, F.col("toks")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+    )

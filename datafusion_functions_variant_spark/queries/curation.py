@@ -2267,3 +2267,42 @@ def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("weekday", "hour")
     )
+
+
+@query(
+    "curation_token_budget",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS toks
+      FROM documents),
+    cum AS (
+      SELECT source, doc_id, toks,
+             SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_toks
+      FROM toks)
+    SELECT source,
+           COUNT(*) AS total_docs,
+           CAST(SUM(CASE WHEN cum_toks <= 700 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN cum_toks <= 700 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM cum
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget capping (keep docs in ingestion order
+    until the source's cumulative whitespace-token count passes 700)
+    — the "cap each over-represented domain" step that precedes
+    mixture sampling in a training-data pipeline. One shuffle on
+    ``source``; the accounting groupBy reuses the window's hash
+    partitioning, so the plan carries exactly one Exchange
+    (plan-pinned in tests/test_plans.py)."""
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_budget(
+        docs, "text", "doc_id", "source", budget=700
+    ).orderBy("source")

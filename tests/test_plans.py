@@ -832,3 +832,12 @@ def test_dedup_substring_spans_no_fanout_join_no_python(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_token_budget_single_exchange(spark):
+    # the running-sum window shuffles on source once; the accounting
+    # groupBy reuses that hash partitioning — any second Exchange means
+    # Catalyst stopped recognizing the shared partitioning
+    plan = plan_of(spark, "curation_token_budget")
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert "CartesianProduct" not in plan
