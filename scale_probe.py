@@ -151,8 +151,20 @@ def main() -> None:
         )
         return feat.agg(F.count(F.lit(1)), F.sum("px_sum"))
 
+    def substring_spans(docs):
+        # mirrors dedup_substring_spans: the adversarial K-replica
+        # corpus makes EVERY sampled window a cross-document duplicate
+        # (df = K per gram), so this measures the zero-fan-out claim —
+        # the dup-flag join's build side stays one row per gram key,
+        # so output rows == probe rows at any duplication depth
+        stats = dedup.substring_span_stats(docs, "text", "doc_id", k=32, stride=8)
+        return stats.agg(
+            F.count(F.lit(1)), F.sum("n_grams"), F.sum("n_dup_grams")
+        )
+
     cases = {
         "dedup_minhash_lsh_xxhash": ("docs", minhash_lsh),
+        "dedup_substring_spans": ("docs", substring_spans),
         "text_quality_stats": ("docs", token_quality),
         "vocab_token_agg": ("docs", vocab_agg),
         "similarity_dot_topk": ("emb", dot_topk),
