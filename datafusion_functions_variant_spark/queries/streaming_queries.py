@@ -1033,3 +1033,189 @@ def stream_neardup_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_matching_bands") > 0)
     )
     return core.run_to_batch(flagged, "append").orderBy("doc_id")
+
+
+@query(
+    "stream_ingest_funnel",
+    oracle=r"""
+    -- the whole ingest-gate cascade replayed in batch SQL: quality
+    -- gate -> prefix-exact dup vs history -> 2-band near-dup probe ->
+    -- classifier -> shard assignment (history = doc_id % 3 != 0,
+    -- arriving = % 3 = 0, same split as stream_neardup_at_ingest)
+    WITH grams AS (
+      SELECT DISTINCT doc_id, substr(text, i::INT, 8) AS g
+      FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+            FROM documents)
+    ),
+    sigs AS (
+      SELECT doc_id,
+             min(xor(x, 1024421277861575701)) AS mh0,
+             min(xor(x, 895921051116304426)) AS mh1,
+             min(xor(x, 767420824371033151)) AS mh2,
+             min(xor(x, 638920597625761876)) AS mh3,
+             min(xor(x, 510420370880490601)) AS mh4,
+             min(xor(x, 381920144135219326)) AS mh5,
+             min(xor(x, 253419917389948051)) AS mh6,
+             min(xor(x, 124919690644676776)) AS mh7
+      FROM (SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS x
+            FROM grams)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(mh4 || mh5 || mh6 || mh7) AS band_hash FROM sigs
+    ),
+    hist_bands AS (
+      SELECT DISTINCT band_id, band_hash FROM bands WHERE doc_id % 3 != 0
+    ),
+    nb AS (
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS nmb
+      FROM bands b JOIN hist_bands h USING (band_id, band_hash)
+      WHERE b.doc_id % 3 = 0 GROUP BY 1
+    ),
+    hist AS (
+      SELECT DISTINCT md5(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 200)) AS h
+      FROM documents WHERE doc_id % 3 != 0
+    ),
+    feats AS (
+      SELECT d.doc_id, d.lang,
+             len(list_filter(string_split(d.text, ' '), x -> len(x) > 0)) AS n_words,
+             md5(substr(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'), 1, 200)) AS ph,
+             CAST(COALESCE(list_sum(list_transform(
+               list_filter(string_split(d.text, ' '), x -> len(x) > 0),
+               x -> (((('0x' || substr(md5(x), 1, 4))::INT) % 4096)
+                     * 2654435761) % 2001 - 1000)), 0) AS BIGINT) AS raw
+      FROM documents d WHERE d.doc_id % 3 = 0
+    ),
+    verdict AS (
+      SELECT f.lang,
+             CASE WHEN f.n_words < 30 THEN '1_quality'
+                  WHEN f.ph IN (SELECT h FROM hist) THEN '2_exact_prefix'
+                  WHEN COALESCE(nb.nmb, 0) = 2 THEN '3_near_dup'
+                  WHEN f.raw <= 0 THEN '4_classifier'
+                  ELSE '5_admit' END AS stage,
+             f.n_words,
+             CASE WHEN f.n_words >= 30
+                   AND f.ph NOT IN (SELECT h FROM hist)
+                   AND COALESCE(nb.nmb, 0) < 2
+                   AND f.raw > 0
+                  THEN (('0x' || substr(md5(f.doc_id::VARCHAR), 1, 4))::INT) % 8
+             END AS shard_id
+      FROM feats f LEFT JOIN nb ON f.doc_id = nb.doc_id
+    )
+    SELECT lang, stage, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(DISTINCT shard_id) AS BIGINT) AS n_shards
+    FROM verdict GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CAPSTONE — the whole ingest-admission cascade a
+    100 TB/day pipeline runs on every arriving document, fused into
+    ONE stateless streaming query: (1) quality gate (whitespace-token
+    floor), (2) prefix-exact dup check against the historical corpus
+    (md5 of the first 200 normalized chars — the URL/boilerplate-
+    header dedup shape), (3) MinHash-LSH 2-band near-dup probe against
+    the history's band index, (4) hashed-linear classifier score, (5)
+    shard assignment for admitted docs. Emits per-doc verdicts in
+    append mode; the memory-sink rows are then rolled up into the
+    per-(lang, first-failing-stage) funnel report with admitted-shard
+    fan-out — the number an ingest operator watches.
+
+    Scale shape: every per-doc feature is IN-ROW (token count, prefix
+    hash, classifier fold, in-row MinHash bands — no explode, no
+    streaming aggregation), and all three history probes are broadcast
+    left joins against artifacts that are tiny relative to the corpus
+    (distinct prefix hashes ~1 row/doc, distinct band hashes ~2
+    rows/doc, weights a function). 100% STATELESS: no watermark, no
+    state store — arbitrary per-batch parallelism at ingest, and the
+    same artifacts the batch dedup/classifier queries build
+    (``dedup_minhash_lsh``, ``text_quality_classifier``), so offline
+    and ingest curation share one index. The reference has no
+    streaming layer (its DataFusion query crate is TODO,
+    README.md:13-16); this is the Spark-native composition of its
+    codec-era building blocks."""
+    from ..operators.dedup import (
+        banded_hashes,
+        minhash_signatures_inrow,
+        normalize_text,
+    )
+    from ..operators.text import bucket_weight, token_bucket, words
+    from ..sources.tables import load_table
+
+    hist_docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 != 0
+    )
+    prefix_hash = F.md5(F.substring(normalize_text("text"), 1, 200))
+    hist_prefix = hist_docs.select(prefix_hash.alias("_ph")).distinct()
+
+    hist_sigs = minhash_signatures_inrow(
+        hist_docs, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id"]
+    )
+    b0, b1 = banded_hashes(hist_sigs, num_hashes=8, bands=2)
+    hist_bands = hist_sigs.select(b0.alias("bh0"), b1.alias("bh1"))
+    h0 = hist_bands.select(F.col("bh0").alias("_h0")).distinct()
+    h1 = hist_bands.select(F.col("bh1").alias("_h1")).distinct()
+
+    st = core.read_table_stream(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    sigs = minhash_signatures_inrow(
+        st, "text", "doc_id", n=8, num_hashes=8,
+        keep=["doc_id", "lang", "text"],
+    )
+    nb0, nb1 = banded_hashes(sigs, num_hashes=8, bands=2)
+
+    def tok_weight(x):
+        return bucket_weight(token_bucket(x))
+
+    raw = F.aggregate(
+        F.transform(words("text"), tok_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    feats = sigs.select(
+        "doc_id",
+        "lang",
+        F.size(words("text")).cast("long").alias("n_words"),
+        prefix_hash.alias("ph"),
+        raw.alias("raw"),
+        nb0.alias("bh0"),
+        nb1.alias("bh1"),
+    )
+    probed = (
+        feats.join(F.broadcast(hist_prefix), feats.ph == F.col("_ph"), "left")
+        .join(F.broadcast(h0), feats.bh0 == F.col("_h0"), "left")
+        .join(F.broadcast(h1), feats.bh1 == F.col("_h1"), "left")
+    )
+    is_exact = F.col("_ph").isNotNull()
+    nmb = F.col("_h0").isNotNull().cast("long") + F.col("_h1").isNotNull().cast(
+        "long"
+    )
+    admitted = (
+        (F.col("n_words") >= 30) & ~is_exact & (nmb < 2) & (F.col("raw") > 0)
+    )
+    verdicts = probed.select(
+        "lang",
+        F.when(F.col("n_words") < 30, "1_quality")
+        .when(is_exact, "2_exact_prefix")
+        .when(nmb == 2, "3_near_dup")
+        .when(F.col("raw") <= 0, "4_classifier")
+        .otherwise("5_admit")
+        .alias("stage"),
+        "n_words",
+        F.when(
+            admitted, token_bucket(F.col("doc_id").cast("string"), 8)
+        ).alias("shard_id"),
+    )
+    sunk = core.run_to_batch(verdicts, "append")
+    return (
+        sunk.groupBy("lang", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_tokens"),
+            F.countDistinct("shard_id").alias("n_shards"),
+        )
+        .orderBy("lang", "stage")
+    )
