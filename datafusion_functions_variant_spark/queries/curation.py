@@ -2306,3 +2306,132 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.token_budget(
         docs, "text", "doc_id", "source", budget=700
     ).orderBy("source")
+
+
+@query(
+    "pipeline_media_to_shards",
+    oracle="""
+    -- the generative formula (seed = asset_id % 100) reproduces every
+    -- pipeline stage without decoding a byte: same seed => byte-
+    -- identical PNG payload, so content-md5 dedup == seed dedup
+    WITH assets AS (
+      SELECT doc_id AS asset_id, doc_id % 100 AS seed
+      FROM documents WHERE doc_id < 200),
+    dims AS (
+      SELECT asset_id, seed,
+             CAST(8 + seed % 5 AS INT) AS width,
+             CAST(6 + seed % 4 AS INT) AS height
+      FROM assets),
+    px AS (
+      SELECT d.asset_id, d.seed, d.width, d.height,
+             CAST(SUM((d.seed + 7 * x.x + 13 * y.y) % 256) AS BIGINT) AS px_sum
+      FROM dims d,
+           LATERAL (SELECT unnest(range(d.width)) AS x) x,
+           LATERAL (SELECT unnest(range(d.height)) AS y) y
+      GROUP BY 1, 2, 3, 4),
+    gated AS (SELECT * FROM px WHERE width * height >= 56),
+    dedup AS (
+      SELECT *, MIN(asset_id) OVER (PARTITION BY seed) AS keeper FROM gated),
+    survivors AS (
+      SELECT asset_id, width, height, px_sum
+      FROM dedup WHERE asset_id = keeper),
+    packed AS (
+      SELECT width, height, asset_id, px_sum,
+             width * height AS px_bytes,
+             COALESCE(SUM(width * height) OVER (
+               PARTITION BY width, height ORDER BY asset_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM survivors)
+    SELECT width, height,
+           CAST(prior // 100 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_assets,
+           CAST(SUM(px_bytes) AS BIGINT) AS shard_px_bytes,
+           CAST(SUM(px_sum) AS BIGINT) AS px_sum_total,
+           CAST(MIN(asset_id) AS BIGINT) AS first_asset,
+           CAST(MAX(asset_id) AS BIGINT) AS last_asset
+    FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def pipeline_media_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal CAPSTONE — binary ingest to training shards in
+    ONE plan: synthesize genuine PNG payloads (operators/png.py, all
+    five spec filters), decode them through the MediaDecoder seam,
+    quality-gate on decoded dimensions (area >= 56), EXACT content
+    dedup on the decoder stage's payload md5 (seeds repeat every 100
+    assets, so half the corpus is byte-identical duplicates — keeper =
+    min asset id), then pack survivors into px-budgeted shards WITHIN
+    each (width, height) shape class — uniform-shape shards are what a
+    dataloader batches without padding. Emits the shard manifest.
+
+    The oracle never decodes a byte: the generative formula maps seed
+    -> dims -> pixel bytes, and byte-identical payloads have equal
+    seeds (distinct seeds differ in dims or pixel content), so
+    content-md5 dedup is reproduced as seed dedup.
+
+    Scale shape: payloads live ONLY inside the chained
+    synth-mapInPandas -> featurize-mapInPandas pipeline — no Exchange
+    between the Python stages (plan-pinned), and every post-decode
+    stage operates on narrow metadata rows: one shuffle for the
+    content-hash dedup window, one for the shape-class packing window;
+    the manifest groupBy reuses the packing partitioning. At 100 TB of
+    images the bytes cross the wire zero times — only ids, hashes and
+    dims do. Reference parity: the reference has no media layer at
+    all; this is the Spark-native shape its codec-style column model
+    (binary + typed metadata) supports."""
+    from ..operators import multimodal
+    from ..operators import png as pngmod
+
+    ids = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                s = int(i) % 100
+                w, h = 8 + s % 5, 6 + s % 4
+                pix = bytes(
+                    (s + 7 * x + 13 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(
+                    pngmod.encode_png(w, h, pix, 1, filter_type=s % 5)
+                )
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    assets = ids.mapInPandas(gen, "asset_id long, payload binary")
+    feat = multimodal.featurize_binary(
+        assets, "payload", "asset_id", decoder=pngmod.png_decoder()
+    )
+    gated = feat.where(F.col("width") * F.col("height") >= 56)
+    w_dd = Window.partitionBy("content_md5")
+    survivors = (
+        gated.withColumn("keeper", F.min("asset_id").over(w_dd))
+        .where(F.col("asset_id") == F.col("keeper"))
+        .select("asset_id", "width", "height", "px_sum")
+    )
+    w_pack = (
+        Window.partitionBy("width", "height")
+        .orderBy("asset_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    px_bytes = (F.col("width") * F.col("height")).cast("long")
+    packed = survivors.withColumn("px_bytes", px_bytes).withColumn(
+        "prior", F.coalesce(F.sum("px_bytes").over(w_pack), F.lit(0))
+    )
+    return (
+        packed.withColumn("shard_id", F.expr("prior div 100"))
+        .groupBy("width", "height", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("px_bytes").alias("shard_px_bytes"),
+            F.sum("px_sum").alias("px_sum_total"),
+            F.min("asset_id").alias("first_asset"),
+            F.max("asset_id").alias("last_asset"),
+        )
+        .orderBy("width", "height", "shard_id")
+    )

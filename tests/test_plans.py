@@ -841,3 +841,16 @@ def test_token_budget_single_exchange(spark):
     plan = plan_of(spark, "curation_token_budget")
     assert plan.count("Exchange hashpartitioning(source") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_media_pipeline_payloads_never_shuffled(spark):
+    # the media capstone: synth → decode chain with no Exchange between
+    # the Python stages (payload bytes never cross the wire), and the
+    # whole post-decode pipeline costs exactly two narrow-row shuffles
+    # (content-hash dedup window + shape-class packing window; the
+    # manifest groupBy reuses the packing partitioning)
+    plan = plan_of(spark, "pipeline_media_to_shards")
+    parts = plan.split("MapInPandas")
+    assert len(parts) - 1 == 2
+    assert all("Exchange hashpartitioning" not in p for p in parts[1:])
+    assert plan.count("Exchange hashpartitioning") == 2
