@@ -1086,3 +1086,89 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"), dsum("o_totalprice", "sum_price"))
         .orderBy(F.col("o_orderpriority").asc_nulls_first())
     )
+
+
+@query(
+    "skyline_pareto_front",
+    oracle="""
+    -- the oracle is the SPEC formulation: p survives iff nothing
+    -- dominates it (<= in every dim, < in at least one) — a different
+    -- algorithm than the Spark bucket-SFS plan, so agreement checks
+    -- the algorithm, not a shared implementation
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY p.p_partkey
+    """,
+)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-dominance) query over ``part``: the parts for
+    which no other part is both cheaper-or-equal AND at-least-as-large
+    with one strict improvement — the multi-criteria shortlist
+    operator of "Integration of Skyline Queries into Spark SQL"
+    (EDBT 2023, PAPERS.md), absent from both Spark and the reference.
+
+    Spark-first distributed sort-filter-skyline, NO dominance
+    self-join: bucket the minimized dim (price) into 50 literal
+    ranges, reduce to one row per (bucket, price) with the max size
+    (the only per-price survivor candidate), then a survivor passes
+    iff its size beats BOTH the running max over earlier prices
+    within its bucket (window partitioned by bucket) and the max over
+    all strictly-cheaper buckets (a 50-row bucket summary, broadcast
+    back). Shuffle budget: ONE corpus exchange (the (bucket, price)
+    groupBy); every later stage runs on the per-price reduction or
+    the 50-row summary, and the final row recovery broadcasts the
+    tiny skyline candidate list — the O(n²) NOT-EXISTS shape the
+    oracle uses would be a non-starter at 100 TB. Clamped literal
+    buckets keep the earlier-bucket => strictly-cheaper invariant at
+    any data range.
+    """
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    bucket = F.least(
+        F.greatest(F.floor((F.col("p_retailprice") - 900) / 2), F.lit(0)),
+        F.lit(49),
+    ).cast("int")
+    px = parts.withColumn("b", bucket)
+    pmax = px.groupBy("b", "p_retailprice").agg(F.max("p_size").alias("pmax"))
+    bsum = pmax.groupBy("b").agg(F.max("pmax").alias("bmax"))
+    # 50 rows: the cross-bucket prefix max is driver-bounded model
+    # state, same discipline as global_rank's bucket counts
+    wprev = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = bsum.withColumn("prev_bmax", F.max("bmax").over(wprev)).select(
+        "b", "prev_bmax"
+    )
+    wrun = (
+        Window.partitionBy("b")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = (
+        pmax.withColumn("run_in_bucket", F.max("pmax").over(wrun))
+        .join(F.broadcast(bprev), "b")
+        .where(
+            F.col("pmax")
+            > F.greatest(
+                F.coalesce(F.col("prev_bmax"), F.lit(-1)),
+                F.coalesce(F.col("run_in_bucket"), F.lit(-1)),
+            )
+        )
+        .select(
+            F.col("p_retailprice").alias("sk_price"),
+            F.col("pmax").alias("sk_size"),
+        )
+    )
+    return (
+        px.join(
+            F.broadcast(cand),
+            (px.p_retailprice == F.col("sk_price"))
+            & (px.p_size == F.col("sk_size")),
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )

@@ -854,3 +854,13 @@ def test_media_pipeline_payloads_never_shuffled(spark):
     assert len(parts) - 1 == 2
     assert all("Exchange hashpartitioning" not in p for p in parts[1:])
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_skyline_no_dominance_self_join(spark):
+    # the skyline must compile to the bucket-SFS shape: broadcast
+    # joins only — never the O(n^2) dominance self-join the oracle
+    # spec uses (no cartesian, no sort-merge theta join)
+    plan = plan_of(spark, "skyline_pareto_front")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
