@@ -1172,3 +1172,110 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "trajectory_topk_similarity",
+    oracle="""
+    WITH tok AS (
+      SELECT user_id, ts, event_id,
+             event_type || '/' ||
+             CAST(LEAST(GREATEST(CAST(FLOOR(value / 50) AS INT), 0), 9) AS VARCHAR) AS token
+      FROM events),
+    seq AS (
+      SELECT user_id, list(token ORDER BY ts, event_id) AS toks
+      FROM tok GROUP BY 1),
+    sh AS (
+      SELECT DISTINCT user_id,
+             toks[i] || '>' || toks[i+1] || '>' || toks[i+2] || '>' || toks[i+3] AS shingle
+      FROM (SELECT user_id, toks, unnest(range(1, len(toks) - 2)) AS i FROM seq)),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    gated AS (SELECT s.user_id, s.shingle FROM sh s JOIN df USING (shingle)
+              WHERE df.df BETWEEN 2 AND 32),
+    usz AS (SELECT user_id, COUNT(*) AS n FROM gated GROUP BY 1),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS shared
+      FROM gated a JOIN gated b ON a.shingle = b.shingle AND a.user_id < b.user_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.user_a, p.user_b, CAST(p.shared AS BIGINT) AS n_shared,
+             CAST((p.shared * 1000000) // (ua.n + ub.n - p.shared) AS BIGINT) AS jaccard_ppm
+      FROM pairs p JOIN usz ua ON p.user_a = ua.user_id
+                   JOIN usz ub ON p.user_b = ub.user_id)
+    SELECT user_a, user_b, n_shared, jaccard_ppm
+    FROM scored ORDER BY jaccard_ppm DESC, user_a, user_b LIMIT 10
+    """,
+)
+def trajectory_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar user TRAJECTORIES — the distributed
+    trajectory-similarity search of REPOSE (ICDE 2021, PAPERS.md),
+    re-expressed Spark-first over the events stream: a trajectory is
+    the user's time-ordered (event_type, value-band) token sequence;
+    similarity is Jaccard over its INFORMATIVE 4-gram shingles
+    (document-frequency gated to 2..32 — df 1 can't pair, frequent
+    shingles are trajectory boilerplate, the analogue of REPOSE's
+    discriminative reference points); top-10 pairs by integer ppm
+    score with full deterministic tie-break.
+
+    Scale shape: the token sequence and its distinct shingle set are
+    built IN-ROW after ONE user-keyed shuffle (sort_array(collect_list)
+    — per-user state is one bounded event list, same discipline as
+    sessionization); candidate pairs come from the shingle-equality
+    join on the df-GATED inverted index — never an all-pairs user
+    join, fan-out bounded by sum df·(df-1)/2 <= 32·|shingles| (the
+    knn_bucket_stats pre-flight applies verbatim); per-user set sizes
+    broadcast back; the global top-10 is TakeOrderedAndProject
+    (plan-pinned), never a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    token = F.concat(
+        F.col("event_type"),
+        F.lit("/"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
+            F.lit(9),
+        ).cast("string"),
+    )
+    tok = ev.select("user_id", "ts", "event_id", token.alias("token"))
+    seq = tok.groupBy("user_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(ts, event_id, token))), r -> r.token)").alias("tk")
+    )
+    shingles = F.expr(
+        "array_distinct(CASE WHEN size(tk) >= 4 THEN "
+        "transform(sequence(0, size(tk) - 4), "
+        "i -> concat_ws('>', tk[i], tk[i+1], tk[i+2], tk[i+3])) "
+        "ELSE array() END)"
+    )
+    sh = seq.select("user_id", F.explode(shingles).alias("shingle"))
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    gated = sh.join(
+        df_tbl.where(F.col("df").between(2, 32)).select("shingle"), "shingle"
+    )
+    usz = gated.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a = gated.select(F.col("user_id").alias("user_a"), "shingle")
+    b = gated.select(F.col("user_id").alias("user_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(usz.select(F.col("user_id").alias("user_a"), F.col("n").alias("na"))),
+            "user_a",
+        )
+        .join(
+            F.broadcast(usz.select(F.col("user_id").alias("user_b"), F.col("n").alias("nb"))),
+            "user_b",
+        )
+        .select(
+            "user_a",
+            "user_b",
+            F.col("shared").cast("long").alias("n_shared"),
+            F.expr("(shared * 1000000) div (na + nb - shared)").alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(), "user_a", "user_b"
+    ).limit(10)

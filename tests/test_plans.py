@@ -864,3 +864,13 @@ def test_skyline_no_dominance_self_join(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_trajectory_topk_heap_not_global_sort(spark):
+    # top-10 trajectory pairs must compile to TakeOrderedAndProject;
+    # candidates come from the df-gated shingle join — no all-pairs
+    # user join shape anywhere
+    plan = plan_of(spark, "trajectory_topk_similarity")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
