@@ -11,6 +11,7 @@ the DuckDB oracle hash-matches bit-for-bit.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1279,3 +1280,222 @@ def trajectory_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard_ppm").desc(), "user_a", "user_b"
     ).limit(10)
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 8000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join: revenue by priority for orders whose
+    customer is a high-balance MACHINERY account. Spark's own runtime
+    bloom injection (`join_dynamic_partition_pruning` pins the
+    built-in path) only fires on its cost heuristics; this query is
+    the ENGINE-GRADE explicit form a 100 TB pipeline uses when it
+    KNOWS the build side is selective: a Bloom filter built
+    DISTRIBUTED with plain aggregates, probed map-side with zero
+    Python and zero shuffle on the big side before any join.
+
+    Build (small side, one tiny shuffle): k=3 positions per key via
+    seeded xxhash64 mod m, word-level `bit_or(shiftleft(1L, bit))`
+    groupBy, densified into ONE array<long> row (m auto-sized from the
+    build-side count at ~20 bits/key — the same count-based dial that
+    fixed `similarity_knn_graph`; the bitset is bounded model state,
+    never corpus data). Probe (big side, map-side only): the 1-row
+    bitset broadcasts; each order tests all 3 bits with
+    element_at/shiftright inside whole-stage codegen. False positives
+    are then removed by the exact broadcast join on the real keys, so
+    the RESULT is exactly the plain join the oracle runs — the bloom
+    only sheds probe rows early. At 100 TB the prefilter drops
+    non-matching rows before the shuffle a non-broadcastable verify
+    join would need, turning shuffle bytes proportional to |probe|
+    into bytes proportional to |hits| + FP."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") > 8000))
+        .select("c_custkey")
+    )
+    # auto-dial: ~20 bits/key, 64-bit words, floor 64 words (4 Kbit)
+    n_keys = max(cust.count(), 1)
+    m_words = 1 << max(6, math.ceil(math.log2(n_keys * 20 / 64 + 1)))
+    m_bits = m_words * 64
+    seeds = (1, 2, 3)
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(s)), F.lit(m_bits))
+            for s in seeds
+        ]
+    )
+    sparse = (
+        cust.select(F.explode(positions).alias("p"))
+        .select(
+            F.expr("p div 64").alias("w"),
+            F.expr("cast(p % 64 as int)").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(1L, b))").alias("word"))
+    )
+    bitset = sparse.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("mp")
+    ).select(
+        F.expr(
+            f"transform(sequence(0L, {m_words - 1}L), i -> coalesce(mp[i], 0L))"
+        ).alias("bits")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    member = " AND ".join(
+        f"(shiftright(element_at(bits, cast(pmod(xxhash64(o_custkey, {s}), {m_bits})"
+        f" div 64 as int) + 1), cast(pmod(xxhash64(o_custkey, {s}), {m_bits}) % 64"
+        f" as int)) & 1) = 1"
+        for s in seeds
+    )
+    prefiltered = orders.crossJoin(F.broadcast(bitset)).where(F.expr(member))
+    return (
+        prefiltered.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "snapshot_diff_bucketed",
+    oracle="""
+    -- the oracle is the SPEC formulation: a plain full-outer diff of
+    -- the two snapshots — a different algorithm than the Spark
+    -- bucket-summary drill-down, so agreement checks the algorithm
+    WITH a AS (
+      SELECT o_orderkey AS okey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderstatus AS status
+      FROM orders),
+    b AS (
+      SELECT okey,
+             CASE WHEN okey % 97 = 0 THEN price + 100.00 ELSE price END AS price,
+             status
+      FROM a WHERE okey % 101 <> 0
+      UNION ALL
+      SELECT okey + 100000000, price, 'N' FROM a WHERE okey % 103 = 0)
+    SELECT CASE WHEN b.okey IS NULL THEN 'D'
+                WHEN a.okey IS NULL THEN 'I'
+                ELSE 'M' END AS kind,
+           COALESCE(a.okey, b.okey) AS okey,
+           CAST(a.price AS DOUBLE) AS old_price,
+           CAST(b.price AS DOUBLE) AS new_price
+    FROM a FULL OUTER JOIN b ON a.okey = b.okey
+    WHERE a.okey IS NULL OR b.okey IS NULL
+       OR a.price <> b.price OR a.status <> b.status
+    ORDER BY kind, okey
+    """,
+)
+def snapshot_diff_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy snapshot reconciliation: diff two table snapshots
+    (B = A with deterministic deletes/updates/inserts derived in-plan)
+    WITHOUT full-outer-joining the whole corpus — the replica-repair /
+    migration-audit pattern for 100 TB tables. Phase 1 reduces each
+    side to a 4096-row bucket summary (count + bit_xor + exact decimal
+    sum of a canonical per-row xxhash64) — one map-side-combined
+    shuffle per side, summary size independent of corpus size. Phase 2
+    full-outer-joins the two TINY summaries and keeps only mismatched
+    buckets. Phase 3 broadcast-SEMI-joins each side down to the dirty
+    buckets and full-outer-joins ONLY those rows on the key to emit
+    the exact row-level diff (insert / delete / modify with old and
+    new price). At 100 TB with a 0.01% drift, phase 3 shuffles ~0.04%
+    of the corpus instead of 200 TB; the two summary aggregations are
+    scans. The row hash is internal to Spark (the DuckDB oracle
+    computes the diff directly); a bucket whose xor AND decimal-sum
+    AND count all collide would be missed — probability ~2^-64 per
+    bucket, and deterministic on a given dataset (hash-green means no
+    collision at this scale). Clean buckets are never expanded."""
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b = (
+        a.where("okey % 101 <> 0")
+        .select(
+            "okey",
+            F.expr(
+                "CASE WHEN okey % 97 = 0 THEN price + 100.00 ELSE price END"
+            ).alias("price"),
+            "status",
+        )
+        .unionAll(
+            a.where("okey % 103 = 0").select(
+                (F.col("okey") + 100000000).alias("okey"),
+                F.col("price").cast("decimal(19,2)").alias("price"),
+                F.lit("N").alias("status"),
+            )
+        )
+    )
+    rowhash = F.xxhash64(
+        F.concat_ws(
+            "|",
+            F.col("okey"),
+            F.col("price").cast("decimal(18,2)").cast("string"),
+            F.col("status"),
+        )
+    )
+    bucket = F.pmod(F.xxhash64(F.col("okey")), F.lit(4096)).cast("int")
+
+    def summarize(side: DataFrame) -> DataFrame:
+        return (
+            side.select(bucket.alias("bucket"), rowhash.alias("rh"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.expr("bit_xor(rh)").alias("hx"),
+                F.sum(F.col("rh").cast("decimal(38,0)")).alias("hs"),
+            )
+        )
+
+    sa, sb = summarize(a), summarize(b)
+    dirty = (
+        sa.alias("sa")
+        .join(sb.alias("sb"), "bucket", "full_outer")
+        .where(
+            ~F.col("sa.cnt").eqNullSafe(F.col("sb.cnt"))
+            | ~F.col("sa.hx").eqNullSafe(F.col("sb.hx"))
+            | ~F.col("sa.hs").eqNullSafe(F.col("sb.hs"))
+        )
+        .select("bucket")
+    )
+    a_dirty = a.withColumn("bucket", bucket).join(
+        F.broadcast(dirty), "bucket", "left_semi"
+    )
+    b_dirty = b.withColumn("bucket", bucket).join(
+        F.broadcast(dirty), "bucket", "left_semi"
+    )
+    al, bl = a_dirty.alias("al"), b_dirty.alias("bl")
+    return (
+        al.join(bl, F.col("al.okey") == F.col("bl.okey"), "full_outer")
+        .where(
+            F.col("al.okey").isNull()
+            | F.col("bl.okey").isNull()
+            | (F.col("al.price") != F.col("bl.price"))
+            | (F.col("al.status") != F.col("bl.status"))
+        )
+        .select(
+            F.when(F.col("bl.okey").isNull(), "D")
+            .when(F.col("al.okey").isNull(), "I")
+            .otherwise("M")
+            .alias("kind"),
+            F.coalesce(F.col("al.okey"), F.col("bl.okey")).alias("okey"),
+            F.col("al.price").cast("double").alias("old_price"),
+            F.col("bl.price").cast("double").alias("new_price"),
+        )
+        .orderBy("kind", "okey")
+    )

@@ -874,3 +874,36 @@ def test_trajectory_topk_heap_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_probe_is_mapside(spark):
+    # the explicit bloom probe must be a map-side Filter on the big
+    # side (element_at/shiftright against the broadcast 1-row bitset)
+    # BEFORE the exact join — the probe side contributes zero
+    # exchanges beyond the final aggregation, and the bloom build's
+    # only shuffles are on the tiny filtered build side
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert "shiftright(element_at(bits" in plan
+    assert "CartesianProduct" not in plan
+    # exact verify stays a broadcast join; the probe scan is never
+    # shuffled before the partial aggregation
+    assert "BroadcastHashJoin" in plan
+    # between the bitset cross-join and the orders scan: only the
+    # pushed filter — no shuffle touches the probe side pre-join
+    probe_section = plan.split("BroadcastNestedLoopJoin")[1].split("FileScan")[0]
+    assert "Exchange" not in probe_section
+    # whole query: exactly 2 hash exchanges — the build side's word
+    # groupBy and the final partial-aggregated groupBy (probe side
+    # contributes none of its own)
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_snapshot_diff_expands_only_dirty_buckets(spark):
+    # phase-3 row recovery must be gated by a broadcast SEMI join on
+    # the dirty-bucket list (both sides), and the summaries must carry
+    # all three fingerprints (count / bit_xor / exact decimal sum)
+    plan = plan_of(spark, "snapshot_diff_bucketed")
+    assert plan.count("LeftSemi") >= 2
+    assert "bit_xor" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
