@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import fan_out
+from ..operators.reconcile import bucketed_snapshot_diff
 from ..operators.similarity import _dot_decimal, _dot_double
 from ..sources.tables import load_table, register_views
 from . import dsum, dsum_sql, query
@@ -1399,6 +1400,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR a.price <> b.price OR a.status <> b.status
     ORDER BY kind, okey
     """,
+    hash_deps=(bucketed_snapshot_diff,),
 )
 def snapshot_diff_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy snapshot reconciliation: diff two table snapshots
@@ -1441,61 +1443,13 @@ def snapshot_diff_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    rowhash = F.xxhash64(
-        F.concat_ws(
-            "|",
-            F.col("okey"),
-            F.col("price").cast("decimal(18,2)").cast("string"),
-            F.col("status"),
-        )
-    )
-    bucket = F.pmod(F.xxhash64(F.col("okey")), F.lit(4096)).cast("int")
-
-    def summarize(side: DataFrame) -> DataFrame:
-        return (
-            side.select(bucket.alias("bucket"), rowhash.alias("rh"))
-            .groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.expr("bit_xor(rh)").alias("hx"),
-                F.sum(F.col("rh").cast("decimal(38,0)")).alias("hs"),
-            )
-        )
-
-    sa, sb = summarize(a), summarize(b)
-    dirty = (
-        sa.alias("sa")
-        .join(sb.alias("sb"), "bucket", "full_outer")
-        .where(
-            ~F.col("sa.cnt").eqNullSafe(F.col("sb.cnt"))
-            | ~F.col("sa.hx").eqNullSafe(F.col("sb.hx"))
-            | ~F.col("sa.hs").eqNullSafe(F.col("sb.hs"))
-        )
-        .select("bucket")
-    )
-    a_dirty = a.withColumn("bucket", bucket).join(
-        F.broadcast(dirty), "bucket", "left_semi"
-    )
-    b_dirty = b.withColumn("bucket", bucket).join(
-        F.broadcast(dirty), "bucket", "left_semi"
-    )
-    al, bl = a_dirty.alias("al"), b_dirty.alias("bl")
-    return (
-        al.join(bl, F.col("al.okey") == F.col("bl.okey"), "full_outer")
-        .where(
-            F.col("al.okey").isNull()
-            | F.col("bl.okey").isNull()
-            | (F.col("al.price") != F.col("bl.price"))
-            | (F.col("al.status") != F.col("bl.status"))
-        )
-        .select(
-            F.when(F.col("bl.okey").isNull(), "D")
-            .when(F.col("al.okey").isNull(), "I")
-            .otherwise("M")
-            .alias("kind"),
-            F.coalesce(F.col("al.okey"), F.col("bl.okey")).alias("okey"),
-            F.col("al.price").cast("double").alias("old_price"),
-            F.col("bl.price").cast("double").alias("new_price"),
-        )
-        .orderBy("kind", "okey")
-    )
+    # normalize the B union's price to the canonical decimal(18,2) so
+    # the operator's string-projection row hash is encoding-stable
+    b = b.select("okey", F.col("price").cast("decimal(18,2)").alias("price"), "status")
+    diff = bucketed_snapshot_diff(a, b, "okey", ["price", "status"])
+    return diff.select(
+        "kind",
+        "okey",
+        F.col("old_price").cast("double").alias("old_price"),
+        F.col("new_price").cast("double").alias("new_price"),
+    ).orderBy("kind", "okey")

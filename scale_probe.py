@@ -281,6 +281,55 @@ def main() -> None:
     print(json.dumps({"case": "pipeline_crawl_to_shards",
                       **results["pipeline_crawl_to_shards"]}), flush=True)
 
+    # --- bespoke case: snapshot diff, FIXED drift, K× corpus ------------
+    # operators/reconcile.py::bucketed_snapshot_diff. The drift is held
+    # CONSTANT (~512 keys in the low key range, independent of K) while
+    # the corpus grows K× — the scale claim under test: phase 1/2 are
+    # linear scans producing 4096-row summaries, and phase 3 (the only
+    # join that touches rows) expands ONLY the ≤512 dirty buckets, so
+    # total time grows ≲ K (scan-bound) with NO corpus-sized join.
+    from datafusion_functions_variant_spark.operators.reconcile import (
+        bucketed_snapshot_diff,
+    )
+
+    orders0 = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+    def snapshot_diff_fixed_drift(a):
+        # deletes: okey in [0,256); modifies: okey in [256,512) — the
+        # replicated key space is okey*k+rep, so the sub-512 range
+        # always holds ~512 keys total regardless of K
+        b = a.where("okey >= 256").select(
+            "okey",
+            F.expr(
+                "cast(CASE WHEN okey < 512 THEN price + 100.00 ELSE price END"
+                " as decimal(18,2))"
+            ).alias("price"),
+            "status",
+        )
+        diff = bucketed_snapshot_diff(a, b, "okey", ["price", "status"])
+        return diff.agg(F.count(F.lit(1)), F.count_distinct("kind"))
+
+    per_k = {}
+    for k in KS:
+        rep = replicate(orders0, k, "okey")
+        samples = []
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            snapshot_diff_fixed_drift(rep).collect()
+            if i:
+                samples.append(time.perf_counter() - t0)
+        per_k[k] = round(sorted(samples)[len(samples) // 2], 3)
+    results["snapshot_diff_fixed_drift"] = {
+        "per_k": per_k,
+        "growth_8x": round(per_k[KS[-1]] / per_k[KS[0]], 2),
+    }
+    print(json.dumps({"case": "snapshot_diff_fixed_drift",
+                      **results["snapshot_diff_fixed_drift"]}), flush=True)
+
     for label, bits_of in (
         ("knn_graph_fixed_bits", lambda k: 8),
         ("knn_graph_scaled_bits", lambda k: 8 + max(0, k.bit_length() - 1)),
