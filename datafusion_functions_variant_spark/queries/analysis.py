@@ -1232,3 +1232,128 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_mad_histogram",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM hist GROUP BY 1),
+    cum AS (SELECT h.event_type, h.cents, t.n,
+                   SUM(h.cnt) OVER (PARTITION BY h.event_type
+                                    ORDER BY h.cents) AS cum
+            FROM hist h JOIN tot t USING (event_type)),
+    med AS (SELECT event_type, MIN(n) AS n, MIN(cents) AS med_cents
+            FROM cum WHERE cum >= (n + 1) // 2 GROUP BY event_type),
+    dh AS (SELECT h.event_type, ABS(h.cents - m.med_cents) AS dev,
+                  CAST(SUM(h.cnt) AS BIGINT) AS dcnt
+           FROM hist h JOIN med m USING (event_type) GROUP BY 1, 2),
+    dcum AS (SELECT d.event_type, d.dev, m.n, m.med_cents,
+                    SUM(d.dcnt) OVER (PARTITION BY d.event_type
+                                      ORDER BY d.dev) AS cum
+             FROM dh d JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, MIN(n) AS n, MIN(med_cents) AS med_cents,
+                   MIN(dev) AS mad_cents
+            FROM dcum WHERE cum >= (n + 1) // 2 GROUP BY event_type)
+    SELECT h.event_type, m.n, m.med_cents, m.mad_cents,
+           CAST(COALESCE(SUM(CASE WHEN ABS(h.cents - m.med_cents)
+                                       > 5 * m.mad_cents
+                                  THEN h.cnt END), 0) AS BIGINT) AS n_outliers
+    FROM hist h JOIN mad m USING (event_type)
+    GROUP BY 1, 2, 3, 4 ORDER BY h.event_type
+    """,
+)
+def stats_mad_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier statistics — exact weighted MEDIAN,
+    MAD (median absolute deviation), and |x−med| > 5·MAD outlier
+    counts — via HISTOGRAM REDUCTION, the scale path for holistic
+    aggregates over low-cardinality groups. `events_anomaly_zscore`
+    (mean/σ) is distorted by the very outliers it hunts; the median/
+    MAD center-spread pair is the robust standard (5·MAD ≈ 3.37σ on
+    normal data).
+
+    Why not `median()` per group or a window sort: event_type has ~5
+    distinct values, so any per-group sort/percentile shuffles the
+    whole corpus onto ~5 reducers — the skew wall at 100 TB. Instead
+    ONE map-side-combined groupBy reduces the corpus to a (group,
+    cents) histogram bounded by the VALUE DOMAIN (≤ ~50k rows/group
+    forever, regardless of corpus size); the weighted lower-median is
+    then a cumulative-sum window over that compact table, the
+    deviation histogram derives from the same hist rows (never
+    re-scanning events), and the outlier count is a weighted sum over
+    hist — identical Exchange subtrees collapse via ReuseExchange.
+    All arithmetic is integer cents (FLOOR(value·100) — floor of a
+    double is engine-exact where round-half modes are not), so every
+    emitted number hash-matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = hist.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
+        F.broadcast(tot), "event_type"
+    )
+    med = (
+        cum.where(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("n").alias("n"), F.min("cents").alias("med_cents"))
+    )
+    dh = (
+        hist.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("event_type", "dev")
+        .agg(F.sum("cnt").cast("long").alias("dcnt"))
+    )
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mad = (
+        dh.withColumn("cum", F.sum("dcnt").over(wd))
+        .join(F.broadcast(med), "event_type")
+        .where(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("med_cents").alias("med_cents"),
+            F.min("dev").alias("mad_cents"),
+        )
+    )
+    return (
+        hist.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med_cents", "mad_cents")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("cents") - F.col("med_cents"))
+                        > 5 * F.col("mad_cents"),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .orderBy("event_type")
+    )

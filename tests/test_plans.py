@@ -907,3 +907,20 @@ def test_snapshot_diff_expands_only_dirty_buckets(spark):
     assert "bit_xor" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_histogram_reduces_corpus_before_windows(spark):
+    # the holistic median/MAD must be computed from the (group, cents)
+    # histogram: corpus-side partial aggregation present, events scan
+    # pruned to exactly the two needed columns, and NO native sort-based
+    # holistic aggregate (percentile/median) anywhere — the windows run
+    # over the domain-bounded hist, never the raw corpus
+    plan = plan_of(spark, "stats_mad_histogram")
+    assert "partial_count(1)" in plan
+    scans = [s for s in plan.split("FileScan parquet ")[1:] if "events.parquet" in s]
+    assert scans
+    assert all(
+        "ReadSchema: struct<event_type:string,value:double>" in s for s in scans
+    )
+    assert "percentile" not in plan
+    assert "median" not in plan
