@@ -1357,3 +1357,57 @@ def stats_mad_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "text_phrase_search",
+    oracle="""
+    -- the oracle is the naive formulation: scan every token of every
+    -- document and test adjacency in place — a different algorithm
+    -- than the Spark postings-join, so agreement checks the algorithm
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_occurrences
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+      WHERE tk[CAST(i AS INT)] = 'table' AND tk[CAST(i AS INT) + 1] = 'scan'
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM hits ORDER BY doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("table scan") via a positional inverted
+    index — the IR operator a LIKE-scan cannot provide at 100 TB.
+    `text_inverted_index` / `text_bm25_search` rank by bag-of-words;
+    phrase queries need token POSITIONS and an adjacency join.
+
+    Spark-first shape: one corpus scan posexplodes to (doc, pos,
+    term), immediately filtered to the postings of the two phrase
+    terms (the filter sits inside the same codegen stage as the
+    Generate, so only the phrase terms' postings — a tiny fraction of
+    all tokens — survive to the shuffle); occurrences are an equi-join
+    of the two postings lists on (doc_id, pos+1 = pos). Overlapping
+    occurrences count correctly (each adjacency is its own postings
+    pair). At 100 TB with a persisted positional index this probe
+    touches ONLY the phrase terms' postings buckets — the same
+    persisted-index discipline as `dedup_incremental_bucketed_index`;
+    here the index build is in-plan because the corpus is the input.
+    The oracle tests every adjacent token pair per document instead —
+    a different algorithm confirming the same answer."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    first = toks.where(F.col("term") == "table").select(
+        "doc_id", (F.col("pos") + 1).alias("adj")
+    )
+    second = toks.where(F.col("term") == "scan").select(
+        "doc_id", F.col("pos").alias("adj")
+    )
+    return (
+        first.join(second, ["doc_id", "adj"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )

@@ -414,3 +414,77 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "table_analyze_stats",
+    oracle="""
+    SELECT 'l_orderkey' AS col_name,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_suppkey) AS BIGINT),
+           CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+           strftime(MIN(l_shipdate), '%Y-%m-%d'),
+           strftime(MAX(l_shipdate), '%Y-%m-%d')
+    FROM lineitem
+    ORDER BY col_name
+    """,
+)
+def table_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-pass column statistics — exact NDV, null count, min,
+    max per column — the stats a cost-based optimizer (join ordering,
+    broadcast decisions) and a data-quality gate both need, computed in
+    ONE scan of the fact table. Multiple exact COUNT(DISTINCT)s in one
+    aggregate compile to a single Expand pass (one scan fanned out per
+    distinct-column, partially de-duplicated map-side BEFORE the
+    shuffle — the standard multi-distinct plan); the oracle re-scans
+    per column instead (four scans), so agreement cross-checks the
+    Expand rewrite. The single stats row is then unpivoted driver-free
+    with stack(). At 100 TB you'd swap exact NDV for
+    approx_count_distinct (one pass, no Expand — `approx_distinct_users`
+    pins that path) or run per-partition ANALYZE incrementally; min/max
+    and null counts come from parquet footers for free
+    (`source_parquet_stats_audit` proves the footer path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = li.agg(
+        F.count_distinct("l_orderkey").alias("ndv_ok"),
+        (F.count(F.lit(1)) - F.count("l_orderkey")).alias("nn_ok"),
+        F.min("l_orderkey").cast("string").alias("mn_ok"),
+        F.max("l_orderkey").cast("string").alias("mx_ok"),
+        F.count_distinct("l_suppkey").alias("ndv_sk"),
+        (F.count(F.lit(1)) - F.count("l_suppkey")).alias("nn_sk"),
+        F.min("l_suppkey").cast("string").alias("mn_sk"),
+        F.max("l_suppkey").cast("string").alias("mx_sk"),
+        F.count_distinct("l_returnflag").alias("ndv_rf"),
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("nn_rf"),
+        F.min("l_returnflag").alias("mn_rf"),
+        F.max("l_returnflag").alias("mx_rf"),
+        F.count_distinct("l_shipdate").alias("ndv_sd"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("nn_sd"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("mn_sd"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("mx_sd"),
+    )
+    return one.select(
+        F.expr(
+            "stack(4,"
+            " 'l_orderkey', ndv_ok, nn_ok, mn_ok, mx_ok,"
+            " 'l_suppkey', ndv_sk, nn_sk, mn_sk, mx_sk,"
+            " 'l_returnflag', ndv_rf, nn_rf, mn_rf, mx_rf,"
+            " 'l_shipdate', ndv_sd, nn_sd, mn_sd, mx_sd)"
+            " AS (col_name, ndv, n_nulls, min_val, max_val)"
+        )
+    ).orderBy("col_name")

@@ -924,3 +924,24 @@ def test_mad_histogram_reduces_corpus_before_windows(spark):
     )
     assert "percentile" not in plan
     assert "median" not in plan
+
+
+def test_phrase_search_joins_postings_not_corpus(spark):
+    # the term filters must apply in the same stage as the Generate
+    # (only the two phrase terms' postings reach the join), and the
+    # adjacency join is an equi-join — never a cartesian/NL shape
+    plan = plan_of(spark, "text_phrase_search")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # postings filter visible between Generate and the join
+    assert "term#" in plan and ("= table" in plan or "(term#" in plan)
+
+
+def test_analyze_stats_is_one_scan_with_expand(spark):
+    # four exact count-distincts in one aggregate: lineitem scanned
+    # ONCE, Expand fans the rows per distinct column (the oracle scans
+    # four times — agreement cross-checks the rewrite)
+    plan = formatted(spark, "table_analyze_stats")
+    assert plan.count("lineitem.parquet") == 1
+    raw = plan_of(spark, "table_analyze_stats")
+    assert "Expand" in raw
