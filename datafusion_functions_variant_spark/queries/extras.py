@@ -1453,3 +1453,68 @@ def snapshot_diff_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_price").cast("double").alias("old_price"),
         F.col("new_price").cast("double").alias("new_price"),
     ).orderBy("kind", "okey")
+
+
+@query(
+    "timeseries_ohlc_bars",
+    oracle="""
+    SELECT event_type, strftime(ts_day, '%Y-%m-%d') AS day,
+           arg_min(value, sk) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           arg_max(value, sk) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT event_type, value, CAST(ts AS DATE) AS ts_day,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk
+      FROM events)
+    GROUP BY event_type, ts_day
+    ORDER BY event_type, day
+    """,
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — per (series, day): the value at the
+    earliest event (open), max (high), min (low), and the value at the
+    latest event (close) — the financial/telemetry rollup every
+    timeseries store ships.
+
+    The scale decision is HOW first/last are computed: min_by/max_by
+    are ALGEBRAIC aggregates (each partition keeps one champion row,
+    partials merge associatively — plan-pinned partial_min_by below
+    the single exchange), so the shuffle moves one champion per
+    (group × map partition), NEVER the events. The naive formulation
+    (row_number() OVER (PARTITION BY type, day ORDER BY ts) = 1)
+    shuffles every event to its (skewed, low-cardinality) group and
+    sorts by TIME inside it. Ties break on a zero-padded
+    (epoch_us, event_id) string key — globally unique and identically
+    ordered in both engines, so the champion is deterministic; the
+    string champion buffer makes Spark pick SortAggregate (group-key
+    run sort, not a time sort — HashAggregate needs fixed-width
+    buffers, and no 64-bit packing of (micros, id) is overflow-safe at
+    100 TB; a latency-critical path would chain two HashAggregates,
+    (group, micros) then (group), trading a second small exchange for
+    the run sort). Values are SELECTED, never accumulated — no
+    float-sum drift; n is the only arithmetic aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            sk.alias("sk"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("min_by(value, sk)").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.expr("max_by(value, sk)").alias("close_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type", "day")
+    )

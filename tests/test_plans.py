@@ -945,3 +945,20 @@ def test_analyze_stats_is_one_scan_with_expand(spark):
     assert plan.count("lineitem.parquet") == 1
     raw = plan_of(spark, "table_analyze_stats")
     assert "Expand" in raw
+
+
+def test_ohlc_bars_is_one_combined_aggregate_not_window(spark):
+    # min_by/max_by champions build in ONE map-side-combined groupBy:
+    # partial champions BELOW the single exchange (the shuffle moves
+    # one champion per group per map partition, never the events), and
+    # no Window/time-sort anywhere (the row_number formulation would
+    # shuffle every event to its group and sort by ts inside it)
+    plan = plan_of(spark, "timeseries_ohlc_bars")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    below = plan.split("Exchange hashpartitioning")[1]
+    assert "partial_min_by" in below
+    # the only sorts are group-key run sorts for SortAggregate — never
+    # a sort keyed by the time/tiebreak column
+    assert "Sort [sk#" not in plan and "sk# ASC" not in plan
