@@ -1518,3 +1518,76 @@ def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "udtf_table_partitioned",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 + COALESCE(SUM(CASE WHEN gap_us > 3600000000 THEN 1 END), 0)
+                AS BIGINT) AS n_sessions,
+           CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def udtf_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic UDTF over a PARTITIONED TABLE argument —
+    ``SELECT * FROM gap_stats(TABLE(v) PARTITION BY user_id ORDER BY
+    ...)`` — the API for arbitrary per-group stateful logic (complex
+    sessionization state machines, order-dependent dedup) when window
+    functions genuinely can't express it. Here the logic (per-user
+    event count, session count under a 1-hour idle gap, max gap) IS
+    window-expressible — which is exactly what makes it verifiable:
+    the oracle runs the lag()-window formulation, so the driver hash
+    proves the UDTF partition/order contract (each eval sees one whole
+    user, rows in (ts, event_id) order) end-to-end.
+
+    Scale: PARTITION BY user_id shuffles by a HIGH-cardinality key
+    (millions of users — even parallelism, unlike event_type), state
+    per group is three integers, and the UDTF emits one row per user.
+    Row-based Python is the slow path (docstring rule: reach for it
+    only when built-ins can't express the semantics); the win it buys
+    is generality, and the cost stays bounded because heavy lifting
+    (ordering, grouping) happens JVM-side before Python sees a row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, n_sessions bigint, max_gap_us bigint")
+    class GapStats:
+        def __init__(self):
+            self.user = None
+            self.prev_us = None
+            self.n = 0
+            self.sessions = 1
+            self.max_gap = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            us = row["us"]
+            if self.prev_us is not None:
+                gap = us - self.prev_us
+                if gap > 3_600_000_000:
+                    self.sessions += 1
+                if gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev_us = us
+
+        def terminate(self):
+            if self.n:
+                yield self.user, self.n, self.sessions, self.max_gap
+
+    spark.udtf.register("gap_stats", GapStats)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    ev.createOrReplaceTempView("_gap_events")
+    return spark.sql(
+        "SELECT * FROM gap_stats(TABLE(_gap_events)"
+        " PARTITION BY user_id ORDER BY (us, event_id)) ORDER BY user_id"
+    )
