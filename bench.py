@@ -95,6 +95,17 @@ HEADLINE = [
     # (SCALE.md: 0.73x flat at 8x); now a recorded BENCH number in
     # both columns (VERDICT r6 ask #5)
     "pipeline_crawl_to_shards",
+    # round 7 (session 4): explicit bloom prefilter — build side and m
+    # auto-size with the corpus, probe stays map-side; expected ~linear
+    # in both columns
+    "join_bloom_prefilter",
+    # round 7 (session 4): bucketed snapshot reconciliation. NOTE the
+    # in-query drift is PROPORTIONAL (okey % 97/101/103), so at the 10x
+    # point the diff itself is 10x and most buckets are dirty — this
+    # measures the operator under linear drift (expected ~linear); the
+    # FIXED-drift flat curve (512 rows at every K) is SCALE.md's
+    # snapshot_diff_fixed_drift probe
+    "snapshot_diff_bucketed",
 ]
 
 #: reported per-query but EXCLUDED from the summed total: the probe is

@@ -2435,3 +2435,111 @@ def pipeline_media_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width", "height", "shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (community detection) over the same
+# candidate graph — integer-exact mode updates with min-label
+# tie-break, so the unrolled oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _register_lpa() -> None:
+    from ..operators import dedup
+    from .llmdata import _SIGS_CTE
+
+    def _lpa_oracle() -> str:
+        its = []
+        prev = "it0"
+        for i in range(1, _LPA_ITERS + 1):
+            its.append(
+                f"""it{i} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, r.label AS label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, r.label) AS rn
+        FROM edges e JOIN {prev} r ON r.node = e.src
+        GROUP BY e.dst, r.label) WHERE rn = 1
+    )"""
+            )
+            prev = f"it{i}"
+        return f"""
+    WITH {_SIGS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM candidates
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM candidates
+    ),
+    it0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {', '.join(its)}
+    SELECT node AS doc_id, CAST(label AS BIGINT) AS community
+    FROM {prev} ORDER BY doc_id
+    """
+
+    def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Community detection by synchronous label propagation (3
+        iterations) over the undirected MinHash-LSH candidate graph —
+        the near-linear community algorithm (Raghavan et al.) that
+        groups near-dup neighborhoods WITHOUT the transitive-closure
+        collapse of connected components (CC merges chains; LPA keeps
+        densely-linked cliques together and lets weak bridges split).
+        Completes the graph-analytics family: components (reach),
+        PageRank (centrality), triangles (cohesion), LPA (community).
+
+        Determinism, the classic LPA weakness, is engineered out: the
+        update is the exact MODE of neighbor labels with ties broken
+        by SMALLEST label — in-plan as min(struct(-count, label)), a
+        pure integer champion aggregate — and iterations are
+        synchronous, so the unrolled-window oracle agrees bit-for-bit.
+
+        Scale shape: each iteration is one shuffle join on src + one
+        (node, label) groupBy + one champion aggregate per node —
+        O(iters) bounded rounds, state is one (node, label) row per
+        node, and the edge set / each iteration's state are eagerly
+        localCheckpoint'ed (operators/graph.py discipline: edges'
+        lineage is the whole LSH pipeline; untruncated, every
+        iteration would re-embed it)."""
+        docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+        sigs = dedup.minhash_signatures_text(
+            docs, "text", "doc_id", n=8, num_hashes=8
+        )
+        pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2)
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .union(
+                pairs.select(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        state = edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        for _ in range(_LPA_ITERS):
+            votes = (
+                edges.join(state, edges["src"] == state["node"])
+                .select("dst", "label")
+                .groupBy("dst", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            state = (
+                votes.groupBy("dst")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                    ).alias("m")
+                )
+                .select(F.col("dst").alias("node"), F.col("m.label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+        return state.select(
+            F.col("node").alias("doc_id"), F.col("label").cast("long").alias("community")
+        ).orderBy("doc_id")
+
+    query("graph_label_propagation", oracle=_lpa_oracle())(graph_label_propagation)
+
+
+_register_lpa()

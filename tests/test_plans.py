@@ -962,3 +962,15 @@ def test_ohlc_bars_is_one_combined_aggregate_not_window(spark):
     # the only sorts are group-key run sorts for SortAggregate — never
     # a sort keyed by the time/tiebreak column
     assert "Sort [sk#" not in plan and "sk# ASC" not in plan
+
+
+def test_lpa_iterations_read_checkpoints_not_lsh_pipeline(spark):
+    # each LPA iteration must consume the localCheckpoint'ed edge/state
+    # RDDs — the executed plan of the returned frame contains Scan
+    # ExistingRDD nodes and does NOT re-embed the minhash/LSH pipeline
+    # (no posexplode/Generate, no documents scan)
+    plan = plan_of(spark, "graph_label_propagation")
+    assert "ExistingRDD" in plan
+    assert "documents.parquet" not in plan
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
