@@ -1591,3 +1591,68 @@ def udtf_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM gap_stats(TABLE(_gap_events)"
         " PARTITION BY user_id ORDER BY (us, event_id)) ORDER BY user_id"
     )
+
+
+@query(
+    "supplier_shipping_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT l_suppkey,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS d
+      FROM lineitem),
+    isl AS (
+      SELECT l_suppkey, d,
+             d - ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY d) AS anchor
+      FROM days),
+    streaks AS (
+      SELECT l_suppkey, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2)
+    SELECT l_suppkey,
+           CAST(SUM(len) AS BIGINT) AS n_ship_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS max_streak_days
+    FROM streaks GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def supplier_shipping_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per supplier, the CONSECUTIVE-day shipping
+    streaks (active-day count, number of streaks, longest streak) —
+    the canonical runs-of-activity pattern behind retention streaks,
+    uptime runs, and continuous-coverage SLAs, which plain groupBy
+    cannot express (it needs order) and self-joins express at O(n²).
+
+    The island trick stays linear: one distinct (supplier, day) pass,
+    then day − row_number() per supplier is CONSTANT exactly within a
+    consecutive run, so a second groupBy on that anchor materializes
+    the streaks. Scale: the window partitions by l_suppkey — a
+    HIGH-cardinality key (10k/SF suppliers, even spread), so the sort
+    is many small per-supplier runs, and the dominant reduction (the
+    distinct) is map-side combined off the corpus; everything after
+    operates on (supplier × active-day) rows, bounded by the calendar.
+    Integer day arithmetic (days since 1992-01-01) in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    days = (
+        li.select(
+            "l_suppkey",
+            F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("d")
+    isl = days.select(
+        "l_suppkey", "d", (F.col("d") - F.row_number().over(w)).alias("anchor")
+    )
+    streaks = isl.groupBy("l_suppkey", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("l_suppkey")
+        .agg(
+            F.sum("len").cast("long").alias("n_ship_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("max_streak_days"),
+        )
+        .orderBy("l_suppkey")
+    )

@@ -974,3 +974,15 @@ def test_lpa_iterations_read_checkpoints_not_lsh_pipeline(spark):
     assert "documents.parquet" not in plan
     assert "Generate" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_streaks_distinct_reduces_before_window(spark):
+    # the corpus must reduce via the map-side-combined DISTINCT before
+    # the per-supplier window: partial aggregate below the first
+    # exchange, and the window partitions by the high-cardinality
+    # supplier key (never a SinglePartition sort)
+    plan = plan_of(spark, "supplier_shipping_streaks")
+    assert "SinglePartition" not in plan
+    assert "partial" in plan  # map-side combine on the distinct
+    assert "HashAggregate(keys=[l_suppkey" in plan
+    assert "Window" in plan
