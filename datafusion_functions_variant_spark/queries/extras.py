@@ -11,12 +11,12 @@ the DuckDB oracle hash-matches bit-for-bit.
 
 from __future__ import annotations
 
-import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.bloom import bloom_build, bloom_m_bits, bloom_member_sql
 from ..operators.dedup import fan_out
 from ..operators.reconcile import bucketed_snapshot_diff
 from ..operators.similarity import _dot_decimal, _dot_double
@@ -1293,6 +1293,7 @@ def trajectory_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 8000
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    hash_deps=(bloom_build, bloom_member_sql),
 )
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered join: revenue by priority for orders whose
@@ -1323,43 +1324,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") > 8000))
         .select("c_custkey")
     )
-    # auto-dial: ~20 bits/key, 64-bit words, floor 64 words (4 Kbit)
-    n_keys = max(cust.count(), 1)
-    m_words = 1 << max(6, math.ceil(math.log2(n_keys * 20 / 64 + 1)))
-    m_bits = m_words * 64
-    seeds = (1, 2, 3)
-    positions = F.array(
-        *[
-            F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(s)), F.lit(m_bits))
-            for s in seeds
-        ]
-    )
-    sparse = (
-        cust.select(F.explode(positions).alias("p"))
-        .select(
-            F.expr("p div 64").alias("w"),
-            F.expr("cast(p % 64 as int)").alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(shiftleft(1L, b))").alias("word"))
-    )
-    bitset = sparse.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("mp")
-    ).select(
-        F.expr(
-            f"transform(sequence(0L, {m_words - 1}L), i -> coalesce(mp[i], 0L))"
-        ).alias("bits")
-    )
+    # count-based auto-dial (~20 bits/key) — operators/bloom.py
+    m_bits = bloom_m_bits(cust.count())
+    bitset = bloom_build(cust, F.col("c_custkey"), m_bits)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice", "o_orderpriority"
     )
-    member = " AND ".join(
-        f"(shiftright(element_at(bits, cast(pmod(xxhash64(o_custkey, {s}), {m_bits})"
-        f" div 64 as int) + 1), cast(pmod(xxhash64(o_custkey, {s}), {m_bits}) % 64"
-        f" as int)) & 1) = 1"
-        for s in seeds
+    prefiltered = orders.crossJoin(F.broadcast(bitset)).where(
+        F.expr(bloom_member_sql("o_custkey", m_bits))
     )
-    prefiltered = orders.crossJoin(F.broadcast(bitset)).where(F.expr(member))
     return (
         prefiltered.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderpriority")

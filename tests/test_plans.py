@@ -986,3 +986,16 @@ def test_streaks_distinct_reduces_before_window(spark):
     assert "partial" in plan  # map-side combine on the distinct
     assert "HashAggregate(keys=[l_suppkey" in plan
     assert "Window" in plan
+
+
+def test_bloom_prescreen_guards_the_semi_join(spark):
+    # the bloom membership test must sit on the batch side BEFORE the
+    # exact index LeftSemi — bands are shed map-side, and the exact
+    # semi-join still runs (FP removal), so results can't depend on
+    # the bloom
+    plan = plan_of(spark, "dedup_bloom_prescreen")
+    assert "shiftright(element_at(bits" in plan
+    assert "LeftSemi" in plan
+    probe_section = plan.split("LeftSemi")[0]
+    assert "shiftright(element_at(bits" in probe_section
+    assert "CartesianProduct" not in plan
