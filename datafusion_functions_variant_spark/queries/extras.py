@@ -1710,3 +1710,77 @@ def similarity_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.expr("(n_hits * 1000000) div n_exact").alias("recall_ppm"),
     )
+
+
+@query(
+    "scd2_bitemporal_asof",
+    oracle="""
+    WITH versions AS (
+      SELECT o_custkey AS cust,
+             o_orderkey AS ver,
+             CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(o_orderdate AS DATE) + INTERVAL ((o_orderkey % 5)) DAY
+               AS recorded_at,
+             o_totalprice AS balance
+      FROM orders),
+    known AS (
+      SELECT * FROM versions
+      WHERE recorded_at <= DATE '1998-06-01'
+        AND valid_from <= DATE '1998-01-01'),
+    ranked AS (
+      SELECT cust, ver, valid_from, balance,
+             ROW_NUMBER() OVER (PARTITION BY cust
+               ORDER BY valid_from DESC, recorded_at DESC, ver DESC) AS rn
+      FROM known)
+    SELECT cust, ver,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           balance
+    FROM ranked WHERE rn = 1 ORDER BY cust
+    """,
+)
+def scd2_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of: "what did the system BELIEVE on transaction
+    time T (1998-06-01) about each customer's state VALID at time V
+    (1998-01-01)?" — the audit/backtest query `scd2_asof_snapshot`'s
+    single time axis cannot answer (it conflates when a fact was true
+    with when we learned it). Versions derive from orders in-plan:
+    valid_from = order date, recorded_at = order date + a 0-4 day
+    ingestion delay keyed on the order, so late-arriving versions
+    exist by construction and the two axes genuinely disagree.
+
+    Plan: both time predicates are plain pushable filters (at 100 TB
+    on a valid_from-partitioned table they become partition pruning —
+    the scan reads only the pre-V history), then one window
+    rn=1 per customer over the SURVIVING versions picks the latest
+    (valid_from, recorded_at, version) champion — the partition key is
+    the high-cardinality customer, and the heavy reduction (the time
+    filters) happened before the shuffle. Deterministic total
+    tie-break; balance is selected, never accumulated."""
+    o = load_table(spark, sf_dir, "orders")
+    versions = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("ver"),
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.date_add(
+            F.to_date("o_orderdate"), (F.col("o_orderkey") % 5).cast("int")
+        ).alias("recorded_at"),
+        F.col("o_totalprice").alias("balance"),
+    )
+    known = versions.where(
+        (F.col("recorded_at") <= F.lit("1998-06-01").cast("date"))
+        & (F.col("valid_from") <= F.lit("1998-01-01").cast("date"))
+    )
+    w = Window.partitionBy("cust").orderBy(
+        F.col("valid_from").desc(), F.col("recorded_at").desc(), F.col("ver").desc()
+    )
+    return (
+        known.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cust",
+            "ver",
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+            "balance",
+        )
+        .orderBy("cust")
+    )

@@ -999,3 +999,20 @@ def test_bloom_prescreen_guards_the_semi_join(spark):
     probe_section = plan.split("LeftSemi")[0]
     assert "shiftright(element_at(bits" in probe_section
     assert "CartesianProduct" not in plan
+
+
+def test_bitemporal_filters_push_before_window(spark):
+    # both time-axis predicates must reach the scan as data filters
+    # (partition pruning at scale); the window runs on survivors only
+    plan = formatted(spark, "scd2_bitemporal_asof")
+    # the valid_from axis pushes to the scan (Catalyst even rewrites
+    # to_date(ts) <= date into a timestamp range predicate); the
+    # recorded_at axis is a computed column, filtered in the same
+    # codegen stage pre-shuffle
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "LessThan(o_orderdate" in pushed  # 1998-01-02 bound
+    raw = plan_of(spark, "scd2_bitemporal_asof")
+    assert "SinglePartition" not in raw
+    # rn = 1 compiles to WindowGroupLimit — per-partition top-1
+    # pre-aggregation before the window shuffle
+    assert "WindowGroupLimit" in raw
