@@ -1371,3 +1371,101 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "multimodal_png_thumbnail",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CAST(8 + doc_id % 5 AS INT) AS width,
+             CAST(6 + doc_id % 4 AS INT) AS height
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT asset_id,
+           CAST((width + 1) // 2 AS INT) AS thumb_w,
+           CAST((height + 1) // 2 AS INT) AS thumb_h,
+           CAST(SUM((asset_id + 7 * (2 * x.x) + 13 * (2 * y.y)) % 256)
+                AS BIGINT) AS thumb_px_sum
+    FROM assets,
+         LATERAL (SELECT unnest(range((width + 1) // 2)) AS x) x,
+         LATERAL (SELECT unnest(range((height + 1) // 2)) AS y) y
+    GROUP BY 1, 2, 3
+    ORDER BY asset_id
+    """,
+)
+def multimodal_png_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE end-to-end, no PIL: synth PNG → decode →
+    2× nearest-neighbor downsample (pure index sampling at (2x, 2y) —
+    the one resampling kernel that needs no float math) → RE-ENCODE as
+    a new PNG → decode THAT and emit the thumbnail's dims + pixel sum.
+    The round-trip through a second real encode/decode proves the
+    resize output is a valid image, not just an array; the oracle
+    replays the generative formula at the sampled coordinates, so the
+    thumbnail is verified PIXEL-exact. Completes the brief's
+    decode / feature-extract / RESIZE / frame-sample quartet with the
+    resize leg.
+
+    Scale shape: three chained mapInPandas stages (synth → resize →
+    featurize) with NO shuffle between them — payloads live and die
+    inside one partition chain, the mandatory discipline when a "row"
+    is megabytes (plan-pinned: zero exchanges before the final sort).
+    A PIL/libvips thumbnailer drops into the middle stage with the
+    same (asset_id, payload) → (asset_id, payload) signature."""
+    from ..operators import png as pngmod
+
+    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 5, 6 + i % 4
+                pix = bytes(
+                    (i + 7 * x + 13 * y) % 256 for y in range(h) for x in range(w)
+                )
+                payloads.append(pngmod.encode_png(w, h, pix, 1, filter_type=i % 5))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    def thumb(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                d = pngmod.decode_png(bytes(payload))
+                w, h, px = d["width"], d["height"], d["pixels"]
+                tw, th = (w + 1) // 2, (h + 1) // 2
+                small = bytes(
+                    px[(2 * y) * w + (2 * x)] for y in range(th) for x in range(tw)
+                )
+                out.append(pngmod.encode_png(tw, th, small, 1, filter_type=0))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": out})
+
+    def feats(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = pngmod.decode_png(bytes(payload))
+                rows.append(
+                    (int(aid), d["width"], d["height"], sum(d["pixels"]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "thumb_w", "thumb_h", "thumb_px_sum"]
+            )
+
+    assets = ids.mapInPandas(gen, "asset_id long, payload binary")
+    thumbs = assets.mapInPandas(thumb, "asset_id long, payload binary")
+    return (
+        thumbs.mapInPandas(
+            feats, "asset_id long, thumb_w int, thumb_h int, thumb_px_sum long"
+        )
+        .orderBy("asset_id")
+    )

@@ -1016,3 +1016,15 @@ def test_bitemporal_filters_push_before_window(spark):
     # rn = 1 compiles to WindowGroupLimit — per-partition top-1
     # pre-aggregation before the window shuffle
     assert "WindowGroupLimit" in raw
+
+
+def test_png_thumbnail_payload_chain_has_no_shuffle(spark):
+    # synth → resize → featurize are chained mapInPandas stages: image
+    # payloads must never cross an Exchange (only the final tiny sort
+    # of feature rows shuffles)
+    plan = plan_of(spark, "multimodal_png_thumbnail")
+    assert plan.count("MapInPandas") == 3
+    # the only Exchange in the whole plan is the final range
+    # partitioning for the orderBy of the tiny feature rows
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan
