@@ -1219,3 +1219,68 @@ def stream_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "stage")
     )
+
+
+@query(
+    "stream_ohlc_champions",
+    oracle="""
+    -- update-mode revision trace of CHAMPION aggregates: each batch
+    -- re-emits every touched type's RUNNING OHLC bar; champions must
+    -- merge correctly across micro-batch state (a new batch can move
+    -- open/close only by presenting a smaller/larger champion key).
+    WITH ev AS (
+      SELECT event_type, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk,
+             CASE WHEN event_id % 2 = 0 THEN 0
+                  WHEN event_id % 4 = 1 THEN 1 ELSE 2 END AS b
+      FROM events),
+    batches(bn) AS (VALUES (0), (1), (2))
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           arg_min(e.value, e.sk) AS open_v,
+           MAX(e.value) AS high_v,
+           MIN(e.value) AS low_v,
+           arg_max(e.value, e.sk) AS close_v
+    FROM ev e JOIN batches ON e.b <= batches.bn
+    GROUP BY e.event_type, batches.bn
+    ORDER BY event_type, n
+    """,
+)
+def stream_ohlc_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars in UPDATE mode across three micro-batches —
+    the streaming twin of `timeseries_ohlc_bars`, and the pin that
+    CHAMPION aggregates (min_by/max_by) revise correctly through
+    streaming state: each batch merges its partial champions into the
+    store and re-emits the running bar, so the sink's revision trace
+    shows open/close MOVING when a later batch presents an earlier/
+    later (epoch_us, event_id) key — selection state, not just
+    counters, survives micro-batch merges. The oracle regenerates
+    every batch-prefix champion (batches partition events by id
+    parity, the `read_multibatch_events_stream` contract), so all
+    3 revisions per type are value-checked, not just the final bar.
+    Scale: per-group state is four champions + a count — O(groups),
+    independent of stream length."""
+    import os as _os
+
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "events_split_ohlc")
+    st = core.read_multibatch_events_stream(spark, sf_dir, split_dir)
+    sk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = (
+        st.select("event_type", "value", sk.alias("sk"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("min_by(value, sk)").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.expr("max_by(value, sk)").alias("close_v"),
+        )
+    )
+    out = core.run_to_batch(agg, "update")
+    return out.orderBy("event_type", "n")
