@@ -2229,3 +2229,186 @@ def _register_bloom_prescreen() -> None:
 
 
 _register_bloom_prescreen()
+
+
+# ---------------------------------------------------------------------------
+# Embeddings capstone: QC gate → exact canonicalize → bucketed near-dup
+# flag → per-label curation report, one plan.
+# ---------------------------------------------------------------------------
+
+
+def _register_embeddings_capstone() -> None:
+    from ..operators.similarity import _dot_decimal, _dot_double
+
+    def pipeline_embeddings_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The EMBEDDINGS capstone — the vector-side admission cascade
+        a 100 TB multimodal corpus runs before indexing, as ONE plan
+        with per-label stage accounting (the fourth capstone, next to
+        batch text / streaming / media):
+
+        1. QC gate: component-balance check (positive-count within
+           [26, 38] of 64) — catches spiky/degenerate vectors; these
+           embeddings are unit-normalized so a norm gate is vacuous,
+           and the balance count is INTEGER-exact in both engines.
+        2. Exact canonicalize: one groupBy(embedding) collapses
+           duplicate vectors (min vec_id reps, n_dups rides along) —
+           the canonicalize-first discipline that keeps stage 3 off
+           the duplicate mass (`dedup_embedding_cosine_canonical`).
+        3. Near-dup FLAG: 6-bit sign-bucket blocking, exact decimal
+           cosine >= 0.3 within buckets (double prefilter gates the
+           decimal rescore), larger id flagged — a semi-join flag set,
+           never a K² pair dump.
+        4. Report: per label, n_raw → n_gated → n_canon → n_flagged →
+           n_kept. Five integer counts per label, hash-exact.
+
+        Shuffle budget: gate is map-side; canonicalize is ONE
+        map-side-combined exchange on vector bytes; the bucket join
+        runs on canon only; the five stage counts are 10-row
+        aggregates broadcast-joined on label."""
+        emb = dedup.fan_out(load_table(spark, sf_dir, "embeddings"))
+        n_pos = F.expr(
+            "aggregate(embedding, 0, (acc, x) -> acc + IF(x > 0, 1, 0))"
+        )
+        raw = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+        gated = emb.where(n_pos.between(26, 38))
+        gcnt = gated.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias("n_gated")
+        )
+        canon = (
+            gated.groupBy("embedding")
+            .agg(
+                F.min("vec_id").alias("vec_id"),
+                F.min("label").alias("label"),
+                F.count(F.lit(1)).cast("long").alias("n_dups"),
+            )
+            .transform(dedup.fan_out)
+        )
+        ccnt = canon.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias("n_canon")
+        )
+        bucket = sum(
+            (
+                F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(
+                    0
+                )
+            )
+            for i in range(6)
+        ).cast("int")
+        sides = canon.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            F.sqrt(_dot_decimal("embedding", "embedding")).alias("nrm"),
+            bucket.alias("bucket"),
+        )
+        a = sides.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"), "bucket",
+        )
+        b = sides.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"), "bucket",
+        )
+        fast_cos = _dot_double("va", "vb") / (F.col("na") * F.col("nb"))
+        exact_cos = F.round(
+            _dot_decimal("va", "vb") / (F.col("na") * F.col("nb")), 9
+        )
+        flagged_ids = (
+            a.join(b, ["bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(fast_cos >= 0.3 - 1e-6)
+            .where(exact_cos >= 0.3)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+        fcnt = (
+            canon.join(flagged_ids, "vec_id", "left_semi")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_flagged"))
+        )
+        return (
+            raw.join(F.broadcast(gcnt), "label", "left")
+            .join(F.broadcast(ccnt), "label", "left")
+            .join(F.broadcast(fcnt), "label", "left")
+            .select(
+                "label",
+                "n_raw",
+                F.coalesce("n_gated", F.lit(0)).cast("long").alias("n_gated"),
+                F.coalesce("n_canon", F.lit(0)).cast("long").alias("n_canon"),
+                F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+                (
+                    F.coalesce("n_canon", F.lit(0)) - F.coalesce("n_flagged", F.lit(0))
+                ).cast("long").alias("n_kept"),
+            )
+            .orderBy("label")
+        )
+
+    query(
+        "pipeline_embeddings_curation",
+        oracle="""
+    WITH raw AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM embeddings GROUP BY 1),
+    feat AS (
+      SELECT vec_id, label, embedding,
+             SUM(CASE WHEN e[i::INT] > 0 THEN 1 ELSE 0 END) AS n_pos
+      FROM (SELECT vec_id, label, embedding, embedding AS e,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+      GROUP BY vec_id, label, embedding),
+    gated AS (SELECT * FROM feat WHERE n_pos BETWEEN 26 AND 38),
+    gcnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_gated
+             FROM gated GROUP BY 1),
+    canon AS (
+      SELECT embedding, MIN(vec_id) AS vec_id, MIN(label) AS label,
+             CAST(COUNT(*) AS BIGINT) AS n_dups
+      FROM gated GROUP BY embedding),
+    ccnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_canon
+             FROM canon GROUP BY 1),
+    norms AS (
+      SELECT vec_id, embedding,
+             sqrt(CAST(SUM(CAST(CAST(e[i::INT] AS DOUBLE)
+                                * CAST(e[i::INT] AS DOUBLE)
+                                AS DECIMAL(30,15))) AS DOUBLE)) AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)::INT AS bucket
+      FROM (SELECT vec_id, embedding, embedding AS e,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM canon)
+      GROUP BY vec_id, embedding),
+    pairs AS (
+      SELECT id_b,
+             CAST(SUM(CAST(CAST(ea[i::INT] AS DOUBLE)
+                           * CAST(eb[i::INT] AS DOUBLE)
+                           AS DECIMAL(30,15))) AS DOUBLE)
+               / (nrm_a * nrm_b) AS cosine
+      FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.embedding AS ea, b.embedding AS eb,
+                   a.nrm AS nrm_a, b.nrm AS nrm_b,
+                   unnest(range(1, len(a.embedding) + 1)) AS i
+            FROM norms a
+            JOIN norms b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      GROUP BY id_a, id_b, nrm_a, nrm_b),
+    flagged AS (SELECT DISTINCT id_b FROM pairs WHERE ROUND(cosine, 9) >= 0.3),
+    fcnt AS (
+      SELECT c.label, CAST(COUNT(*) AS BIGINT) AS n_flagged
+      FROM canon c JOIN flagged f ON c.vec_id = f.id_b GROUP BY 1)
+    SELECT r.label, r.n_raw,
+           CAST(COALESCE(g.n_gated, 0) AS BIGINT) AS n_gated,
+           CAST(COALESCE(c.n_canon, 0) AS BIGINT) AS n_canon,
+           CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+           CAST(COALESCE(c.n_canon, 0) - COALESCE(f.n_flagged, 0) AS BIGINT)
+             AS n_kept
+    FROM raw r
+    LEFT JOIN gcnt g USING (label)
+    LEFT JOIN ccnt c USING (label)
+    LEFT JOIN fcnt f USING (label)
+    ORDER BY r.label
+    """,
+    )(pipeline_embeddings_curation)
+
+
+_register_embeddings_capstone()

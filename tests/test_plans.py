@@ -1028,3 +1028,16 @@ def test_png_thumbnail_payload_chain_has_no_shuffle(spark):
     # partitioning for the orderBy of the tiny feature rows
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" in plan
+
+
+def test_embeddings_capstone_flags_without_pair_dump(spark):
+    # the near-dup stage must end in a LeftSemi flag (no K² pair
+    # output), the gate must run map-side (no exchange before the
+    # canonicalize groupBy beyond fan_out's round-robin), and no
+    # cartesian/NL anywhere
+    plan = plan_of(spark, "pipeline_embeddings_curation")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # canonicalize is a real map-side-combined aggregate on the vector
+    assert "partial_min" in plan
