@@ -99,6 +99,13 @@ HEADLINE = [
     # auto-size with the corpus, probe stays map-side; expected ~linear
     # in both columns
     "join_bloom_prefilter",
+    # round 7 (session 4): the embeddings capstone (gate → exact
+    # canonicalize → bucketed near-dup flag → per-label report). The
+    # 10x replica corpus makes every vector 10x-duplicated — the
+    # canonicalize stage absorbs the whole inflation before the bucket
+    # join, so the scaled point should stay near-flat (the vector twin
+    # of pipeline_crawl_to_shards' 0.73x)
+    "pipeline_embeddings_curation",
     # round 7 (session 4): bucketed snapshot reconciliation. NOTE the
     # in-query drift is PROPORTIONAL (okey % 97/101/103), so at the 10x
     # point the diff itself is 10x and most buckets are dirty — this
