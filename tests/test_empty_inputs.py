@@ -133,3 +133,52 @@ def test_lsh_pairs_with_observation_empty(spark):
                            n_overflow_buckets=0, max_bucket_size=None)
     assert got["n_buckets"] == 0
     assert got["max_bucket_size"] is None
+
+
+def test_bloom_empty_build_side(spark):
+    """A bloom built from ZERO keys must be all-zero bits (every probe
+    misses) — the first-run edge of the prescreen path."""
+    from datafusion_functions_variant_spark.operators import bloom
+
+    keys = _empty_docs(spark).select("doc_id")
+    m = bloom.bloom_m_bits(0)
+    bits = bloom.bloom_build(keys, F.col("doc_id"), m)
+    probe = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .crossJoin(F.broadcast(bits))
+        .where(F.expr(bloom.bloom_member_sql("doc_id", m)))
+    )
+    assert probe.count() == 0
+
+
+def test_snapshot_diff_identical_sides(spark):
+    """Identical snapshots diff to ZERO rows — and no bucket is ever
+    expanded (the dirty list itself is empty)."""
+    from datafusion_functions_variant_spark.operators.reconcile import (
+        bucketed_snapshot_diff,
+    )
+
+    a = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    assert bucketed_snapshot_diff(a, a, "okey", ["price"]).count() == 0
+
+
+def test_snapshot_diff_empty_vs_full(spark):
+    """Empty-vs-full degenerates to 'everything inserted' — count
+    equals the full side, all kind 'I'."""
+    from datafusion_functions_variant_spark.operators.reconcile import (
+        bucketed_snapshot_diff,
+    )
+
+    full = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    empty = full.where(F.lit(False))
+    diff = bucketed_snapshot_diff(empty, full, "okey", ["price"])
+    n_full = full.count()
+    rows = diff.groupBy("kind").count().collect()
+    assert len(rows) == 1 and rows[0]["kind"] == "I" and rows[0]["count"] == n_full
