@@ -792,3 +792,66 @@ def test_curriculum_stages_are_balanced_ordered_partition(spark):
     for lo, hi in zip(rows, rows[1:]):
         assert lo["max_tokens"] <= hi["min_tokens"]
         assert lo["min_tokens"] <= lo["max_tokens"]
+
+
+def test_snapshot_diff_matches_naive_full_outer(spark):
+    """Random drift of every kind (delete / modify / insert) on seeded
+    random snapshots: the bucket-summary drill-down must emit EXACTLY
+    the rows a brute-force full-outer diff emits — including runs with
+    zero drift of some kind and buckets holding multiple diffs."""
+    from datafusion_functions_variant_spark.operators.reconcile import (
+        bucketed_snapshot_diff,
+    )
+
+    rng = random.Random(23)
+    a_rows = [(i, float(rng.randrange(100, 999))) for i in range(300)]
+    b_rows = []
+    for k, v in a_rows:
+        r = rng.random()
+        if r < 0.1:
+            continue  # deleted
+        if r < 0.25:
+            b_rows.append((k, v + 11.0))  # modified
+        else:
+            b_rows.append((k, v))
+    b_rows += [(1000 + i, float(i)) for i in range(17)]  # inserted
+    a = spark.createDataFrame(a_rows, ["k", "v"]).repartition(8)
+    b = spark.createDataFrame(b_rows, ["k", "v"]).repartition(8)
+
+    # small n_buckets so dirty buckets carry several diffs each
+    got = {
+        (r.kind, r.k, r.old_v, r.new_v)
+        for r in bucketed_snapshot_diff(a, b, "k", ["v"], n_buckets=16).collect()
+    }
+    amap, bmap = dict(a_rows), dict(b_rows)
+    naive = set()
+    for k in set(amap) | set(bmap):
+        if k not in bmap:
+            naive.add(("D", k, amap[k], None))
+        elif k not in amap:
+            naive.add(("I", k, None, bmap[k]))
+        elif amap[k] != bmap[k]:
+            naive.add(("M", k, amap[k], bmap[k]))
+    assert got == naive
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every inserted key MUST pass the membership test (bloom's one
+    hard guarantee); false positives on non-members stay under a loose
+    bound at the ~20 bits/key dial."""
+    from datafusion_functions_variant_spark.operators import bloom
+
+    keys = spark.range(0, 500).select(F.col("id").alias("k")).repartition(8)
+    m = bloom.bloom_m_bits(500)
+    bits = bloom.bloom_build(keys, F.col("k"), m)
+    member = F.expr(bloom.bloom_member_sql("k", m))
+    hits = (
+        spark.range(0, 500).select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(bits)).where(member).count()
+    )
+    assert hits == 500  # no false negatives, ever
+    fp = (
+        spark.range(10_000, 20_000).select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(bits)).where(member).count()
+    )
+    assert fp / 10_000 < 0.05  # ~0.1-1% expected at 20 bits/key, k=3
