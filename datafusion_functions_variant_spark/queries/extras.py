@@ -1784,3 +1784,84 @@ def scd2_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust")
     )
+
+
+@query(
+    "variant_schema_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                  THEN substring(props, 1, length(props) - 1) || ', "v2": 1}'
+                  ELSE props END AS props
+      FROM events),
+    daily AS (
+      SELECT day,
+             CASE json_group_structure(props::JSON)::VARCHAR
+                  WHEN '{"k":"UBIGINT"}' THEN 'base'
+                  WHEN '{"k":"UBIGINT","v2":"UBIGINT"}' THEN 'extended'
+             END AS schema_label,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY day)
+    SELECT day, schema_label, n_events,
+           CAST(CASE WHEN LAG(schema_label) OVER (ORDER BY day) IS NOT NULL
+                      AND schema_label <> LAG(schema_label) OVER (ORDER BY day)
+                     THEN 1 ELSE 0 END AS INT) AS changed
+    FROM daily ORDER BY day
+    """,
+)
+def variant_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-DRIFT monitor over a variant column: per-day merged
+    runtime schema (`schema_of_variant_agg`) with a day-over-day
+    change flag — the watch a 100 TB semi-structured ingest runs so a
+    producer shipping a new field (here synthesized in-plan: days ≥
+    Jan 16 grow a "v2" key via JSON string surgery, since the fixture
+    corpus is schema-constant) is caught the day it lands, not when a
+    shredding job breaks. Schemas map to engine-neutral labels so the
+    DuckDB twin (json_group_structure) hash-matches.
+
+    Scale shape: the merge is one map-side-combined groupBy(day) —
+    per-day schema state is one merged-schema value, corpus-size
+    independent; the lag() comparison runs over the ~30-row daily
+    table (bounded by the calendar, the one place a single-partition
+    window is correct by construction)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.when(
+            F.to_date("ts") >= F.lit("2024-01-16").cast("date"),
+            F.concat(
+                F.expr("substring(props, 1, length(props) - 1)"),
+                F.lit(', "v2": 1}'),
+            ),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.when(
+            F.schema_of_variant_agg(F.parse_json("props"))
+            == "OBJECT<k: BIGINT>",
+            "base",
+        )
+        .when(
+            F.schema_of_variant_agg(F.parse_json("props"))
+            == "OBJECT<k: BIGINT, v2: BIGINT>",
+            "extended",
+        )
+        .alias("schema_label"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "schema_label",
+        "n_events",
+        F.when(
+            F.lag("schema_label").over(w).isNotNull()
+            & (F.col("schema_label") != F.lag("schema_label").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("changed"),
+    ).orderBy("day")
