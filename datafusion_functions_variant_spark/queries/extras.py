@@ -1865,3 +1865,98 @@ def variant_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("changed"),
     ).orderBy("day")
+
+
+@query(
+    "spatial_grid_neighbor_join",
+    oracle="""
+    -- the oracle is the naive theta formulation: brute-force cross
+    -- join + distance filter — a different algorithm than the Spark
+    -- 9-cell grid join, so agreement checks the algorithm
+    WITH a AS (
+      SELECT c_custkey AS id_a,
+             ('0x' || substr(md5('cx' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 10000 AS x,
+             ('0x' || substr(md5('cy' || CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT % 10000 AS y
+      FROM customer),
+    b AS (
+      SELECT s_suppkey AS id_b,
+             ('0x' || substr(md5('sx' || CAST(s_suppkey AS VARCHAR)), 1, 6))::BIGINT % 10000 AS x,
+             ('0x' || substr(md5('sy' || CAST(s_suppkey AS VARCHAR)), 1, 6))::BIGINT % 10000 AS y
+      FROM supplier)
+    SELECT a.id_a, b.id_b,
+           CAST(GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS BIGINT) AS linf
+    FROM a, b
+    WHERE GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) <= 300
+    ORDER BY id_a, id_b
+    """,
+)
+def spatial_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial NEIGHBOR join without a cross product — the geohash/H3
+    grid-bucketing pattern every spatial engine uses at scale, absent
+    from core Spark: find all (customer, supplier) point pairs within
+    L∞ distance 300 on a 10000×10000 integer grid (coordinates
+    md5-derived per key so both engines generate the identical
+    point set — the tables carry no geometry).
+
+    The trick: bucket points into 512-unit cells; since radius ≤ cell
+    size, every qualifying pair shares a cell once the SMALL side is
+    replicated into its 3×3 cell neighborhood (explode ×9 on the
+    suppliers, never the big side). The join is then a plain EQUI-join
+    on (cell_x, cell_y) + an exact distance filter — at 100 TB this is
+    a broadcast or shuffle hash join with bounded per-cell fan-out,
+    where the oracle's theta cross-join is O(|A|·|B|). Plan-pinned:
+    no CartesianProduct/NL join; the ×9 Generate sits on the small
+    side."""
+    r, cell = 300, 512
+
+    def pts(df, key, px, py, ida):
+        def coord(tag):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(tag), F.col(key).cast("string"))), 1, 6
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10000
+            )
+
+        return df.select(
+            F.col(key).alias(ida),
+            coord(px).alias("x"),
+            coord(py).alias("y"),
+        )
+
+    a = pts(load_table(spark, sf_dir, "customer"), "c_custkey", "cx", "cy", "id_a")
+    b = pts(load_table(spark, sf_dir, "supplier"), "s_suppkey", "sx", "sy", "id_b")
+    a_cells = a.select(
+        "id_a", "x", "y",
+        F.expr(f"x div {cell}").alias("cell_x"),
+        F.expr(f"y div {cell}").alias("cell_y"),
+    )
+    shifts = F.expr(
+        "explode(array(-1, 0, 1))"
+    )
+    b_cells = (
+        b.select("id_b", "x", "y", F.expr(f"x div {cell}").alias("cx0"),
+                 F.expr(f"y div {cell}").alias("cy0"))
+        .select("*", shifts.alias("dx"))
+        .select("*", F.expr("explode(array(-1, 0, 1))").alias("dy"))
+        .select(
+            "id_b",
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            (F.col("cx0") + F.col("dx")).alias("cell_x"),
+            (F.col("cy0") + F.col("dy")).alias("cell_y"),
+        )
+    )
+    linf = F.greatest(
+        F.abs(F.col("x") - F.col("bx")), F.abs(F.col("y") - F.col("by"))
+    )
+    return (
+        a_cells.join(b_cells, ["cell_x", "cell_y"])
+        .where(linf <= r)
+        .select("id_a", "id_b", linf.cast("long").alias("linf"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1041,3 +1041,14 @@ def test_embeddings_capstone_flags_without_pair_dump(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # canonicalize is a real map-side-combined aggregate on the vector
     assert "partial_min" in plan
+
+
+def test_spatial_neighbor_join_is_equi_not_cross(spark):
+    # the grid join must compile to an equi-join on the cell keys with
+    # the x9 Generate on the SMALL side — never the oracle's theta
+    # cross product
+    plan = plan_of(spark, "spatial_grid_neighbor_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert plan.count("Generate explode") == 2  # dx and dy on supplier side only
