@@ -1411,3 +1411,77 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "privacy_k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(LEAST(GREATEST(CAST(FLOOR(value / 100) AS INT), 0), 4) AS INT)
+               AS value_band,
+             CAST(dayofweek(ts) AS INT) AS weekday,
+             user_id
+      FROM events),
+    grp AS (
+      SELECT event_type, value_band, weekday,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_div
+      FROM q GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_to_suppress,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_l,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(MIN(l_div) AS BIGINT) AS min_l_diversity
+    FROM grp
+    """,
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance release audit: k-ANONYMITY and l-DIVERSITY over
+    the quasi-identifier tuple (event_type, value band, weekday) with
+    user_id as the sensitive attribute — the check a 100 TB dataset
+    passes before third-party release (groups smaller than k=5 are
+    re-identifiable; groups whose sensitive attribute takes < l=3
+    distinct values leak it even at k). Pairs with
+    `text_pii_redaction` as the governance family: redaction scrubs
+    values, this audits STRUCTURE.
+
+    Plan: ONE map-side-combined groupBy over the quasi-identifier
+    (group count is bounded by the attribute domain — 5 types × 5
+    bands × 7 weekdays — not the corpus), with l-diversity as a
+    count_distinct inside the same aggregate (Expand rewrite); the
+    release decision reduces to a 6-number summary. Suppression would
+    then be ONE broadcast anti-join of the below-k group list back
+    onto the corpus — the list is model-sized by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.least(
+            F.greatest(F.floor(F.col("value") / 100).cast("int"), F.lit(0)),
+            F.lit(4),
+        ).alias("value_band"),
+        F.dayofweek("ts").cast("int").alias("weekday"),
+        "user_id",
+    )
+    grp = q.groupBy("event_type", "value_band", "weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("l_div"),
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).cast("long").alias(
+            "groups_below_k"
+        ),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_to_suppress"),
+        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0)).cast("long").alias(
+            "groups_below_l"
+        ),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+    )
