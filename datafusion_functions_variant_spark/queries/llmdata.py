@@ -1469,3 +1469,68 @@ def multimodal_png_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+@query(
+    "dataset_group_split_leakage",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_id, user_id,
+             CASE WHEN (('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 4))::INT) % 10 <= 7
+                  THEN 'train'
+                  WHEN (('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 4))::INT) % 10 = 8
+                  THEN 'val' ELSE 'test' END AS split
+      FROM events),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leaked_users FROM (
+        SELECT user_id FROM assigned GROUP BY user_id
+        HAVING COUNT(DISTINCT split) > 1))
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           (SELECT leaked_users FROM leak) AS leaked_users
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def dataset_group_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split with a LEAKAGE PROOF — the
+    ML-ops guard `dataset_split_assignment` (per-row hashing) cannot
+    give: when rows belong to an entity (here a user's events), a
+    row-level split puts the same user in train AND test, and the
+    model memorizes entities instead of generalizing. Assignment
+    hashes the GROUP key (md5, engine-reproducible, 80/10/10), so
+    co-assignment is a function property — and the query MEASURES it:
+    `leaked_users` counts users seen in more than one split, computed
+    from the data (not asserted), and the driver hash pins it at 0
+    alongside the split sizes.
+
+    Scale: assignment is a map-side expression; the leakage check is
+    one user-keyed count-distinct aggregate (map-side combined) whose
+    output is bounded by the user count; split sizes ride the same
+    pass. No joins on the corpus."""
+    from ..operators.text import token_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    b = token_bucket(F.concat(F.lit("u"), F.col("user_id").cast("string")), 10)
+    assigned = ev.select(
+        "event_id",
+        "user_id",
+        F.when(b <= 7, "train").when(b == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_users"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )
