@@ -1052,3 +1052,15 @@ def test_spatial_neighbor_join_is_equi_not_cross(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert plan.count("Generate explode") == 2  # dx and dy on supplier side only
+
+
+def test_spatial_nearest_guarded_two_phase(spark):
+    # phase 1 is the cell equi-join (no cartesian); phase 2's brute
+    # force runs ONLY on the anti-joined remainder against the
+    # broadcast dim (BroadcastNestedLoopJoin is the explicit, intended
+    # small-dim shape there — never CartesianProduct)
+    plan = plan_of(spark, "spatial_nearest_supplier")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the explicit fallback
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
