@@ -488,3 +488,50 @@ def table_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (col_name, ndv, n_nulls, min_val, max_val)"
         )
     ).orderBy("col_name")
+
+
+@query(
+    "source_corrupt_file_resilience",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_corrupt_file_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file resilience: a dataset directory holding three good
+    parquet files AND one garbage file (not parquet at all) must still
+    serve every good row under ``ignoreCorruptFiles=true`` — the
+    bit-rot / partial-write reality of a 100 TB table, where failing
+    the whole 10k-file scan for one bad object is an outage and the
+    default fail-fast is only right for pipelines that can quarantine.
+    The aggregate proves BOTH properties: every good-file row arrived
+    (the oracle computes the same aggregate from the logical content)
+    and the garbage contributed nothing. The corrupt file is written
+    with a .parquet name and magic-free bytes so the footer read
+    itself fails, not just a schema check."""
+    path = os.path.join(_IO_DIR, "orders_corrupt_resilience")
+    good = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(3)
+    )
+    good.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "part-junk.snappy.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file " * 64)
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema(good.schema)
+        .parquet(path)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
