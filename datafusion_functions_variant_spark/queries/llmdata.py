@@ -1534,3 +1534,87 @@ def dataset_group_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leak))
         .orderBy("split")
     )
+
+
+@query(
+    "multimodal_wav_resample",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CAST(30 + doc_id % 20 AS INT) AS n_frames
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT asset_id, CAST(4000 AS INT) AS sample_rate,
+           CAST((n_frames + 1) // 2 AS INT) AS out_frames,
+           CAST(SUM(ABS((asset_id + 37 * (2 * j.j)) % 4001 - 2000)) AS BIGINT)
+             AS abs_sum
+    FROM assets, LATERAL (SELECT unnest(range((n_frames + 1) // 2)) AS j) j
+    GROUP BY 1, 2, 3
+    ORDER BY asset_id
+    """,
+)
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio RESAMPLE end-to-end, no librosa: synth 8 kHz WAV →
+    decode → 2× integer decimation (every 2nd sample — like the image
+    thumbnail's nearest-neighbor kernel, the one resampler with no
+    float filter math) → RE-ENCODE at 4 kHz → decode THAT and emit the
+    downsampled clip's rate/frame-count/absolute-amplitude sum. The
+    round-trip through a second real RIFF encode/decode proves the
+    output is a valid WAV; the oracle replays the generative sawtooth
+    at the kept sample indices, so the resample is verified
+    SAMPLE-exact. Audio resize leg, next to the image leg
+    (`multimodal_png_thumbnail`); same scale discipline — chained
+    mapInPandas, payloads never shuffled, one Exchange (final sort)."""
+    from ..operators import wav as wavmod
+
+    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 30 + i % 20
+                samples = [((i + 37 * j) % 4001) - 2000 for j in range(n)]
+                payloads.append(wavmod.encode_wav(samples, 8000, 1))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    def resample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                d = wavmod.decode_wav(bytes(payload))
+                kept = d["samples"][::2]
+                out.append(wavmod.encode_wav(kept, d["sample_rate"] // 2, 1))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": out})
+
+    def feats(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = wavmod.decode_wav(bytes(payload))
+                rows.append(
+                    (
+                        int(aid),
+                        d["sample_rate"],
+                        len(d["samples"]),
+                        sum(abs(s) for s in d["samples"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "sample_rate", "out_frames", "abs_sum"]
+            )
+
+    assets = ids.mapInPandas(gen, "asset_id long, payload binary")
+    small = assets.mapInPandas(resample, "asset_id long, payload binary")
+    return small.mapInPandas(
+        feats, "asset_id long, sample_rate int, out_frames int, abs_sum long"
+    ).orderBy("asset_id")

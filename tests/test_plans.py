@@ -1064,3 +1064,13 @@ def test_spatial_nearest_guarded_two_phase(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the explicit fallback
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_wav_resample_payload_chain_has_no_shuffle(spark):
+    # same discipline as the image thumbnail: three chained
+    # mapInPandas stages, the only Exchange is the final sort of the
+    # tiny feature rows
+    plan = plan_of(spark, "multimodal_wav_resample")
+    assert plan.count("MapInPandas") == 3
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan
