@@ -1618,3 +1618,86 @@ def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small.mapInPandas(
         feats, "asset_id long, sample_rate int, out_frames int, abs_sum long"
     ).orderBy("asset_id")
+
+
+@query(
+    "multimodal_y4m_downsample",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id, 6 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id < 40
+    ),
+    kept AS (SELECT asset_id, nf, unnest(range(0, nf, 2)) AS f FROM assets)
+    SELECT asset_id,
+           CAST((nf + 1) // 2 AS INT) AS out_frames,
+           CAST(SUM((SELECT SUM(65 + (asset_id + 3 * f + 5 * p.p) % 26)
+                     FROM (SELECT unnest(range(8)) AS p) p)) AS BIGINT)
+             AS px_sum
+    FROM kept GROUP BY asset_id, nf ORDER BY asset_id
+    """,
+)
+def multimodal_y4m_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video temporal RESIZE: decode the Y4M stream → keep every
+    2nd frame → RE-ENCODE the halved stream as a new valid Y4M →
+    decode THAT and emit frame count + pixel sum. Where
+    `multimodal_y4m_frames` samples frames OUT (feature extraction),
+    this produces a transformed VIDEO — the fps-halving transcode step
+    of a training-data pipeline — and the second real encode/decode
+    round-trip proves the output container is valid. The oracle
+    replays the generative formula over the kept frames, byte-exact.
+    Completes the resize leg across all three modalities (image
+    thumbnail, audio decimation, video frame-rate halving); same
+    1-Exchange chained-mapInPandas discipline."""
+    from ..operators import y4m as y4mmod
+
+    ids = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        "doc_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = [
+                    bytes(65 + (i + 3 * f + 5 * p) % 26 for p in range(8))
+                    for f in range(6 + i % 4)
+                ]
+                payloads.append(y4mmod.encode_y4m(frames, 4, 2))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    def halve(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                d = y4mmod.decode_y4m(bytes(payload))
+                out.append(
+                    y4mmod.encode_y4m(d["frames"][::2], d["width"], d["height"])
+                )
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": out})
+
+    def feats(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = y4mmod.decode_y4m(bytes(payload))
+                rows.append(
+                    (
+                        int(aid),
+                        len(d["frames"]),
+                        sum(sum(f) for f in d["frames"]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "out_frames", "px_sum"])
+
+    assets = ids.mapInPandas(gen, "asset_id long, payload binary")
+    halved = assets.mapInPandas(halve, "asset_id long, payload binary")
+    return halved.mapInPandas(
+        feats, "asset_id long, out_frames int, px_sum long"
+    ).orderBy("asset_id")

@@ -1074,3 +1074,11 @@ def test_wav_resample_payload_chain_has_no_shuffle(spark):
     assert plan.count("MapInPandas") == 3
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" in plan
+
+
+def test_y4m_downsample_payload_chain_has_no_shuffle(spark):
+    # video leg of the resize triple: same 1-Exchange chained
+    # mapInPandas discipline as image/audio
+    plan = plan_of(spark, "multimodal_y4m_downsample")
+    assert plan.count("MapInPandas") == 3
+    assert plan.count("Exchange") == 1
