@@ -21,16 +21,33 @@ from pyspark.sql import functions as F
 
 
 def _rowhash(key_col: str, payload_cols: list[str]) -> Column:
-    """Canonical per-row fingerprint: xxhash64 over a '|'-joined
-    string projection, so physically-different-but-equal encodings
-    (e.g. decimal(19,2) vs decimal(18,2)) hash identically."""
-    return F.xxhash64(
-        F.concat_ws(
-            "|",
-            F.col(key_col).cast("string"),
-            *[F.col(c).cast("string") for c in payload_cols],
-        )
+    """Canonical per-row fingerprint, NULL- and delimiter-unambiguous.
+
+    Columns are cast to string (so physically-different-but-equal
+    encodings, e.g. decimal(19,2) vs decimal(18,2), hash identically),
+    then '\\' and '|' are escaped before the '|' join — ('a|b','c') no
+    longer collides with ('a','b|c') — and a parallel null-bitmap
+    distinguishes NULL from '' and from any real value. Neither
+    concat_ws (silently DROPS null args) nor multi-arg xxhash64 (Spark
+    hash expressions SKIP null children — the seed passes through
+    unchanged) is null-safe on its own.
+    """
+    parts = [F.col(key_col).cast("string")] + [
+        F.col(c).cast("string") for c in payload_cols
+    ]
+    null_map = F.concat_ws(
+        "", *[F.when(p.isNull(), F.lit("n")).otherwise(F.lit("v")) for p in parts]
     )
+    escaped = [
+        F.coalesce(
+            F.replace(
+                F.replace(p, F.lit("\\"), F.lit("\\\\")), F.lit("|"), F.lit("\\|")
+            ),
+            F.lit(""),
+        )
+        for p in parts
+    ]
+    return F.xxhash64(null_map, F.concat_ws("|", *escaped))
 
 
 def bucketed_snapshot_diff(
@@ -86,9 +103,13 @@ def bucketed_snapshot_diff(
         F.broadcast(dirty), "bucket", "left_semi"
     )
     al, bl = a_dirty.alias("al"), b_dirty.alias("bl")
+    # null-safe per-column compare: a NULL<->non-NULL flip must read as
+    # "changed", not as SQL NULL (which WHERE would silently drop).
     payload_changed = F.lit(False)
     for c in payload_cols:
-        payload_changed = payload_changed | (F.col(f"al.{c}") != F.col(f"bl.{c}"))
+        payload_changed = payload_changed | ~F.col(f"al.{c}").eqNullSafe(
+            F.col(f"bl.{c}")
+        )
     return (
         al.join(bl, F.col(f"al.{key_col}") == F.col(f"bl.{key_col}"), "full_outer")
         .where(

@@ -1439,7 +1439,7 @@ def snapshot_diff_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n
     FROM (
       SELECT event_type, value, CAST(ts AS DATE) AS ts_day,
-             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+             lpad(CAST(epoch_us(ts) + 4611686018427387904 AS VARCHAR), 20, '0')
                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk
       FROM events)
     GROUP BY event_type, ts_day
@@ -1467,11 +1467,20 @@ def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffers, and no 64-bit packing of (micros, id) is overflow-safe at
     100 TB; a latency-critical path would chain two HashAggregates,
     (group, micros) then (group), trading a second small exchange for
-    the run sort). Values are SELECTED, never accumulated — no
+    the run sort). The epoch is biased by +2^62 before padding so the
+    string key stays order-correct for pre-1970 timestamps too (a bare
+    lpad would sort '-'-prefixed negatives before positives but
+    larger-magnitude negatives LATER — wrong champions on pre-epoch
+    data; the bias keeps every representable-in-practice epoch, ±146k
+    years, positive). Values are SELECTED, never accumulated — no
     float-sum drift; n is the only arithmetic aggregate."""
     ev = load_table(spark, sf_dir, "events")
     sk = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(
+            (F.unix_micros("ts") + F.lit(4611686018427387904)).cast("string"),
+            20,
+            "0",
+        ),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     return (

@@ -1230,21 +1230,24 @@ def stream_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- open/close only by presenting a smaller/larger champion key).
     WITH ev AS (
       SELECT event_type, value,
-             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+             lpad(CAST(epoch_us(ts) + 4611686018427387904 AS VARCHAR), 20, '0')
                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk,
              CASE WHEN event_id % 2 = 0 THEN 0
                   WHEN event_id % 4 = 1 THEN 1 ELSE 2 END AS b
       FROM events),
-    batches(bn) AS (VALUES (0), (1), (2))
+    -- update-mode sinks emit a group only in batches that CHANGE it,
+    -- so only prefixes whose batch contains events of the type exist
+    touched AS (SELECT DISTINCT event_type, b AS bn FROM ev)
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            arg_min(e.value, e.sk) AS open_v,
            MAX(e.value) AS high_v,
            MIN(e.value) AS low_v,
            arg_max(e.value, e.sk) AS close_v
-    FROM ev e JOIN batches ON e.b <= batches.bn
-    GROUP BY e.event_type, batches.bn
-    ORDER BY event_type, n
+    FROM ev e JOIN touched t
+      ON e.event_type = t.event_type AND e.b <= t.bn
+    GROUP BY e.event_type, t.bn
+    ORDER BY e.event_type, n
     """,
 )
 def stream_ohlc_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,8 +1260,14 @@ def stream_ohlc_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
     later (epoch_us, event_id) key — selection state, not just
     counters, survives micro-batch merges. The oracle regenerates
     every batch-prefix champion (batches partition events by id
-    parity, the `read_multibatch_events_stream` contract), so all
-    3 revisions per type are value-checked, not just the final bar.
+    parity, the `read_multibatch_events_stream` contract) but ONLY
+    for prefixes whose batch touches the type — update mode emits a
+    group only in batches that change it, so the existence join (not
+    an unconditional batch cross) is the exact sink semantics; since
+    every emitted prefix adds >=1 event, n strictly increases within
+    a type and the (event_type, n) ORDER BY is deterministic. The
+    champion key carries the same +2^62 epoch bias as
+    `timeseries_ohlc_bars` (pre-1970 string-order correctness).
     Scale: per-group state is four champions + a count — O(groups),
     independent of stream length."""
     import os as _os
@@ -1268,7 +1277,11 @@ def stream_ohlc_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_dir = _os.path.join(_catalog._IO_DIR, "events_split_ohlc")
     st = core.read_multibatch_events_stream(spark, sf_dir, split_dir)
     sk = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(
+            (F.unix_micros("ts") + F.lit(4611686018427387904)).cast("string"),
+            20,
+            "0",
+        ),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     agg = (

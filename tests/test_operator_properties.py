@@ -794,6 +794,45 @@ def test_curriculum_stages_are_balanced_ordered_partition(spark):
         assert lo["min_tokens"] <= lo["max_tokens"]
 
 
+def test_snapshot_diff_null_and_delimiter_adversarial(spark):
+    """The fingerprint and the modified-row filter must survive the
+    adversarial encodings that defeat naive concat_ws('|')+'!=' diffs:
+    NULL<->non-NULL payload flips (null-unsafe != yields NULL and the
+    WHERE drops the row), NULL-position swaps ((NULL,'x') vs
+    ('x',NULL) — concat_ws silently skips nulls), delimiter straddles
+    ('a|b','c') vs ('a','b|c'), and NULL vs empty string."""
+    from datafusion_functions_variant_spark.operators.reconcile import (
+        bucketed_snapshot_diff,
+    )
+
+    schema = "k int, p string, q string"
+    a_rows = [
+        (1, None, "x"),   # NULL-position swap vs b
+        (2, "a|b", "c"),  # delimiter straddle vs b
+        (3, "v", None),   # NULL -> non-NULL flip
+        (4, "w", "w2"),   # non-NULL -> NULL flip
+        (5, None, None),  # NULL vs empty string
+        (6, "same", "same2"),  # genuinely unchanged
+        (7, "a\\", "|b"),  # escape-char straddle vs b
+    ]
+    b_rows = [
+        (1, "x", None),
+        (2, "a", "b|c"),
+        (3, "v", "now"),
+        (4, "w", None),
+        (5, "", ""),
+        (6, "same", "same2"),
+        (7, "a", "\\|b"),
+    ]
+    a = spark.createDataFrame(a_rows, schema).repartition(4)
+    b = spark.createDataFrame(b_rows, schema).repartition(4)
+    got = {
+        (r.kind, r.k)
+        for r in bucketed_snapshot_diff(a, b, "k", ["p", "q"], n_buckets=8).collect()
+    }
+    assert got == {("M", 1), ("M", 2), ("M", 3), ("M", 4), ("M", 5), ("M", 7)}
+
+
 def test_snapshot_diff_matches_naive_full_outer(spark):
     """Random drift of every kind (delete / modify / insert) on seeded
     random snapshots: the bucket-summary drill-down must emit EXACTLY
