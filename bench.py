@@ -339,7 +339,36 @@ def main() -> None:
         )
         out["scale_k"] = scale_k
 
-    print(json.dumps(out))
+    # Self-contained full-precision artifact: the driver's stdout
+    # capture keeps only a ~2 KB tail, which truncated BENCH_r07's
+    # sf0.1 column. Everything (3-decimal medians AND min-of-N
+    # floors, both columns) goes to the committed BENCH.json; the
+    # printed line carries both query columns at 2 decimals with
+    # compact separators so it stays under the tail window even as
+    # headline entries grow.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
+        "w",
+    ) as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    def compact(d):
+        return {k: round(v, 2) for k, v in d.items()}
+
+    line = {
+        "metric": out["metric"],
+        "value": round(out["value"], 2),
+        "unit": "sec",
+        "sf": out["sf"],
+        "full": "BENCH.json",
+        "queries": compact(timings),
+    }
+    if "scaled_total" in out:
+        line["scale_k"] = out["scale_k"]
+        line["scaled_total"] = round(out["scaled_total"], 2)
+        line["scaled_queries"] = compact(out["scaled_queries"])
+    print(json.dumps(line, separators=(",", ":")))
     spark.stop()
 
 

@@ -27,7 +27,12 @@ Round-7 install attempt (2026-08-14, per VERDICT.md r6 ask #6):
 ``pip install protobuf`` again — the configured index host does not
 resolve (NewConnectionError, "Name or service not known" after 5
 retries), "No matching distribution found for protobuf". Gate
-stands; re-attempt next round."""
+stands; re-attempt next round.
+
+Round-8 install attempt (2026-08-15, per VERDICT.md r7 ask #7):
+``pip install protobuf`` — identical failure (index host DNS does
+not resolve, NewConnectionError ×5, no distribution found), and
+``import google.protobuf`` still ModuleNotFoundError. Gate stands."""
 
 from __future__ import annotations
 
