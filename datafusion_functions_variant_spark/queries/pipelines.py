@@ -432,6 +432,125 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_incremental_maintenance",
+    oracle="""
+    -- full recompute over the APPLIED corpus (base minus deletes plus
+    -- inserts) — a different algorithm than the Spark side's
+    -- delta-merge, so the hash checks the maintenance logic itself
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           CASE WHEN GROUPING(EXTRACT(HOUR FROM ts)) = 0
+                THEN CAST(EXTRACT(HOUR FROM ts) AS INT) END AS hour,
+           CASE WHEN GROUPING(event_type) = 0 THEN event_type END AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE (event_id % 10 = 0) OR (event_id % 17 <> 0)
+    GROUP BY GROUPING SETS (
+      (time_bucket(INTERVAL '1 day', ts)),
+      (time_bucket(INTERVAL '1 day', ts), EXTRACT(HOUR FROM ts)),
+      (time_bucket(INTERVAL '1 day', ts), EXTRACT(HOUR FROM ts), event_type))
+    ORDER BY day, hour NULLS FIRST, event_type NULLS FIRST
+    """,
+)
+def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the multi-resolution rollup —
+    the continuous-aggregate refresh a 100 TB warehouse runs instead
+    of recomputing the cube: aggregate the CHANGELOG into signed
+    algebraic partials (+1/-1 count, ±value sum per grouping set) and
+    MERGE them into the stored rollup with one grouping-key join.
+    Maintenance cost is O(|changelog| + |affected groups|), never the
+    corpus; fully-deleted groups vanish (n reaches 0), brand-new
+    groups appear from the delta side of the full-outer merge.
+
+    Fixture: base = events with event_id % 10 != 0 (the corpus the
+    materialized rollup was built from); the changelog INSERTs the
+    id % 10 == 0 rows and DELETEs base rows with id % 17 == 0 — all
+    three maintenance paths (insert-new-group, update, delete) are
+    live. The oracle recomputes the rollup from scratch over the
+    applied corpus, so the hash proves delta-merge == recompute.
+
+    COUNT and SUM are self-maintainable (algebraic) aggregates — the
+    delta merges via addition; MIN/MAX would need the per-group
+    re-scan path and are deliberately out of scope here. Grouping-set
+    keys merge NULL-safely (eqNullSafe per key): the NULL pattern
+    identifies the grouping set (day / day+hour / day+hour+type), and
+    source columns are never genuinely NULL, so patterns are
+    unambiguous. In production the base rollup is a stored table
+    (saveAsTable, like ``dedup_incremental_bucketed_index``); here it
+    is built in-plan from the base corpus so the registered query is
+    self-contained — the MAINTENANCE subplan (changelog Expand +
+    delta aggregation + merge join) is exchange-sized by the
+    changelog and the group count, pinned in tests/test_plans.py."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        "event_id",
+    )
+    rollup_sql = """
+        SELECT day,
+               CASE WHEN GROUPING(hour) = 0 THEN hour END AS hour,
+               CASE WHEN GROUPING(event_type) = 0 THEN event_type END
+                 AS event_type,
+               COUNT(*) AS n,
+               SUM({val}) AS s
+        FROM {src}
+        GROUP BY GROUPING SETS ((day), (day, hour), (day, hour, event_type))
+    """
+    # the "stored" materialized view: rollup over the base corpus
+    ev.where(F.col("event_id") % 10 != 0).createOrReplaceTempView(
+        "ivm_base_src"
+    )
+    rollup0 = spark.sql(rollup_sql.format(val="v", src="ivm_base_src"))
+    # signed changelog: inserts carry +1, delete tombstones -1
+    ev.where((F.col("event_id") % 10 == 0) | (F.col("event_id") % 17 == 0)).select(
+        "day",
+        "hour",
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+        F.col("v"),
+    ).createOrReplaceTempView("ivm_delta_src")
+    delta = spark.sql(
+        rollup_sql.replace("COUNT(*)", "SUM(sign)").format(
+            val="sign * v", src="ivm_delta_src"
+        )
+    )
+    r, d = rollup0.alias("r"), delta.alias("d")
+    keys = [
+        F.col(f"r.{k}").eqNullSafe(F.col(f"d.{k}"))
+        for k in ("day", "hour", "event_type")
+    ]
+    merged = r.join(d, keys[0] & keys[1] & keys[2], "full_outer").select(
+        *[
+            F.coalesce(F.col(f"r.{k}"), F.col(f"d.{k}")).alias(k)
+            for k in ("day", "hour", "event_type")
+        ],
+        (
+            F.coalesce(F.col("r.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+        ).cast("long").alias("n"),
+        (
+            F.coalesce(F.col("r.s"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("s"),
+    )
+    return (
+        merged.where(F.col("n") > 0)
+        .select(
+            "day",
+            "hour",
+            "event_type",
+            "n",
+            F.col("s").cast("double").alias("sum_value"),
+        )
+        .orderBy("day", F.col("hour").asc_nulls_first(),
+                 F.col("event_type").asc_nulls_first())
+    )
+
+
+@query(
     "scd2_asof_snapshot",
     oracle="""
     WITH bounds AS (

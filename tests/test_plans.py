@@ -1082,3 +1082,19 @@ def test_y4m_downsample_payload_chain_has_no_shuffle(spark):
     plan = plan_of(spark, "multimodal_y4m_downsample")
     assert plan.count("MapInPandas") == 3
     assert plan.count("Exchange") == 1
+
+
+def test_rollup_maintenance_merges_delta_not_recompute(spark):
+    # incremental view maintenance: exactly TWO grouping-sets branches
+    # (the stored-rollup build + the signed changelog delta) merged by
+    # one null-safe full-outer join — no third Expand means the
+    # maintained result is NEVER recomputed from the applied corpus
+    plan = plan_of(spark, "rollup_incremental_maintenance")
+    assert plan.count("Expand") == 2
+    assert "FullOuter" in plan
+    # the delta branch scans only changelog rows (both fixture
+    # predicates reach the scan as data filters, so the delta
+    # exchange is changelog-sized, not corpus-sized)
+    assert "% 17" in plan and "% 10" in plan
+    # scans prune to the 4 columns the rollup needs
+    assert "payload" not in plan and "user_id" not in plan
