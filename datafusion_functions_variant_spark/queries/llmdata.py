@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, graph, multimodal, ranking, similarity, text
+from ..operators import dedup, graph, multimodal, phash, ranking, similarity, text
 from ..sources.tables import load_table
 from . import query
 
@@ -1701,3 +1701,146 @@ def multimodal_y4m_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return halved.mapInPandas(
         feats, "asset_id long, out_frames int, px_sum long"
     ).orderBy("asset_id")
+
+
+def phash_png_fixture(group_modulus: int):
+    """mapInPandas generator: doc_id -> deterministic 18x16 gray PNG.
+    Pattern group b = id % group_modulus picks the gradient; variant
+    v = id // group_modulus applies a +2v uniform brightness shift
+    (dHash-invariant) and, for v % 4 == 3, a +40 blob over pixels
+    x<2, y<4 (flips only band-0 bits). Shared by `dedup_image_phash`
+    (modulus 25) and scale_probe.py's adversarial depth case, and
+    replayed arithmetically by the DuckDB oracle."""
+    from ..operators import png as pngmod
+
+    W, H = 18, 16
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b, v = i % group_modulus, i // group_modulus
+                pix = bytearray()
+                for y in range(H):
+                    for x in range(W):
+                        p = ((11 + b) * x + (23 + 2 * b) * y) % 97 + 2 * v
+                        if v % 4 == 3 and x < 2 and y < 4:
+                            p += 40
+                        pix.append(p)
+                payloads.append(
+                    pngmod.encode_png(W, H, bytes(pix), 1, filter_type=i % 5)
+                )
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return gen
+
+
+@query(
+    "dedup_image_phash",
+    oracle="""
+    -- replay of the generative pixel formula: 2x2-averaged 9x8 gray
+    -- grid, 64-bit dHash (right-neighbor gradient), 4x16-bit bands,
+    -- band-blocked candidates, exact Hamming verify <= 6
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    pix AS (
+      SELECT d.doc_id, x.x, y.y,
+             ((11 + d.doc_id % 25) * x.x
+              + (23 + 2 * (d.doc_id % 25)) * y.y) % 97
+             + 2 * (d.doc_id // 25)
+             + CASE WHEN d.doc_id // 25 = 3 AND x.x < 2 AND y.y < 4
+                    THEN 40 ELSE 0 END AS p
+      FROM docs d,
+           LATERAL (SELECT unnest(range(18)) AS x) x,
+           LATERAL (SELECT unnest(range(16)) AS y) y),
+    grid AS (
+      SELECT doc_id, x // 2 AS gx, y // 2 AS gy, SUM(p) // 4 AS g
+      FROM pix GROUP BY doc_id, x // 2, y // 2),
+    bits AS (
+      SELECT a.doc_id, (a.gy * 8 + a.gx) AS i,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      FROM grid a JOIN grid b
+        ON a.doc_id = b.doc_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+      WHERE a.gx < 8),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i // 16 = 0
+                           THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS band0,
+             CAST(SUM(CASE WHEN i // 16 = 1
+                           THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS band1,
+             CAST(SUM(CASE WHEN i // 16 = 2
+                           THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS band2,
+             CAST(SUM(CASE WHEN i // 16 = 3
+                           THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS band3
+      FROM bits GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.doc_id < b.doc_id
+       AND (a.band0 = b.band0 OR a.band1 = b.band1
+            OR a.band2 = b.band2 OR a.band3 = b.band3))
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.band0, sb.band0))
+              + bit_count(xor(sa.band1, sb.band1))
+              + bit_count(xor(sa.band2, sb.band2))
+              + bit_count(xor(sa.band3, sb.band3)) AS INT) AS hamming
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.band0, sb.band0))
+        + bit_count(xor(sa.band1, sb.band1))
+        + bit_count(xor(sa.band2, sb.band2))
+        + bit_count(xor(sa.band3, sb.band3)) <= 6
+    ORDER BY id_a, id_b
+    """,
+    hash_deps=(
+        phash.dhash_bands,
+        phash.neardup_pairs,
+        phash_png_fixture,
+    ),
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE dedup — ties the multimodal and
+    dedup families together: real PNG payloads (operators/png.py) are
+    decoded, downsampled 2x2 to a 9x8 gray grid, and hashed with dHash
+    (64 right-neighbor gradient bits — invariant to uniform brightness
+    shifts, since floor((sum+4c)/4) = floor(sum/4)+c preserves every
+    comparison); the 64-bit signature splits into 4x16-bit BANDS for
+    LSH-style blocking (a pair is a candidate iff some band matches —
+    pigeonhole makes banding LOSSLESS up to Hamming 3, and the
+    fixture's true pairs sit at <= 2, inside the guarantee; between 4
+    and the verify threshold 6 recall is LSH-style best-effort), and
+    candidates get an exact Hamming verify via bit_count(xor).
+
+    Fixture (doc_id < 100): pattern group b = id % 25, variant
+    v = id // 25 — v in {0,1,2} are brightness shifts of the group's
+    base image (identical dHash, the invariance proof), v = 3 adds a
+    +40 blob over pixels x<2, y<4, perturbing only grid column 0 rows
+    0-1, i.e. bits {gx=0, gy in 0..1}, both in band 0 — bands 1-3
+    stay clean and Hamming stays <= 2. All three near-dup paths
+    (exact-hash, perturbed-but-blocked, cross-group non-dup) are live.
+
+    Scale: pixels NEVER shuffle — encode, decode and hashing chain in
+    ONE mapInPandas stage pipeline (plan-pinned: payload chain has no
+    Exchange); only 4 ints/image leave the stage. The candidate join
+    is equi on (band_idx, band_value) — never all-pairs; bucket depth
+    is the usual LSH dial (16-bit bands here; at 100 TB widen bands /
+    add a second blocking key exactly as operators/dedup.py does for
+    text MinHash). Oracle replays grid, hash, banding and verify
+    arithmetically from the generative formula — a different
+    implementation path (SQL vs real codec), so the hash checks the
+    whole decode->hash->block->verify chain."""
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    assets = ids.mapInPandas(
+        phash_png_fixture(group_modulus=25), "asset_id long, payload binary"
+    )
+    sigs = phash.dhash_bands(assets, "asset_id", "payload")
+    return phash.neardup_pairs(sigs, "asset_id", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )

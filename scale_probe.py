@@ -330,6 +330,42 @@ def main() -> None:
     print(json.dumps({"case": "snapshot_diff_fixed_drift",
                       **results["snapshot_diff_fixed_drift"]}), flush=True)
 
+    # --- bespoke case: perceptual image dedup, ADVERSARIAL near-dup
+    # corpus: 1000*K images with a FIXED 250 pattern groups, so every
+    # image gains 4K-1 true near-dups (brightness variants + blob
+    # perturbations of its group) — the banded-Hamming bucket join is
+    # under maximal collision pressure AND the answer itself grows
+    # ~K^2 per group (C(4K,2) verified pairs x 250). Codec work grows
+    # K; the claim under test is that blocking stays an equi-join
+    # (never all-pairs) and the K^2 term is the OUTPUT, not a scan.
+    from datafusion_functions_variant_spark.operators import phash
+    from datafusion_functions_variant_spark.queries.llmdata import (
+        phash_png_fixture,
+    )
+
+    per_k = {}
+    for k in KS:
+        ids = spark.range(0, 1000 * k).select(F.col("id").alias("doc_id"))
+        assets = ids.mapInPandas(
+            phash_png_fixture(group_modulus=250),
+            "asset_id long, payload binary",
+        )
+        sigs = phash.dhash_bands(assets, "asset_id", "payload")
+        pairs = phash.neardup_pairs(sigs, "asset_id", max_hamming=6)
+        samples = []
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            pairs.agg(F.count(F.lit(1)), F.sum("hamming")).collect()
+            if i:
+                samples.append(time.perf_counter() - t0)
+        per_k[k] = round(sorted(samples)[len(samples) // 2], 3)
+    results["image_phash_neardup_depth"] = {
+        "per_k": per_k,
+        "growth_8x": round(per_k[KS[-1]] / per_k[KS[0]], 2),
+    }
+    print(json.dumps({"case": "image_phash_neardup_depth",
+                      **results["image_phash_neardup_depth"]}), flush=True)
+
     for label, bits_of in (
         ("knn_graph_fixed_bits", lambda k: 8),
         ("knn_graph_scaled_bits", lambda k: 8 + max(0, k.bit_length() - 1)),

@@ -1098,3 +1098,18 @@ def test_rollup_maintenance_merges_delta_not_recompute(spark):
     assert "% 17" in plan and "% 10" in plan
     # scans prune to the 4 columns the rollup needs
     assert "payload" not in plan and "user_id" not in plan
+
+
+def test_image_phash_payloads_stay_in_stage_no_all_pairs(spark):
+    # perceptual image dedup: encode→decode→dHash chain in one
+    # mapInPandas pipeline (pixels never shuffle — no Exchange carries
+    # the payload column), candidate join is equi on the band key
+    # (never all-pairs), signatures ride the explode so the codec
+    # pipeline is referenced exactly twice (join sides), not four
+    import re
+
+    plan = plan_of(spark, "dedup_image_phash")
+    assert plan.count("MapInPandas") == 4  # 2 stages x 2 join sides
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "payload" not in m.group(0), m.group(0)
