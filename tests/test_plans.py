@@ -1113,3 +1113,51 @@ def test_image_phash_payloads_stay_in_stage_no_all_pairs(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "payload" not in m.group(0), m.group(0)
+
+
+def test_aqe_skew_join_split_engages_at_runtime(spark):
+    """Runtime proof (not just a pre-flight) that Spark's AQE skew-join
+    splitting engages on a hot-key corpus: a deterministic 80%-one-key
+    fact side sort-merge-joined under production-shape AQE settings
+    (thresholds scaled down to local[32] data volumes — at cluster
+    scale the defaults play the same role) must finalize with
+    SortMergeJoin(skew=true) and a skewed AQEShuffleRead. This is the
+    automatic complement to the manual salting fallback pinned by
+    `skew_salted_join` (used when a side is broadcast-ineligible)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 8, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id").cast("string")).alias("p"),
+        )
+        small = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        j = big.join(small, "k").agg(F.count(F.lit(1)).alias("n"))
+        [row] = j.collect()  # execution finalizes the adaptive plan
+        # hot key 0: 320k fact rows x 1 dim row; organic: ids < 50k
+        # with id % 10 in {8, 9} -> 10k one-to-one matches
+        assert row["n"] == 320_000 + 10_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
