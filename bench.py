@@ -113,6 +113,12 @@ HEADLINE = [
     # FIXED-drift flat curve (512 rows at every K) is SCALE.md's
     # snapshot_diff_fixed_drift probe
     "snapshot_diff_bucketed",
+    # round 8: incremental view maintenance — changelog delta partials
+    # merged into the stored rollup. The fixture's changelog is
+    # PROPORTIONAL (event_id % 10 / % 17), so both columns measure
+    # linear-drift maintenance; the delta-sized-exchange claim is the
+    # test_plans.py pin
+    "rollup_incremental_maintenance",
 ]
 
 #: reported per-query but EXCLUDED from the summed total: the probe is
