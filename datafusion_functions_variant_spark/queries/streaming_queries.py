@@ -1297,3 +1297,75 @@ def stream_ohlc_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = core.run_to_batch(agg, "update")
     return out.orderBy("event_type", "n")
+
+
+@query(
+    "stream_rollup_retracting",
+    oracle="""
+    -- signed-changelog rollup maintained through streaming state:
+    -- every batch-prefix revision of each touched type, recomputed
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN -1 ELSE 1 END AS sign,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CASE WHEN event_id % 2 = 0 THEN 0
+                  WHEN event_id % 4 = 1 THEN 1 ELSE 2 END AS b
+      FROM events),
+    touched AS (SELECT DISTINCT event_type, b AS bn FROM ev)
+    SELECT e.event_type,
+           CAST(SUM(e.sign) AS BIGINT) AS live_n,
+           CAST(SUM(e.sign * e.v) AS DOUBLE) AS live_sum
+    FROM ev e JOIN touched t
+      ON e.event_type = t.event_type AND e.b <= t.bn
+    GROUP BY e.event_type, t.bn
+    HAVING SUM(e.sign) > 0
+    ORDER BY e.event_type, live_n
+    """,
+)
+def stream_rollup_retracting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTING rollup maintenance through streaming state — the
+    streaming twin of `rollup_incremental_maintenance`: the multibatch
+    event stream carries a signed changelog (event_id % 13 == 0 rows
+    are DELETE tombstones, sign -1), and the update-mode aggregate
+    maintains live_n = sum(sign), live_sum = sum(sign*value) per type
+    — counts and sums that must DECREASE when tombstones flow through
+    micro-batch state, the algebra vanilla Structured Streaming never
+    exercises with plain counts. The revision trace (one row per
+    touched (type, batch) — update mode emits a group only in batches
+    that change it, the existence-join oracle convention of
+    `stream_ohlc_champions`) is hash-checked against a per-prefix
+    recompute, so the merge of NEGATIVE partials across batches is
+    what the oracle proves. Dead groups (live_n == 0) are filtered on
+    both sides. Ordering note: inserts outnumber tombstones ~12:1 in
+    every batch, so live_n strictly increases within a type and the
+    (event_type, live_n) ORDER BY is deterministic on this fixture.
+    Scale: state is two algebraic accumulators per group — O(groups),
+    and the changelog shuffles once per micro-batch on the group key,
+    exactly the batch IVM's cost model applied per-trigger."""
+    import os as _os
+
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "events_split_retract")
+    st = core.read_multibatch_events_stream(spark, sf_dir, split_dir)
+    signed = st.select(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(-1))
+        .otherwise(F.lit(1))
+        .alias("sign"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    agg = signed.groupBy("event_type").agg(
+        F.sum("sign").cast("long").alias("live_n"),
+        F.sum(F.col("sign") * F.col("v")).alias("live_s"),
+    )
+    out = core.run_to_batch(agg, "update")
+    return (
+        out.where(F.col("live_n") > 0)
+        .select(
+            "event_type",
+            "live_n",
+            F.col("live_s").cast("double").alias("live_sum"),
+        )
+        .orderBy("event_type", "live_n")
+    )
