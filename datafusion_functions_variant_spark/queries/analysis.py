@@ -1485,3 +1485,91 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("long").alias("min_group_size"),
         F.min("l_div").cast("long").alias("min_l_diversity"),
     )
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle=f"""
+    -- independent replay of the bigram LM: counts, integer floor-log2
+    -- surprisal (length(bin(c1 // c2)) - 1), per-doc weighted sum
+    WITH ws AS (
+      SELECT doc_id, {_DOC_WORDS_SQL} AS w FROM documents),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM ws, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+      WHERE len(w) >= 2),
+    c1 AS (
+      SELECT u AS w1, COUNT(*) AS c1
+      FROM (SELECT unnest(w) AS u FROM ws) GROUP BY u),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    t AS (
+      SELECT c2.w1, c2.w2, length(bin(c1.c1 // c2.c2)) - 1 AS s
+      FROM c2 JOIN c1 ON c1.w1 = c2.w1),
+    m AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg GROUP BY doc_id, w1, w2)
+    SELECT m.doc_id,
+           CAST(SUM(m.m) AS BIGINT) AS n_bigrams,
+           CAST(SUM(m.m * t.s) AS BIGINT) AS surprisal_sum
+    FROM m JOIN t ON m.w1 = t.w1 AND m.w2 = t.w2
+    GROUP BY m.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine bigram language model + per-document surprisal
+    scoring — the CCNet-style "LM perplexity" quality stage, trained
+    and applied in one plan with INTEGER-EXACT arithmetic: per-bigram
+    surprisal is floor(log2(c1(w1) / c2(w1,w2))) computed as
+    length(bin(c1 div c2)) - 1, so both engines agree bit-for-bit
+    (float ln() would diverge in the last ulp and break the value
+    hash; the floor-log2 bucket is the standard integerized surprisal
+    and c2 <= c1 always holds, every bigram occurrence IS a w1
+    occurrence). High surprisal_sum/n_bigrams = improbable word
+    transitions = boilerplate/garble candidates.
+
+    Scale shape: adjacency comes from an array slice+zip INSIDE the
+    row (no positional self-join of the corpus with itself); the
+    unigram and bigram count tables are VOCABULARY-bounded aggregates
+    (map-side combined); the model join keys are tokens, so every
+    join is equi (vocab x vocab and per-doc-types x vocab) and the
+    final per-doc aggregation shuffles on doc_id once. At 100 TB the
+    count tables either broadcast (capped vocab) or bucket-join —
+    same dial as the classifier/TF-IDF family; nothing is ever
+    all-pairs and no driver-side state exists at all."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("ws")
+    )
+    pairs = (
+        docs.where(F.size("ws") >= 2)
+        .withColumn("a", F.expr("slice(ws, 1, size(ws) - 1)"))
+        .withColumn("b", F.expr("slice(ws, 2, size(ws) - 1)"))
+        .select("doc_id", F.explode(F.arrays_zip("a", "b")).alias("bg"))
+        .select(
+            "doc_id",
+            F.col("bg.a").alias("w1"),
+            F.col("bg.b").alias("w2"),
+        )
+    )
+    c1 = (
+        docs.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    model = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        (F.length(F.bin(F.expr("c1 div c2"))) - 1).alias("s"),
+    )
+    m = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    return (
+        m.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("s")).cast("long").alias("surprisal_sum"),
+        )
+        .orderBy("doc_id")
+    )
