@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import ivm
 from ..sources.tables import load_table
 from . import query
 
@@ -451,6 +452,7 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
       (time_bucket(INTERVAL '1 day', ts), EXTRACT(HOUR FROM ts), event_type))
     ORDER BY day, hour NULLS FIRST, event_type NULLS FIRST
     """,
+    hash_deps=(ivm.rollup_full, ivm.rollup_delta, ivm.merge_rollup),
 )
 def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance of the multi-resolution rollup —
@@ -488,23 +490,14 @@ def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("value").cast("decimal(18,2)").alias("v"),
         "event_id",
     )
-    rollup_sql = """
-        SELECT day,
-               CASE WHEN GROUPING(hour) = 0 THEN hour END AS hour,
-               CASE WHEN GROUPING(event_type) = 0 THEN event_type END
-                 AS event_type,
-               COUNT(*) AS n,
-               SUM({val}) AS s
-        FROM {src}
-        GROUP BY GROUPING SETS ((day), (day, hour), (day, hour, event_type))
-    """
     # the "stored" materialized view: rollup over the base corpus
-    ev.where(F.col("event_id") % 10 != 0).createOrReplaceTempView(
-        "ivm_base_src"
+    rollup0 = ivm.rollup_full(
+        ev.where(F.col("event_id") % 10 != 0), "ivm_base_src"
     )
-    rollup0 = spark.sql(rollup_sql.format(val="v", src="ivm_base_src"))
     # signed changelog: inserts carry +1, delete tombstones -1
-    ev.where((F.col("event_id") % 10 == 0) | (F.col("event_id") % 17 == 0)).select(
+    signed = ev.where(
+        (F.col("event_id") % 10 == 0) | (F.col("event_id") % 17 == 0)
+    ).select(
         "day",
         "hour",
         "event_type",
@@ -512,32 +505,10 @@ def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(F.lit(-1))
         .alias("sign"),
         F.col("v"),
-    ).createOrReplaceTempView("ivm_delta_src")
-    delta = spark.sql(
-        rollup_sql.replace("COUNT(*)", "SUM(sign)").format(
-            val="sign * v", src="ivm_delta_src"
-        )
     )
-    r, d = rollup0.alias("r"), delta.alias("d")
-    keys = [
-        F.col(f"r.{k}").eqNullSafe(F.col(f"d.{k}"))
-        for k in ("day", "hour", "event_type")
-    ]
-    merged = r.join(d, keys[0] & keys[1] & keys[2], "full_outer").select(
-        *[
-            F.coalesce(F.col(f"r.{k}"), F.col(f"d.{k}")).alias(k)
-            for k in ("day", "hour", "event_type")
-        ],
-        (
-            F.coalesce(F.col("r.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
-        ).cast("long").alias("n"),
-        (
-            F.coalesce(F.col("r.s"), F.lit(0).cast("decimal(18,2)"))
-            + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(18,2)"))
-        ).alias("s"),
-    )
+    delta = ivm.rollup_delta(signed, "ivm_delta_src")
     return (
-        merged.where(F.col("n") > 0)
+        ivm.merge_rollup(rollup0, delta)
         .select(
             "day",
             "hour",

@@ -330,6 +330,73 @@ def main() -> None:
     print(json.dumps({"case": "snapshot_diff_fixed_drift",
                       **results["snapshot_diff_fixed_drift"]}), flush=True)
 
+    # --- bespoke case: incremental rollup maintenance, FIXED delta ---
+    # operators/ivm.py. The stored rollup is pre-materialized per K
+    # (untimed, as in production where the MV is a table); the timed
+    # phase is maintenance ONLY: a FIXED ~600-row signed changelog
+    # aggregated to delta partials and merged with one grouping-key
+    # join. Contrast case: the full recompute over the K× corpus that
+    # maintenance replaces. Claim: maintenance stays FLAT while
+    # recompute grows ~K — the reason the operator exists.
+    from datafusion_functions_variant_spark.operators import ivm
+
+    from datafusion_functions_variant_spark.sources.tables import load_table
+
+    ev0 = load_table(spark, SF_DIR, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        "event_id",
+    )
+    # K-independent signed changelog: ~600 rows from the base corpus
+    delta_src = ev0.where(F.col("event_id") % 97 == 0).select(
+        "day", "hour", "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.lit(-1)).otherwise(F.lit(1))
+        .alias("sign"),
+        "v",
+    )
+    ivm_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp_bench", "ivm_probe"
+    )
+    # sf0.1 events are small enough that fixed overheads hide the
+    # recompute's linear term until ~1M+ rows — probe to K=32 so the
+    # contrast is visible (measured: recompute flat to K=8, 2.9x at 32)
+    KS_IVM = (1, 8, 32)
+    per_k_m, per_k_r = {}, {}
+    for k in KS_IVM:
+        rep = replicate(ev0, k, "event_id")
+        stored_path = os.path.join(ivm_dir, f"rollup_k{k}")
+        ivm.rollup_full(rep, "ivm_probe_full").write.mode("overwrite").parquet(
+            stored_path
+        )  # untimed one-time build
+        stored = spark.read.parquet(stored_path)
+        m_samples, r_samples = [], []
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            ivm.merge_rollup(
+                stored, ivm.rollup_delta(delta_src, "ivm_probe_delta")
+            ).agg(F.count(F.lit(1)), F.sum("n")).collect()
+            if i:
+                m_samples.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            ivm.rollup_full(rep, "ivm_probe_full").agg(
+                F.count(F.lit(1)), F.sum("n")
+            ).collect()
+            if i:
+                r_samples.append(time.perf_counter() - t0)
+        per_k_m[k] = round(sorted(m_samples)[len(m_samples) // 2], 3)
+        per_k_r[k] = round(sorted(r_samples)[len(r_samples) // 2], 3)
+    for label, per_k in (
+        ("rollup_ivm_fixed_delta_maintain", per_k_m),
+        ("rollup_ivm_full_recompute", per_k_r),
+    ):
+        results[label] = {
+            "per_k": per_k,
+            "growth_32x": round(per_k[KS_IVM[-1]] / per_k[KS_IVM[0]], 2),
+        }
+        print(json.dumps({"case": label, **results[label]}), flush=True)
+
     # --- bespoke case: perceptual image dedup, ADVERSARIAL near-dup
     # corpus: 1000*K images with a FIXED 250 pattern groups, so every
     # image gains 4K-1 true near-dups (brightness variants + blob
