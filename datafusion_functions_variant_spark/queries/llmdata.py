@@ -1844,3 +1844,100 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash.neardup_pairs(sigs, "asset_id", max_hamming=6).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    -- exact word-trigram Jaccard, replayed independently: distinct
+    -- grams per doc, inverted-index pair counts, integer milli-Jaccard
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+      FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+      WHERE len(w) >= 3),
+    n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b,
+           CAST(p.inter AS BIGINT) AS shared_grams,
+           CAST((1000 * p.inter) // (na.ng + nb.ng - p.inter) AS BIGINT)
+             AS jaccard_milli
+    FROM p
+    JOIN n na ON na.doc_id = p.id_a
+    JOIN n nb ON nb.doc_id = p.id_b
+    WHERE (1000 * p.inter) // (na.ng + nb.ng - p.inter) >= 200
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup detection — the ground-truth twin
+    of the MinHash/SimHash approximations (`dedup_minhash_lsh`
+    estimates exactly this number): per doc the DISTINCT word
+    trigrams, candidate pairs from the inverted gram index (equi-join
+    on gram — a pair is counted once per shared gram, so the groupBy
+    yields |A∩B| directly), and Jaccard = |A∩B| / (|A|+|B|-|A∩B|)
+    emitted as integer milli-Jaccard ((1000*inter) div union — integer
+    floor both engines, no float division in the hash). Pairs at
+    >= 0.2 Jaccard survive.
+
+    Scale shape: trigrams come from an in-row slice+zip (never a
+    positional self-join); the pair generation is the inverted-index
+    equi-join — cost = sum over grams of C(df,2), which a df cap
+    bounds on real corpora (drop grams with df > cap exactly as
+    operators/dedup.py df-gates shingles and Lee et al. drop
+    boilerplate; this corpus's max df is 9, so the registered query
+    runs ungated and stays EXACT). Per-doc gram counts join back on
+    doc id. The MinHash pipeline replaces the exact index join with
+    banded signatures when even the gated index is too hot; this
+    query is the audit that MEASURES what that approximation loses
+    (`dedup_lsh_recall_audit` computes recall against exactly this
+    definition)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", text.words("text").alias("ws"))
+        .where(F.size("ws") >= 3)
+    )
+    g = (
+        docs.withColumn("a", F.expr("slice(ws, 1, size(ws) - 2)"))
+        .withColumn("b", F.expr("slice(ws, 2, size(ws) - 2)"))
+        .withColumn("c", F.expr("slice(ws, 3, size(ws) - 2)"))
+        .select("doc_id", F.explode(F.arrays_zip("a", "b", "c")).alias("t"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "t.a", "t.b", "t.c").alias("gram"),
+        )
+        .distinct()
+    )
+    n = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    pairs = (
+        g.alias("x")
+        .join(
+            g.alias("y"),
+            (F.col("x.gram") == F.col("y.gram"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("na"))
+    nb = n.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("nb"))
+    jm = F.expr("(1000 * inter) div (na + nb - inter)")
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("shared_grams"),
+            jm.cast("long").alias("jaccard_milli"),
+        )
+        .where(F.col("jaccard_milli") >= 200)
+        .orderBy("id_a", "id_b")
+    )
