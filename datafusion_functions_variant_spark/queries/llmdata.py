@@ -1941,3 +1941,107 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard_milli") >= 200)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "phash_band_stats",
+    oracle="""
+    -- arithmetic replay of the dHash band histogram (same CTE chain
+    -- as dedup_image_phash up to the signatures)
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    pix AS (
+      SELECT d.doc_id, x.x, y.y,
+             ((11 + d.doc_id % 25) * x.x
+              + (23 + 2 * (d.doc_id % 25)) * y.y) % 97
+             + 2 * (d.doc_id // 25)
+             + CASE WHEN d.doc_id // 25 = 3 AND x.x < 2 AND y.y < 4
+                    THEN 40 ELSE 0 END AS p
+      FROM docs d,
+           LATERAL (SELECT unnest(range(18)) AS x) x,
+           LATERAL (SELECT unnest(range(16)) AS y) y),
+    grid AS (
+      SELECT doc_id, x // 2 AS gx, y // 2 AS gy, SUM(p) // 4 AS g
+      FROM pix GROUP BY doc_id, x // 2, y // 2),
+    bits AS (
+      SELECT a.doc_id, (a.gy * 8 + a.gx) AS i,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      FROM grid a JOIN grid b
+        ON a.doc_id = b.doc_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+      WHERE a.gx < 8),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i // 16 = 0
+                           THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS band0,
+             CAST(SUM(CASE WHEN i // 16 = 1
+                           THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS band1,
+             CAST(SUM(CASE WHEN i // 16 = 2
+                           THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS band2,
+             CAST(SUM(CASE WHEN i // 16 = 3
+                           THEN bit * (1 << (i % 16)) ELSE 0 END) AS INT) AS band3
+      FROM bits GROUP BY doc_id),
+    exploded AS (
+      SELECT 0 AS band_id, band0 AS bkt FROM sigs
+      UNION ALL SELECT 1, band1 FROM sigs
+      UNION ALL SELECT 2, band2 FROM sigs
+      UNION ALL SELECT 3, band3 FROM sigs),
+    buckets AS (
+      SELECT band_id, bkt, COUNT(*) AS depth
+      FROM exploded GROUP BY band_id, bkt)
+    SELECT band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(depth) AS BIGINT) AS total_rows,
+           CAST(SUM(depth * (depth - 1)) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band_id ORDER BY band_id
+    """,
+    hash_deps=(phash.dhash_bands,),
+)
+def phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight audit for `dedup_image_phash`'s banded blocking —
+    the image twin of `knn_bucket_stats` / `dedup_lsh_band_sweep`:
+    per 16-bit band, the bucket count, the DEEPEST bucket, and the
+    exact candidate-pair workload (Σ depth·(depth−1)) the band join
+    would generate — the number an operator checks BEFORE running
+    perceptual dedup on a new image corpus (max_depth ≫ group size
+    means degenerate signatures — e.g. flat or synthetic images —
+    and the corpus needs an exact-hash pre-dedup or wider bands
+    first). Count-only and JOINLESS after the signature stage: the
+    pixels stay inside the chained mapInPandas pipeline, then one
+    (band, bucket) groupBy + one per-band aggregate."""
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    assets = ids.mapInPandas(
+        phash_png_fixture(group_modulus=25), "asset_id long, payload binary"
+    )
+    sigs = phash.dhash_bands(assets, "asset_id", "payload")
+    exploded = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.col(f"band{k}").alias("bkt"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("e")
+    ).select("e.band_id", "e.bkt")
+    buckets = exploded.groupBy("band_id", "bkt").agg(
+        F.count(F.lit(1)).alias("depth")
+    )
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.sum("depth").cast("long").alias("total_rows"),
+            F.sum(F.col("depth") * (F.col("depth") - 1))
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band_id")
+    )
