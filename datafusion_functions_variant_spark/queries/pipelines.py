@@ -590,3 +590,72 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "status", "since_us", "asof_us")
         .orderBy("user_id")
     )
+
+
+@query(
+    "rollup_rewrite_answering",
+    oracle="""
+    -- the oracle takes the path the rewrite AVOIDS: filter + group
+    -- the applied corpus directly
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ((event_id % 10 = 0) OR (event_id % 17 <> 0))
+      AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+    GROUP BY 1 ORDER BY day
+    """,
+    hash_deps=(ivm.rollup_full, ivm.rollup_delta, ivm.merge_rollup),
+)
+def rollup_rewrite_answering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate READ path: a per-day business query
+    for a two-week range answered FROM the maintained rollup (the
+    `rollup_incremental_maintenance` pipeline) instead of scanning
+    the corpus — the query-rewrite half of materialized-view
+    maintenance, where the (day) grouping set's rows ARE the answer
+    (NULL hour + NULL event_type selects the day level; no
+    re-aggregation happens, just a filter on the GROUPS table). The
+    oracle deliberately takes the path the rewrite avoids — filter +
+    group over the applied corpus — so the hash proves
+    rollup-as-answer == corpus recompute. At 100 TB the maintained
+    rollup is a stored table and this plan touches only
+    O(groups-in-range) rows; here it inherits the in-plan
+    maintenance build (2 corpus scans, pinned — the rewrite itself
+    adds NONE)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        "event_id",
+    )
+    rollup0 = ivm.rollup_full(
+        ev.where(F.col("event_id") % 10 != 0), "ivm_rw_base_src"
+    )
+    signed = ev.where(
+        (F.col("event_id") % 10 == 0) | (F.col("event_id") % 17 == 0)
+    ).select(
+        "day",
+        "hour",
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+        F.col("v"),
+    )
+    maintained = ivm.merge_rollup(
+        rollup0, ivm.rollup_delta(signed, "ivm_rw_delta_src")
+    )
+    return (
+        maintained.where(
+            F.col("hour").isNull()
+            & F.col("event_type").isNull()
+            & F.col("day").between("2024-01-08", "2024-01-21")
+        )
+        .select(
+            "day",
+            F.col("n"),
+            F.col("s").cast("double").alias("sum_value"),
+        )
+        .orderBy("day")
+    )

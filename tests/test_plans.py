@@ -1161,3 +1161,13 @@ def test_aqe_skew_join_split_engages_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rollup_rewrite_adds_no_corpus_scan(spark):
+    # the continuous-aggregate READ path answers from the maintained
+    # rollup's (day) grouping set: exactly the maintenance plan's two
+    # corpus scans and two grouping-sets branches — the rewrite itself
+    # contributes no additional scan or aggregation
+    plan = plan_of(spark, "rollup_rewrite_answering")
+    assert plan.count("FileScan") == 2
+    assert plan.count("Expand") == 2
