@@ -659,3 +659,102 @@ def rollup_rewrite_answering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "golden_record_survivorship",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             arg_max(event_type,
+                     lpad(CAST(epoch_us(ts) + 4611686018427387904 AS VARCHAR),
+                          20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS status,
+             MAX(epoch_us(ts)) AS last_seen_us,
+             SUM(CAST(value AS DECIMAL(18,2))) AS activity,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id),
+    cust AS (
+      SELECT c_custkey AS user_id, c_name, c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer)
+    SELECT COALESCE(c.user_id, e.user_id) AS entity_id,
+           CASE WHEN c.user_id IS NOT NULL AND e.user_id IS NOT NULL
+                THEN 'both'
+                WHEN c.user_id IS NOT NULL THEN 'customer_only'
+                ELSE 'events_only' END AS presence,
+           COALESCE(c.c_name, '<unresolved>') AS name,
+           CASE WHEN c.user_id IS NOT NULL THEN 'customer' ELSE 'none' END
+             AS name_src,
+           COALESCE(e.status, 'inactive') AS status,
+           CASE WHEN e.user_id IS NOT NULL THEN 'events' ELSE 'none' END
+             AS status_src,
+           CAST(COALESCE(c.bal, 0) + COALESCE(e.activity, 0) AS DOUBLE)
+             AS worth,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(e.last_seen_us, 0) AS BIGINT) AS last_seen_us
+    FROM cust c FULL JOIN ev e ON c.user_id = e.user_id
+    ORDER BY entity_id
+    """,
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution GOLDEN RECORD with field-level survivorship
+    and per-field provenance — the finishing move after matching:
+    each entity's record is assembled from two systems with per-field
+    precedence rules (identity fields survive from the dimension
+    system, activity fields from the event system, champion status by
+    most-recent (epoch+2^62, event_id) key — the bias convention of
+    `timeseries_ohlc_bars`), every surviving field carries its source
+    system (the lineage auditors ask for), and entities present in
+    only one system still resolve with documented defaults. One
+    map-side-combined per-entity aggregate on the event system + one
+    full-outer key join — at 100 TB both sides shuffle once on the
+    entity key (or bucket-co-locate), and the survivorship is pure
+    projection, adding nothing to the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = F.concat(
+        F.lpad(
+            (F.unix_micros("ts") + F.lit(4611686018427387904)).cast("string"),
+            20,
+            "0",
+        ),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    ev_agg = (
+        ev.select("user_id", "event_type", "ts", "value", sk.alias("sk"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("max_by(event_type, sk)").alias("status"),
+            F.max(F.unix_micros("ts")).alias("last_seen_us"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("activity"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_name",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    c, e = cust.alias("c"), ev_agg.alias("e")
+    joined = c.join(e, F.col("c.user_id") == F.col("e.user_id"), "full_outer")
+    in_c, in_e = F.col("c.user_id").isNotNull(), F.col("e.user_id").isNotNull()
+    return joined.select(
+        F.coalesce(F.col("c.user_id"), F.col("e.user_id")).alias("entity_id"),
+        F.when(in_c & in_e, "both")
+        .when(in_c, "customer_only")
+        .otherwise("events_only")
+        .alias("presence"),
+        F.coalesce(F.col("c.c_name"), F.lit("<unresolved>")).alias("name"),
+        F.when(in_c, "customer").otherwise("none").alias("name_src"),
+        F.coalesce(F.col("e.status"), F.lit("inactive")).alias("status"),
+        F.when(in_e, "events").otherwise("none").alias("status_src"),
+        (
+            F.coalesce(F.col("c.bal"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("e.activity"), F.lit(0).cast("decimal(18,2)"))
+        ).cast("double").alias("worth"),
+        F.coalesce(F.col("e.n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("e.last_seen_us"), F.lit(0))
+        .cast("long")
+        .alias("last_seen_us"),
+    ).orderBy("entity_id")
