@@ -535,3 +535,115 @@ def source_corrupt_file_resilience(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    -- the textbook equi-join estimator |A|*|B| / max(ndv_a, ndv_b),
+    -- integer arithmetic, scored against the measured join size
+    WITH pairs AS (
+      SELECT 'orders_lineitem' AS join_pair,
+             (SELECT COUNT(*) FROM orders) AS rows_a,
+             (SELECT COUNT(*) FROM lineitem) AS rows_b,
+             (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS ndv_a,
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS ndv_b,
+             (SELECT COUNT(*) FROM orders o
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey) AS actual_rows
+      UNION ALL
+      SELECT 'customer_events',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+             (SELECT COUNT(DISTINCT user_id) FROM events),
+             (SELECT COUNT(*) FROM customer c
+              JOIN events e ON e.user_id = c.c_custkey)
+      UNION ALL
+      SELECT 'orders_selfkey',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+             (SELECT COUNT(*) FROM orders a
+              JOIN orders b ON b.o_custkey = a.o_custkey))
+    SELECT join_pair,
+           CAST(rows_a AS BIGINT) AS rows_a,
+           CAST(rows_b AS BIGINT) AS rows_b,
+           CAST(ndv_a AS BIGINT) AS ndv_a,
+           CAST(ndv_b AS BIGINT) AS ndv_b,
+           CAST(rows_a * rows_b // GREATEST(ndv_a, ndv_b) AS BIGINT)
+             AS est_rows,
+           CAST(actual_rows AS BIGINT) AS actual_rows,
+           CAST(ABS(rows_a * rows_b // GREATEST(ndv_a, ndv_b) - actual_rows)
+                * 1000 // actual_rows AS BIGINT) AS err_permille
+    FROM pairs ORDER BY join_pair
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-infrastructure audit: the textbook equi-join
+    cardinality estimator est = |A|·|B| / max(ndv(a.k), ndv(b.k))
+    (uniformity + containment assumptions — what every cost-based
+    optimizer, Catalyst's CBO included, computes from ANALYZE stats)
+    scored against the MEASURED join size, in integer arithmetic so
+    both engines hash identically. Three regimes on purpose: the
+    orders⋈lineitem FK join and customer⋈events (PK on the max-ndv
+    side), where containment + uniformity hold and the estimator is
+    exact (err_permille 0 — the case that justifies trusting stats),
+    and the orders self-join on the NON-unique o_custkey, where
+    actual = Σ c(k)² while the estimator assumes uniform (n/ndv)² per
+    key — Jensen's inequality makes it UNDER-estimate under any
+    per-key variance, and err_permille records by how much on this
+    corpus. The inputs are the numbers
+    `table_analyze_stats` materializes — this query is the
+    check-before-trust step between ANALYZE and a join-order
+    decision. Fully declarative — per pair, three 1-row aggregates
+    (side stats and the count-only join probe, no payload columns
+    survive pruning) combined via the repo's 1-row-broadcast-cross
+    pattern; nothing ever reaches the driver but the final 2 rows."""
+    def stats(pair: str, a, ka: str, b, kb: str):
+        sa = a.agg(
+            F.count(F.lit(1)).alias("rows_a"),
+            F.countDistinct(ka).alias("ndv_a"),
+        )
+        sb = b.agg(
+            F.count(F.lit(1)).alias("rows_b"),
+            F.countDistinct(kb).alias("ndv_b"),
+        )
+        actual = (
+            a.select(F.col(ka).alias("k"))
+            .join(b.select(F.col(kb).alias("k")), "k")
+            .agg(F.count(F.lit(1)).alias("actual_rows"))
+        )
+        est = F.expr("rows_a * rows_b div greatest(ndv_a, ndv_b)")
+        return (
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(pair).alias("join_pair"),
+                "rows_a",
+                "rows_b",
+                "ndv_a",
+                "ndv_b",
+                est.alias("est_rows"),
+                "actual_rows",
+                F.expr(
+                    "abs(rows_a * rows_b div greatest(ndv_a, ndv_b)"
+                    " - actual_rows) * 1000 div actual_rows"
+                ).alias("err_permille"),
+            )
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        stats("customer_events", cust, "c_custkey", ev, "user_id")
+        .unionByName(
+            stats("orders_lineitem", orders, "o_orderkey", li, "l_orderkey")
+        )
+        .unionByName(
+            stats("orders_selfkey", orders, "o_custkey", orders, "o_custkey")
+        )
+        .orderBy("join_pair")
+    )

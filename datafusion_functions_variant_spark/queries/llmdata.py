@@ -2045,3 +2045,70 @@ def phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+@query(
+    "dataset_stratified_exact_split",
+    oracle="""
+    -- exact-quota allocation: the floor(n*20%) lowest md5-ranked docs
+    -- of each stratum go to val — deterministic in both engines
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT lang,
+           CASE WHEN rn * 5 <= n THEN 'val' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(n) // 5 AS BIGINT) AS quota
+    FROM ranked
+    GROUP BY 1, 2 ORDER BY lang, split
+    """,
+)
+def dataset_stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified split with EXACT per-stratum quotas — the companion
+    to `dataset_split_assignment`'s hash-bucket split: hash splits
+    drift ±sqrt(n) from the target fraction, but regulated eval sets
+    need exactly floor(n * 20%) docs per language. Allocation is the
+    quota lowest md5-ranked docs of each stratum (rn * 5 <= n is the
+    integer form of rn <= n/5) — deterministic across runs, machines
+    and engines, and stable under corpus append ONLY for unchanged
+    strata (a new doc reshuffles its own stratum's ranks; pipelines
+    that need append-stability use the hash split and accept the
+    drift — that trade IS the operator pair's point). One window
+    shuffle on the stratum key (rank + stratum count share the same
+    partitioning), then a grouped count; at 100 TB strata are the
+    partition key and the quota check is per-group arithmetic, no
+    global coordination. The `quota` column re-states floor(n/5) so
+    the oracle hash pins the allocation SIZE, not just membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.select(
+            "lang",
+            F.when(F.col("rn") * 5 <= F.col("n"), "val")
+            .otherwise("train")
+            .alias("split"),
+            "n_chars",
+            "n",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.expr("min(n) div 5").cast("long").alias("quota"),
+        )
+        .orderBy("lang", "split")
+    )
