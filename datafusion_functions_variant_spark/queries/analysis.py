@@ -1573,3 +1573,65 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "feature_equidepth_binning",
+    oracle="""
+    -- oracle allows itself the single-node luxury: one global window
+    WITH r AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+                                o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders)
+    SELECT CAST((rn - 1) * 10 // n AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(p) AS DOUBLE) AS lo,
+           CAST(MAX(p) AS DOUBLE) AS hi,
+           CAST(SUM(p) AS DOUBLE) AS sum_value
+    FROM r GROUP BY 1 ORDER BY bin
+    """,
+)
+def feature_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth (decile) binning of a numeric feature — the
+    feature-engineering primitive behind quantile bucketing, monotone
+    target encoding and histogram-equalized features: every bin holds
+    exactly floor-or-ceil(n/10) rows (bin = (rank-1)*10 div n over the
+    exact global rank), and the emitted (lo, hi) pairs ARE the bin
+    boundary table a training pipeline broadcasts to bin the next
+    batch. Unlike `approx_quantile_bounds` (sketch, ±1% rank error)
+    the depths here are exact — the audit pair: run both, diff the
+    boundaries.
+
+    Scale shape: the exact rank comes from `operators/ranking.py::
+    global_rank` — approxQuantile pre-buckets the value range, ranks
+    are computed per bucket and offset by broadcast partial counts, so
+    there is NO SinglePartition window anywhere (plan-pinned for the
+    global_rank family); the total count joins in as a 1-row
+    broadcast. The oracle allows itself the single-node global window
+    — a DIFFERENT algorithm, so the hash checks the distributed
+    rank/binning logic."""
+    from ..operators.ranking import global_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        "o_orderkey",
+    )
+    ranked = global_rank(
+        orders, "p", "o_orderkey", ascending=True, rank_col="r"
+    )
+    n1 = orders.agg(F.count(F.lit(1)).alias("n"))
+    binned = ranked.crossJoin(F.broadcast(n1)).select(
+        F.expr("(r - 1) * 10 div n").cast("int").alias("bin"), "p"
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("p").cast("double").alias("lo"),
+            F.max("p").cast("double").alias("hi"),
+            F.sum("p").cast("double").alias("sum_value"),
+        )
+        .orderBy("bin")
+    )
