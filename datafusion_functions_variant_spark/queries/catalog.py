@@ -647,3 +647,170 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("join_pair")
     )
+
+
+@query(
+    "quality_expectations_report",
+    oracle="""
+    WITH o AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) <= 0
+                      THEN 1 ELSE 0 END) AS v_price,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup,
+             SUM(CASE WHEN CAST(o_orderdate AS DATE) > DATE '1998-08-01'
+                      THEN 1 ELSE 0 END) AS v_date
+      FROM orders),
+    l AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_quantity < 1 OR l_quantity > 49
+                      THEN 1 ELSE 0 END) AS v_qty,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                      THEN 1 ELSE 0 END) AS v_disc
+      FROM lineitem),
+    e AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_null
+      FROM events),
+    c AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING',
+                        'FURNITURE', 'MACHINERY', 'HOUSEHOLD')
+                      THEN 1 ELSE 0 END) AS v_dom
+      FROM customer),
+    fk AS (
+      SELECT (SELECT COUNT(*) FROM orders) AS n,
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS v
+    )
+    SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'customer_segment_domain' AS rule, n AS n_checked,
+             v_dom AS n_violations FROM c
+      UNION ALL SELECT 'events_user_nonnull', n, v_null FROM e
+      UNION ALL SELECT 'lineitem_discount_0_to_10pct', n, v_disc FROM l
+      UNION ALL SELECT 'lineitem_qty_1_to_49', n, v_qty FROM l
+      UNION ALL SELECT 'orders_custkey_fk', n, v FROM fk
+      UNION ALL SELECT 'orders_date_le_1998_08_01', n, v_date FROM o
+      UNION ALL SELECT 'orders_key_unique', n, v_dup FROM o
+      UNION ALL SELECT 'orders_price_positive', n, v_price FROM o)
+    ORDER BY rule
+    """,
+)
+def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract EXPECTATIONS report — the dbt-test / Delta Live
+    Tables "expectations" primitive: a battery of declarative rules
+    (range, domain, uniqueness, not-null, referential integrity)
+    evaluated into one (rule, n_checked, n_violations, passed) table
+    the pipeline gates deploys on. Two rules are deliberately tight
+    enough to FIRE on this corpus (qty <= 49, date cutoff) so the
+    report exercises both verdicts.
+
+    Scale shape: all same-table rules FUSE into one scan — a single
+    conditional-count aggregate per table (orders: 3 rules, one pass;
+    uniqueness is n - approx-free exact countDistinct in the same
+    aggregate), so adding a rule adds a column, not a scan. The FK
+    rule is a broadcast LEFT ANTI count against the dimension. Each
+    table contributes one 1-row aggregate, exploded into its rule
+    rows — at 100 TB this is exactly one pass over each fact table
+    regardless of how many rules the contract carries."""
+    def explode_rules(one_row, rules):
+        return one_row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(nm).alias("rule"),
+                            F.col(n).cast("long").alias("n_checked"),
+                            F.col(v).cast("long").alias("n_violations"),
+                        )
+                        for nm, n, v in rules
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("o_totalprice").cast("double") <= 0).cast("int")
+        ).alias("v_price"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_dup"),
+        F.sum(
+            (F.col("o_orderdate").cast("date") > F.lit("1998-08-01")).cast(
+                "int"
+            )
+        ).alias("v_date"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 49)).cast("int")
+        ).alias("v_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                "int"
+            )
+        ).alias("v_disc"),
+    )
+    ev = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("user_id").isNull().cast("int")).alias("v_null"),
+    )
+    cust = load_table(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                ~F.col("c_mktsegment").isin(
+                    "AUTOMOBILE", "BUILDING", "FURNITURE",
+                    "MACHINERY", "HOUSEHOLD",
+                )
+            ).cast("int")
+        ).alias("v_dom"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # the FK violation count joins onto the fused orders aggregate as
+    # a 1-row broadcast, and ALL four orders rules explode from that
+    # single branch — orders is scanned exactly twice overall (the
+    # fused agg pass + the anti-join probe), no matter the rule count
+    o_all = o.crossJoin(
+        F.broadcast(
+            orders.select("o_custkey")
+            .join(
+                F.broadcast(dim),
+                orders.o_custkey == dim.c_custkey,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("v_fk"))
+        )
+    )
+    report = (
+        explode_rules(cust, [("customer_segment_domain", "n", "v_dom")])
+        .unionByName(explode_rules(ev, [("events_user_nonnull", "n", "v_null")]))
+        .unionByName(
+            explode_rules(
+                li,
+                [
+                    ("lineitem_discount_0_to_10pct", "n", "v_disc"),
+                    ("lineitem_qty_1_to_49", "n", "v_qty"),
+                ],
+            )
+        )
+        .unionByName(
+            explode_rules(
+                o_all,
+                [
+                    ("orders_custkey_fk", "n", "v_fk"),
+                    ("orders_date_le_1998_08_01", "n", "v_date"),
+                    ("orders_key_unique", "n", "v_dup"),
+                    ("orders_price_positive", "n", "v_price"),
+                ],
+            )
+        )
+    )
+    return report.withColumn(
+        "passed", F.col("n_violations") == 0
+    ).orderBy("rule")

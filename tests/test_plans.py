@@ -1171,3 +1171,16 @@ def test_rollup_rewrite_adds_no_corpus_scan(spark):
     plan = plan_of(spark, "rollup_rewrite_answering")
     assert plan.count("FileScan") == 2
     assert plan.count("Expand") == 2
+
+
+def test_expectations_fuse_rules_into_per_table_scans(spark):
+    # data-contract battery: all same-table rules share ONE fused
+    # conditional-count aggregate — orders is scanned exactly twice
+    # (fused agg + FK anti-join probe), lineitem/events/customer once
+    # for their rule groups (customer twice: rule agg + FK dim side)
+    plan = plan_of(spark, "quality_expectations_report")
+    assert plan.count("orders.parquet") == 2
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("events.parquet") == 1
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
