@@ -1635,3 +1635,144 @@ def feature_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "attribution_first_last_touch",
+    oracle="""
+    -- champion selection via MIN/MAX over fixed-width (sk || type)
+    -- strings: no conditional-key arg_min/arg_max (engines disagree
+    -- on NULL-key handling), plain MIN/MAX skip NULLs identically
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             epoch_us(ts) AS tus,
+             lpad(CAST(epoch_us(ts) + 4611686018427387904 AS VARCHAR),
+                  20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk
+      FROM events),
+    lagged AS (
+      SELECT *, LAG(tus) OVER (PARTITION BY user_id ORDER BY sk) AS ptus
+      FROM ev),
+    sess AS (
+      SELECT *, SUM(CASE WHEN ptus IS NULL OR tus - ptus > 1800000000
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY sk) AS s
+      FROM lagged),
+    marked AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN sk END)
+                  OVER (PARTITION BY user_id, s) AS fp_sk
+      FROM sess),
+    agg AS (
+      SELECT user_id, s,
+             substr(MIN(sk || '|' || event_type), 34) AS first_touch,
+             substr(MAX(CASE WHEN sk < fp_sk AND event_type <> 'purchase'
+                             THEN sk || '|' || event_type END), 34)
+               AS last_pre,
+             SUM(CASE WHEN event_type = 'purchase' THEN v END) AS rev
+      FROM marked WHERE fp_sk IS NOT NULL
+      GROUP BY user_id, s)
+    SELECT model, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM (
+      SELECT 'first_touch' AS model, first_touch AS channel, rev FROM agg
+      UNION ALL
+      SELECT 'last_touch', COALESCE(last_pre, 'direct'), rev FROM agg)
+    GROUP BY model, channel
+    ORDER BY model, channel
+    """,
+)
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion ATTRIBUTION over gap-sessionized
+    events: sessions split on >30-min inactivity (gaps-and-islands),
+    converting sessions (>= 1 purchase) credit their purchase revenue
+    to (a) the session's FIRST touch and (b) the LAST non-purchase
+    touch before the first purchase ('direct' when the purchase opens
+    the session) — the two classical single-touch models, reported per
+    (model, channel). Champions are MIN/MAX over fixed-width
+    (sort-key || type) strings, so NULL-key arg_min/arg_max
+    differences between engines never matter (plain MIN/MAX skip
+    NULLs identically everywhere); the sort key carries the +2^62
+    epoch bias convention.
+
+    Scale shape: the LAG and the running session-id SUM share ONE
+    (user_id) sort+shuffle; the first-purchase window adds the
+    (user_id, session) partitioning; then one grouped aggregate per
+    session and a tiny (model, channel) re-aggregation. Revenue sums
+    are decimal-exact. Nothing is corpus-crossing: every window and
+    group is keyed by the user/session."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.unix_micros("ts").alias("tus"),
+        F.concat(
+            F.lpad(
+                (F.unix_micros("ts") + F.lit(4611686018427387904)).cast(
+                    "string"
+                ),
+                20,
+                "0",
+            ),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("sk"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("sk")
+    sess = ev.withColumn("ptus", F.lag("tus").over(wu)).withColumn(
+        "s",
+        F.sum(
+            (
+                F.col("ptus").isNull()
+                | ((F.col("tus") - F.col("ptus")) > 1_800_000_000)
+            ).cast("int")
+        ).over(wu),
+    )
+    ws = Window.partitionBy("user_id", "s")
+    marked = sess.withColumn(
+        "fp_sk",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sk"))
+        ).over(ws),
+    )
+    packed = F.concat_ws("|", "sk", "event_type")
+    agg = (
+        marked.where(F.col("fp_sk").isNotNull())
+        .groupBy("user_id", "s")
+        .agg(
+            F.substring(F.min(packed), 34, 64).alias("first_touch"),
+            F.substring(
+                F.max(
+                    F.when(
+                        (F.col("sk") < F.col("fp_sk"))
+                        & (F.col("event_type") != "purchase"),
+                        packed,
+                    )
+                ),
+                34,
+                64,
+            ).alias("last_pre"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("rev"),
+        )
+    )
+    both = agg.select(
+        F.lit("first_touch").alias("model"),
+        F.col("first_touch").alias("channel"),
+        "rev",
+    ).unionByName(
+        agg.select(
+            F.lit("last_touch").alias("model"),
+            F.coalesce("last_pre", F.lit("direct")).alias("channel"),
+            "rev",
+        )
+    )
+    return (
+        both.groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("model", "channel")
+    )
