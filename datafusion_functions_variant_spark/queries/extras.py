@@ -2079,3 +2079,68 @@ def spatial_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "nearest_id", F.col("linf").cast("long").alias("linf"))
         .orderBy("id_a")
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    -- replay of the backfill: 1996-03..04 partitions rewritten with
+    -- +1000.00 prices, every other month untouched
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+                              BETWEEN DATE '1996-03-01' AND DATE '1996-04-30'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1000.00
+                         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                        AND DATE '1996-06-30'
+    GROUP BY 1 ORDER BY month
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill with DYNAMIC partition overwrite — the warehouse
+    primitive behind every partition-scoped restatement: orders land
+    partitioned by month, then a corrected slice (two months, prices
+    +1000.00) is written with ``partitionOverwriteMode=dynamic`` and
+    ``mode('overwrite')`` — ONLY the partitions present in the new
+    data are replaced (static mode would truncate the whole table;
+    at 100 TB that difference is the job). The read-back aggregates a
+    six-month window: the two backfilled months must show corrected
+    sums, the four untouched months their original data — which is
+    exactly what the oracle recomputes with a CASE. The overwrite
+    config is set per-write via the DataFrameWriter option, not
+    session-wide."""
+    path = os.path.join(_IO_DIR, "orders_by_month_dpo")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    o.write.mode("overwrite").partitionBy("month").parquet(path)
+    corrected = o.where(
+        F.col("o_orderdate")
+        .cast("date")
+        .between("1996-03-01", "1996-04-30")
+    ).withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1000.00))
+        .cast("double"),
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("month").between("1996-01", "1996-06"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("month")
+    )
