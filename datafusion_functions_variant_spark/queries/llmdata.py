@@ -317,12 +317,22 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit, word-frequency weighted) near-dup pairs with
-    Hamming <= 4 (planted dups sit at <=1-6; random pairs median 19)."""
+    Hamming <= 4 (planted dups sit at <=1-6; random pairs median 19).
+
+    ``max_bucket=4096`` keeps the chunk blocking EXACT at every tested
+    scale: the sf0.1 full replay (round 8) found a 549-deep chunk
+    bucket — past the operator's 256 default the overflow guard
+    star-routes and 24 true pairs whose only clean chunk was the deep
+    one went missing vs the all-pairs oracle. 4096 costs at most
+    ~8M intra-bucket candidates per bucket (trivial) while the guard
+    still bounds genuine boilerplate floods beyond it; corpora
+    expected to exceed it should pre-dedup exactly first."""
     docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     sigs = dedup.simhash_signatures(docs, "text", "doc_id")
     return (
-        dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=4)
-        .orderBy("doc_a", "doc_b")
+        dedup.simhash_near_pairs(
+            sigs, "doc_id", max_hamming=4, max_bucket=4096
+        ).orderBy("doc_a", "doc_b")
     )
 
 

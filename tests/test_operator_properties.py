@@ -894,3 +894,114 @@ def test_bloom_has_no_false_negatives(spark):
         .crossJoin(F.broadcast(bits)).where(member).count()
     )
     assert fp / 10_000 < 0.05  # ~0.1-1% expected at 20 bits/key, k=3
+
+
+def test_rollup_ivm_merge_equals_recompute_randomized(spark):
+    """Property: for a random base corpus and a random signed
+    changelog (inserts + tombstones of existing rows, including
+    whole-group deletions), maintaining the rollup via
+    operators/ivm.py must equal a from-scratch recompute over the
+    applied multiset — every grouping set, every group, counts and
+    decimal sums."""
+    import random
+
+    from datafusion_functions_variant_spark.operators import ivm
+    from pyspark.sql import functions as F
+
+    rng = random.Random(81)
+    days = [f"2024-02-{d:02d}" for d in range(1, 4)]
+    types = ["a", "b"]
+    base = [
+        (rng.choice(days), rng.randrange(3), rng.choice(types),
+         round(rng.uniform(1, 99), 2), i)
+        for i in range(400)
+    ]
+    # tombstone ~1/4 of base rows — including, deliberately, EVERY
+    # row of one (day, hour, type) group so a group fully vanishes
+    doomed_group = base[0][:3]
+    deletes = [
+        r for r in base
+        if r[:3] == doomed_group or r[4] % 4 == 0
+    ]
+    inserts = [
+        r
+        for r in (
+            (rng.choice(days), rng.randrange(3), rng.choice(types),
+             round(rng.uniform(1, 99), 2), 1000 + i)
+            for i in range(120)
+        )
+        if r[:3] != doomed_group  # keep the vanished group vanished
+    ]
+    schema = "day string, hour int, event_type string, vd double, id int"
+    to_df = lambda rows: (
+        spark.createDataFrame(rows, schema)
+        .select("day", "hour", "event_type",
+                F.col("vd").cast("decimal(18,2)").alias("v"))
+    )
+    rollup0 = ivm.rollup_full(to_df(base), "ivm_prop_base")
+    signed = (
+        to_df(inserts).withColumn("sign", F.lit(1))
+    ).unionByName(to_df(deletes).withColumn("sign", F.lit(-1)))
+    maintained = ivm.merge_rollup(
+        rollup0, ivm.rollup_delta(signed, "ivm_prop_delta")
+    )
+    applied_rows = [r for r in base if r not in deletes] + inserts
+    recomputed = ivm.rollup_full(to_df(applied_rows), "ivm_prop_applied")
+    key = lambda r: (r["day"], r["hour"], r["event_type"])
+    got = {key(r): (r["n"], r["s"]) for r in maintained.collect()}
+    want = {key(r): (r["n"], r["s"]) for r in recomputed.collect()}
+    assert got == want
+    # the doomed group must be ABSENT, not present with n=0
+    assert all(k[:3] != doomed_group[:3] or True for k in got)
+    dk = (doomed_group[0], doomed_group[1], doomed_group[2])
+    assert dk not in got
+
+
+def test_phash_dhash_brightness_invariance_and_symmetry(spark):
+    """Property: (a) uniformly brightness-shifted images hash to the
+    IDENTICAL signature (the floor((s+4c)/4)=floor(s/4)+c argument,
+    checked empirically over random images), and (b) the verified
+    pair list is symmetric-complete: every (a, b) with id_a < id_b
+    and Hamming <= threshold appears exactly once."""
+    import random
+
+    import pandas as pd
+    from datafusion_functions_variant_spark.operators import phash
+    from datafusion_functions_variant_spark.operators import png as pngmod
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    W, H = 18, 16
+    payloads = []
+    base_images = []
+    for i in range(12):
+        pix = bytes(rng.randrange(0, 200) for _ in range(W * H))
+        base_images.append(pix)
+        payloads.append((2 * i, pngmod.encode_png(W, H, pix, 1, i % 5)))
+        shifted = bytes(p + 37 for p in pix)  # max 236 < 256, no wrap
+        payloads.append((2 * i + 1, pngmod.encode_png(W, H, shifted, 1, (i + 2) % 5)))
+    assets = spark.createDataFrame(
+        pd.DataFrame(payloads, columns=["asset_id", "payload"])
+    )
+    sigs = {r["asset_id"]: (r["band0"], r["band1"], r["band2"], r["band3"])
+            for r in phash.dhash_bands(assets, "asset_id", "payload").collect()}
+    for i in range(12):
+        assert sigs[2 * i] == sigs[2 * i + 1], f"brightness shift moved dHash of {i}"
+    # exact pair completeness at a high threshold where banding is
+    # guaranteed lossless (hamming <= 3 < n_bands)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash.neardup_pairs(
+            phash.dhash_bands(assets, "asset_id", "payload"), "asset_id",
+            max_hamming=3,
+        ).collect()
+    }
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b]))
+    ids = sorted(sigs)
+    want = {
+        (a, b): ham(a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if ham(a, b) <= 3
+    }
+    assert got == want
