@@ -182,3 +182,50 @@ def test_snapshot_diff_empty_vs_full(spark):
     n_full = full.count()
     rows = diff.groupBy("kind").count().collect()
     assert len(rows) == 1 and rows[0]["kind"] == "I" and rows[0]["count"] == n_full
+
+
+def test_ivm_empty_changelog_is_identity(spark):
+    """Maintaining with an EMPTY changelog must return the stored
+    rollup unchanged — no rows lost to the merge join, none invented."""
+    from datafusion_functions_variant_spark.operators import ivm
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("2024-03-01", 2, "x", 10.0), ("2024-03-01", 3, "y", 5.5)],
+        "day string, hour int, event_type string, vd double",
+    ).select("day", "hour", "event_type",
+             F.col("vd").cast("decimal(18,2)").alias("v"))
+    rollup0 = ivm.rollup_full(base, "ivm_empty_base")
+    empty = (
+        base.where(F.lit(False))
+        .withColumn("sign", F.lit(1))
+        .select("day", "hour", "event_type", "sign", "v")
+    )
+    maintained = ivm.merge_rollup(
+        rollup0, ivm.rollup_delta(empty, "ivm_empty_delta")
+    )
+    key = lambda r: (r["day"], r["hour"], r["event_type"])
+    got = {key(r): (r["n"], r["s"]) for r in maintained.collect()}
+    want = {key(r): (r["n"], r["s"]) for r in rollup0.collect()}
+    assert got == want and len(got) == 5  # 2 day+hour+type, 2 day+hour, 1 day
+
+
+def test_phash_empty_and_singleton_corpora(spark):
+    """Zero images -> zero signatures and zero pairs; one image ->
+    one signature, zero pairs (the self-join must not self-pair)."""
+    import pandas as pd
+    from datafusion_functions_variant_spark.operators import phash
+    from datafusion_functions_variant_spark.operators import png as pngmod
+
+    empty = spark.createDataFrame([], "asset_id long, payload binary")
+    sigs0 = phash.dhash_bands(empty, "asset_id", "payload")
+    assert sigs0.count() == 0
+    assert phash.neardup_pairs(sigs0, "asset_id").count() == 0
+
+    one = spark.createDataFrame(pd.DataFrame(
+        [(7, pngmod.encode_png(18, 16, bytes(range(200)) + bytes(88), 1, 0))],
+        columns=["asset_id", "payload"],
+    ))
+    sigs1 = phash.dhash_bands(one, "asset_id", "payload")
+    assert sigs1.count() == 1
+    assert phash.neardup_pairs(sigs1, "asset_id").count() == 0
