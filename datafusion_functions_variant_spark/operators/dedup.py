@@ -353,39 +353,84 @@ def lsh_candidate_pairs(
     ``Observation.get`` raises on Spark's empty metrics row).
     Standalone ``lsh_bucket_stats`` remains the right tool when you
     want the audit BEFORE committing to the expansion at all.
+
+    BOUNDED STATE (round 9): no unbounded per-bucket array exists
+    anywhere in this plan. The earlier formulation aggregated
+    ``collect_set(id)`` per (band, hash) FIRST and CASE-routed
+    afterwards — the overflow branch's pair *output* was O(n), but the
+    aggregate still materialized every member id of a flood bucket in
+    ONE array in ONE task (10⁸ boilerplate copies → a multi-GB row).
+    Now a window over the bucket key annotates each banded row with
+    its bucket size and keeper (min id) first, and rows are routed to
+    per-bucket subgroups BEFORE any array forms: small buckets
+    (n ≤ max_bucket) keep one subgroup — their collected array is ≤
+    max_bucket by construction — while every member of an overflow
+    bucket becomes its OWN single-row subgroup, already knowing its
+    keeper, so the star pair falls out of a 1-element array. One
+    exchange total: the window's hash partitioning on (band_id,
+    band_hash) satisfies the subgroup aggregate's clustering (subset
+    key), so the groupBy re-uses it (plan-pinned).
     """
     banded = _banded(sigs, id_col, num_hashes, bands)
-    buckets = banded.groupBy("band_id", "band_hash").agg(
-        F.sort_array(F.collect_set(id_col)).alias("ids")
+    w = Window.partitionBy("band_id", "band_hash")
+    routed = banded.select(
+        "band_id",
+        "band_hash",
+        F.col(id_col).alias("_id"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.min(id_col).over(w).alias("_keeper"),
+    ).withColumn(
+        # small bucket → one NULL subgroup (nulls group together);
+        # overflow bucket → one subgroup PER MEMBER (no array ever
+        # holds more than max_bucket ids). n is bucket-constant, so
+        # the two regimes never mix within a (band_id, band_hash).
+        "_sub",
+        F.when(F.col("_n") <= int(max_bucket), F.lit(None)).otherwise(
+            F.col("_id")
+        ),
+    )
+    buckets = routed.groupBy("band_id", "band_hash", "_sub").agg(
+        F.first("_n").alias("n"),
+        F.first("_keeper").alias("keeper"),
+        F.sort_array(F.collect_set("_id")).alias("ids"),
     )
     if observation is not None:
-        # Same definitions as lsh_bucket_stats: size(ids) == the
-        # per-bucket row count there because each doc contributes
-        # exactly one row per band. Must observe BEFORE the >1 filter
-        # so n_buckets counts singleton buckets too.
+        # Same definitions as lsh_bucket_stats. An overflow bucket now
+        # spans several subgroup rows — count it once via its keeper's
+        # row (ids = [keeper] there); small buckets are one row each.
+        # Must observe BEFORE the n > 1 filter so n_buckets counts
+        # singleton buckets too.
+        is_bucket_row = (F.col("n") <= int(max_bucket)) | (
+            F.element_at("ids", 1) == F.col("keeper")
+        )
+        is_overflow = F.col("n") > int(max_bucket)
         buckets = buckets.observe(
             observation,
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum((F.size("ids") > 1).cast("long")).alias("n_colliding_buckets"),
-            F.sum((F.size("ids") > int(max_bucket)).cast("long")).alias(
+            F.sum(is_bucket_row.cast("long")).alias("n_buckets"),
+            F.sum((is_bucket_row & (F.col("n") > 1)).cast("long")).alias(
+                "n_colliding_buckets"
+            ),
+            F.sum((is_bucket_row & is_overflow).cast("long")).alias(
                 "n_overflow_buckets"
             ),
-            F.max(F.size("ids")).alias("max_bucket_size"),
+            F.max("n").alias("max_bucket_size"),
         )
-    buckets = buckets.where(F.size("ids") > 1)
+    buckets = buckets.where(F.col("n") > 1)
     all_pairs = (
         "flatten(transform(ids, (x, i) ->"
         " transform(slice(ids, i + 2, size(ids) - i - 1),"
         " y -> struct(x AS doc_a, y AS doc_b))))"
     )
+    # overflow subgroups hold exactly one member: its star pair
+    # against the bucket keeper (the keeper's own subgroup filters out)
     star_pairs = (
-        "transform(slice(ids, 2, size(ids) - 1),"
-        " y -> struct(element_at(ids, 1) AS doc_a, y AS doc_b))"
+        "filter(transform(ids, y -> struct(keeper AS doc_a, y AS doc_b)),"
+        " p -> p.doc_b != p.doc_a)"
     )
     pairs = buckets.select(
         F.explode(
             F.expr(
-                f"CASE WHEN size(ids) <= {int(max_bucket)} THEN {all_pairs}"
+                f"CASE WHEN n <= {int(max_bucket)} THEN {all_pairs}"
                 f" ELSE {star_pairs} END"
             )
         ).alias("p")
@@ -497,7 +542,11 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int = 10, max_bucket: int = 256
+    sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 10,
+    max_bucket: int = 256,
+    observation=None,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming (doc_a < doc_b).
 
@@ -506,14 +555,32 @@ def simhash_near_pairs(
     Hamming budget must agree on at least one whole chunk — so
     bucketing on (chunk_id, chunk_value) loses NOTHING while cutting
     the candidate space from O(n²) to colliding buckets only. Pair
-    generation happens inside each bucket (groupBy + list expansion,
+    generation happens inside each bucket (routed-subgroup expansion,
     one pipeline pass — see lsh_candidate_pairs); the exact Hamming
     filter then runs on candidates alone.
 
     Buckets larger than ``max_bucket`` (boilerplate clusters) route to
     star pairs against the bucket's min-id member instead of all-pairs
-    — same O(n)-not-O(n²) overflow guard as ``lsh_candidate_pairs``;
-    members still pass the exact Hamming check against that keeper.
+    — same O(n)-not-O(n²) overflow guard as ``lsh_candidate_pairs``,
+    and the same BOUNDED-STATE formulation: a window annotates each
+    (doc, chunk) row with its bucket size and keeper first, overflow
+    members become single-row subgroups, and no per-bucket array ever
+    exceeds ``max_bucket`` entries. Members still pass the exact
+    Hamming check against that keeper.
+
+    CAUTION — star routing TRADES AWAY the pigeonhole exactness inside
+    overflow buckets: members pair only with the keeper, so two
+    non-keeper members within the Hamming budget are NOT emitted as a
+    pair (they remain transitively connected through the keeper only
+    if both pass the keeper check). The r8 sf0.1 replay caught exactly
+    this silently (a 549-deep chunk bucket star-routed 24 true pairs
+    past a 256 cap). Pass ``observation`` to detect the trade at
+    runtime: the chunk-bucket audit (n_buckets / n_colliding_buckets /
+    n_overflow_buckets / max_bucket_size) rides the pair-producing
+    pass via ``DataFrame.observe`` — ``n_overflow_buckets > 0`` means
+    the exactness guarantee was forfeited and ``max_bucket`` needs
+    raising (or the corpus needs an exact-dup collapse first). Read
+    via ``plans.observe.observed_metrics`` after acting on the result.
     """
     n_chunks = max_hamming + 1
     # even bit split (no empty chunk may exist, or it buckets everything)
@@ -533,15 +600,43 @@ def simhash_near_pairs(
     exploded = sigs.select(
         F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ch")
     ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val")
-    buckets = (
-        exploded.groupBy("chunk_id", "chunk_val")
-        .agg(
-            F.sort_array(
-                F.collect_set(F.struct(F.col(id_col).alias("id"), "simhash"))
-            ).alias("members")
-        )
-        .where(F.size("members") > 1)
+    w = Window.partitionBy("chunk_id", "chunk_val")
+    member = F.struct(F.col(id_col).alias("id"), F.col("simhash"))
+    routed = exploded.select(
+        "chunk_id",
+        "chunk_val",
+        member.alias("_m"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+        # struct min orders by leading field = id → the min-id member
+        F.min(member).over(w).alias("_keeper"),
+    ).withColumn(
+        "_sub",
+        F.when(F.col("_n") <= int(max_bucket), F.lit(None)).otherwise(
+            F.col("_m.id")
+        ),
     )
+    buckets = routed.groupBy("chunk_id", "chunk_val", "_sub").agg(
+        F.first("_n").alias("n"),
+        F.first("_keeper").alias("keeper"),
+        F.sort_array(F.collect_set("_m")).alias("members"),
+    )
+    if observation is not None:
+        is_bucket_row = (F.col("n") <= int(max_bucket)) | (
+            F.element_at("members", 1)["id"] == F.col("keeper.id")
+        )
+        is_overflow = F.col("n") > int(max_bucket)
+        buckets = buckets.observe(
+            observation,
+            F.sum(is_bucket_row.cast("long")).alias("n_buckets"),
+            F.sum((is_bucket_row & (F.col("n") > 1)).cast("long")).alias(
+                "n_colliding_buckets"
+            ),
+            F.sum((is_bucket_row & is_overflow).cast("long")).alias(
+                "n_overflow_buckets"
+            ),
+            F.max("n").alias("max_bucket_size"),
+        )
+    buckets = buckets.where(F.col("n") > 1)
     all_pairs = (
         "flatten(transform(members, (x, i) ->"
         " transform(slice(members, i + 2, size(members) - i - 1),"
@@ -549,14 +644,15 @@ def simhash_near_pairs(
         " x.simhash AS sig_a, y.simhash AS sig_b))))"
     )
     star_pairs = (
-        "transform(slice(members, 2, size(members) - 1),"
-        " y -> struct(element_at(members, 1).id AS doc_a, y.id AS doc_b,"
-        " element_at(members, 1).simhash AS sig_a, y.simhash AS sig_b))"
+        "filter(transform(members,"
+        " y -> struct(keeper.id AS doc_a, y.id AS doc_b,"
+        " keeper.simhash AS sig_a, y.simhash AS sig_b)),"
+        " p -> p.doc_b != p.doc_a)"
     )
     pairs = buckets.select(
         F.explode(
             F.expr(
-                f"CASE WHEN size(members) <= {int(max_bucket)} THEN {all_pairs}"
+                f"CASE WHEN n <= {int(max_bucket)} THEN {all_pairs}"
                 f" ELSE {star_pairs} END"
             )
         ).alias("p")

@@ -23,7 +23,7 @@ multimodal training-data pipeline runs over decoded images.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: fixed dHash geometry: input images are 2*GRID_W x 2*GRID_H gray
@@ -46,6 +46,21 @@ def dhash_bands(assets: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             rows = []
             for aid, payload in zip(pdf[id_col], pdf[payload_col]):
                 d = pngmod.decode_png(bytes(payload))
+                # fail LOUDLY at the decode boundary: the grid
+                # comprehension below silently reads garbage (or
+                # IndexErrors deep inside) on any other geometry
+                if (
+                    d["width"] != 2 * GRID_W
+                    or d["height"] != 2 * GRID_H
+                    or d["channels"] != 1
+                ):
+                    raise ValueError(
+                        f"dhash_bands expects {2 * GRID_W}x{2 * GRID_H}"
+                        f" single-channel gray images; asset {aid} is "
+                        f"{d['width']}x{d['height']} with "
+                        f"{d['channels']} channel(s) — resize/grayscale "
+                        "upstream (operators/multimodal.py resize plan)"
+                    )
                 w, px = d["width"], d["pixels"]
                 grid = [
                     [
@@ -81,21 +96,45 @@ def dhash_bands(assets: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 
 def neardup_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int = 6
+    sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+    max_bucket: int = 4096,
+    observation=None,
 ) -> DataFrame:
     """Banded blocking + exact verify over dHash signatures. Returns
     (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
 
-    Bands ride along through the explode, so the candidate equi-join
-    on (band_idx, band_value) yields both signatures directly — no
-    join back to sigs, and the upstream pipeline is referenced twice,
-    not four times. distinct() collapses multi-band collisions of the
-    same pair (bands are functionally dependent on the ids, so the
-    full-row distinct equals a pair distinct)."""
-    band_cols = [f"band{k}" for k in range(N_BANDS)]
+    Flood-proof bucket formulation (round 9 — was an unguarded
+    ``exploded ⋈ exploded`` band self-join, which a million identical
+    logos would blow to 10¹² candidate rows inside one band bucket):
+    the image twin of ``operators/dedup.py::lsh_candidate_pairs``.
+    A window over (band_idx, band_value) annotates every banded row
+    with its bucket size and keeper (the min-id member); buckets at or
+    under ``max_bucket`` keep one subgroup whose collected member
+    array is bounded by construction, while every member of an
+    overflow bucket becomes its OWN single-row subgroup and emits one
+    star pair against the keeper — O(n) candidates per flood bucket,
+    no per-bucket array ever exceeds ``max_bucket`` structs, and the
+    exact Hamming verify still runs on every emitted pair. Star pairs
+    keep the same connected component under downstream clustering
+    (keeper = min id, the ``exact_dedup_groups`` convention).
+
+    Like SimHash star routing, overflow trades away within-bucket
+    completeness (non-keeper members aren't paired with each other);
+    pass ``observation`` to get the bucket audit (n_buckets /
+    n_colliding_buckets / n_overflow_buckets / max_bucket_size) riding
+    the pair-producing pass — ``n_overflow_buckets > 0`` is the signal
+    to widen bands or run an exact content-md5 canonicalize first
+    (``pipeline_media_to_shards`` does). Signatures ride along through
+    the explode, so candidates never join back to sigs; ``distinct()``
+    collapses multi-band collisions of the same pair."""
+    member = F.struct(
+        F.col(id_col).alias("id"),
+        *[F.col(f"band{k}").alias(f"band{k}") for k in range(N_BANDS)],
+    )
     exploded = sigs.select(
-        id_col,
-        *band_cols,
+        member.alias("_m"),
         F.explode(
             F.array(
                 *[
@@ -106,29 +145,74 @@ def neardup_pairs(
                 ]
             )
         ).alias("e"),
-    ).select(
-        id_col,
-        *band_cols,
-        F.col("e.bi").alias("bi"),
-        F.col("e.bv").alias("bv"),
+    ).select("_m", F.col("e.bi").alias("bi"), F.col("e.bv").alias("bv"))
+    w = Window.partitionBy("bi", "bv")
+    routed = exploded.select(
+        "bi",
+        "bv",
+        "_m",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.min("_m").over(w).alias("_keeper"),
+    ).withColumn(
+        "_sub",
+        F.when(F.col("_n") <= int(max_bucket), F.lit(None)).otherwise(
+            F.col("_m.id")
+        ),
+    )
+    buckets = routed.groupBy("bi", "bv", "_sub").agg(
+        F.first("_n").alias("n"),
+        F.first("_keeper").alias("keeper"),
+        F.sort_array(F.collect_set("_m")).alias("members"),
+    )
+    if observation is not None:
+        is_bucket_row = (F.col("n") <= int(max_bucket)) | (
+            F.element_at("members", 1)["id"] == F.col("keeper.id")
+        )
+        is_overflow = F.col("n") > int(max_bucket)
+        buckets = buckets.observe(
+            observation,
+            F.sum(is_bucket_row.cast("long")).alias("n_buckets"),
+            F.sum((is_bucket_row & (F.col("n") > 1)).cast("long")).alias(
+                "n_colliding_buckets"
+            ),
+            F.sum((is_bucket_row & is_overflow).cast("long")).alias(
+                "n_overflow_buckets"
+            ),
+            F.max("n").alias("max_bucket_size"),
+        )
+    buckets = buckets.where(F.col("n") > 1)
+    pair_fields = (
+        "x.id AS id_a, y.id AS id_b, "
+        + ", ".join(
+            f"x.band{k} AS a{k}, y.band{k} AS b{k}" for k in range(N_BANDS)
+        )
+    )
+    all_pairs = (
+        "flatten(transform(members, (x, i) ->"
+        " transform(slice(members, i + 2, size(members) - i - 1),"
+        f" y -> struct({pair_fields}))))"
+    )
+    star_fields = pair_fields.replace("x.", "keeper.")
+    star_pairs = (
+        f"filter(transform(members, y -> struct({star_fields})),"
+        " p -> p.id_b != p.id_a)"
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN n <= {int(max_bucket)} THEN {all_pairs}"
+                    f" ELSE {star_pairs} END"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
     )
     ham = sum(
-        F.bit_count(F.col(f"a.band{k}").bitwiseXOR(F.col(f"b.band{k}")))
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
         for k in range(N_BANDS)
     )
-    return (
-        exploded.alias("a")
-        .join(
-            exploded.alias("b"),
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
-    )
+    return pairs.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -54,6 +54,24 @@ def observed_metrics(obs: Observation, **defaults) -> dict:
         raise
 
 
+#: name → the Observation attached by the MOST RECENT build of that
+#: registered query. Spark consumes an Observation once, so builders
+#: mint a fresh one per build via ``registered_observation``; after
+#: acting on the returned DataFrame, read the audit here (the r8
+#: simhash incident — a 549-deep bucket silently star-routing 24 true
+#: pairs — is why overflow routing is observable BY DEFAULT on every
+#: banded-dedup registry query, not only when callers pass one in).
+REGISTERED_OBSERVATIONS: dict[str, Observation] = {}
+
+
+def registered_observation(name: str) -> Observation:
+    """Mint a fresh Observation for a registered query's current build
+    and remember it under the query name (latest build wins)."""
+    obs = Observation()
+    REGISTERED_OBSERVATIONS[name] = obs
+    return obs
+
+
 def assert_observed(obs: Observation, **bounds) -> dict:
     """Check observed metrics against ``name=(lo, hi)`` bounds (either
     side None = unbounded); raise ValueError listing every violation.

@@ -575,7 +575,7 @@ def source_corrupt_file_resilience(spark: SparkSession, sf_dir: str) -> DataFram
              AS est_rows,
            CAST(actual_rows AS BIGINT) AS actual_rows,
            CAST(ABS(rows_a * rows_b // GREATEST(ndv_a, ndv_b) - actual_rows)
-                * 1000 // actual_rows AS BIGINT) AS err_permille
+                * 1000 // GREATEST(actual_rows, 1) AS BIGINT) AS err_permille
     FROM pairs ORDER BY join_pair
     """,
 )
@@ -626,9 +626,13 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ndv_b",
                 est.alias("est_rows"),
                 "actual_rows",
+                # greatest(actual_rows, 1): on an empty probed join
+                # Spark's div returns NULL while DuckDB raises on
+                # division by zero — guard BOTH sides identically so
+                # the query stays fixture-independent (r8 ADVICE)
                 F.expr(
                     "abs(rows_a * rows_b div greatest(ndv_a, ndv_b)"
-                    " - actual_rows) * 1000 div actual_rows"
+                    " - actual_rows) * 1000 div greatest(actual_rows, 1)"
                 ).alias("err_permille"),
             )
         )

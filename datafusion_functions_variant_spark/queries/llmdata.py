@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, graph, multimodal, phash, ranking, similarity, text
+from ..plans.observe import registered_observation
 from ..sources.tables import load_table
 from . import query
 
@@ -92,12 +93,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 perms)-LSH(2 bands x 4 rows) candidate pairs over
     char-8-gram sets of documents. Bucket join, not all-pairs: the
-    shuffle key is the band hash."""
+    shuffle key is the band hash. The bucket audit (incl.
+    n_overflow_buckets — silent star-routing is a correctness hazard,
+    see the r8 simhash incident) rides the pass by default; read it
+    from ``plans.observe.REGISTERED_OBSERVATIONS`` after acting."""
     docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=8)
-    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).orderBy(
-        "doc_a", "doc_b"
-    )
+    return dedup.lsh_candidate_pairs(
+        sigs,
+        "doc_id",
+        num_hashes=8,
+        bands=2,
+        observation=registered_observation("dedup_minhash_lsh"),
+    ).orderBy("doc_a", "doc_b")
 
 
 @query("dedup_minhash_xxhash")  # no oracle: xxhash64 not reproducible in SQL
@@ -115,9 +123,13 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures_text(
         docs, "text", "doc_id", n=8, num_hashes=8, hash_fn="xxhash64"
     )
-    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2).orderBy(
-        "doc_a", "doc_b"
-    )
+    return dedup.lsh_candidate_pairs(
+        sigs,
+        "doc_id",
+        num_hashes=8,
+        bands=2,
+        observation=registered_observation("dedup_minhash_xxhash"),
+    ).orderBy("doc_a", "doc_b")
 
 
 @query(
@@ -331,7 +343,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.simhash_signatures(docs, "text", "doc_id")
     return (
         dedup.simhash_near_pairs(
-            sigs, "doc_id", max_hamming=4, max_bucket=4096
+            sigs,
+            "doc_id",
+            max_hamming=4,
+            max_bucket=4096,
+            observation=registered_observation("dedup_simhash"),
         ).orderBy("doc_a", "doc_b")
     )
 
@@ -1851,9 +1867,12 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_png_fixture(group_modulus=25), "asset_id long, payload binary"
     )
     sigs = phash.dhash_bands(assets, "asset_id", "payload")
-    return phash.neardup_pairs(sigs, "asset_id", max_hamming=6).orderBy(
-        "id_a", "id_b"
-    )
+    return phash.neardup_pairs(
+        sigs,
+        "asset_id",
+        max_hamming=6,
+        observation=registered_observation("dedup_image_phash"),
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -2004,7 +2023,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(depth * (depth - 1)) AS BIGINT) AS candidate_pairs
     FROM buckets GROUP BY band_id ORDER BY band_id
     """,
-    hash_deps=(phash.dhash_bands,),
+    # the oracle replays phash_png_fixture's generative pixel formula
+    # too — without it in hash_deps, editing the fixture would leave
+    # this query's ledger hash silently stale (r8 ADVICE)
+    hash_deps=(phash.dhash_bands, phash_png_fixture),
 )
 def phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight audit for `dedup_image_phash`'s banded blocking —

@@ -64,3 +64,42 @@ def test_embedding_cosine_canonical_equals_enumerated_mass(spark):
     assert mass == n_enum
     # and the canonical pair set is never larger than the enumerated
     assert canon.count() <= n_enum
+
+
+def test_banded_dedup_queries_observe_overflow_by_default(spark):
+    """Round-9 discipline: every banded-dedup registry query rides its
+    bucket audit on the pair-producing pass BY DEFAULT (the r8 simhash
+    incident — 24 true pairs silently star-routed past the 256 cap —
+    showed silent overflow is a correctness hazard at scales the
+    driver doesn't gate). At sf0.001 and sf0.01 no bucket may overflow
+    (the caps clear every bucket these corpora produce — if this
+    assertion ever fires, the query's max_bucket must be raised or the
+    corpus exact-deduped first, NOT the assertion loosened), and the
+    audit must actually fire: n_buckets > 0."""
+    from datafusion_functions_variant_spark.plans.observe import (
+        REGISTERED_OBSERVATIONS,
+        observed_metrics,
+    )
+
+    from .conftest import SF_DIR_MED
+
+    banded = [
+        "dedup_minhash_lsh",
+        "dedup_minhash_xxhash",
+        "dedup_simhash",
+        "dedup_image_phash",
+    ]
+    for sf_dir in (SF_DIR, SF_DIR_MED):
+        for name in banded:
+            df = REGISTRY[name].build(spark, sf_dir)
+            df.count()  # act: the observation fires with the pass
+            got = observed_metrics(
+                REGISTERED_OBSERVATIONS[name],
+                n_buckets=0,
+                n_colliding_buckets=0,
+                n_overflow_buckets=0,
+                max_bucket_size=0,
+            )
+            assert got["n_overflow_buckets"] == 0, (name, sf_dir, got)
+            assert got["n_buckets"] > 0, (name, sf_dir, got)
+            assert got["max_bucket_size"] >= 1, (name, sf_dir, got)

@@ -1005,3 +1005,133 @@ def test_phash_dhash_brightness_invariance_and_symmetry(spark):
         if ham(a, b) <= 3
     }
     assert got == want
+
+
+def test_phash_overflow_flood_emits_star_pairs_with_observation(spark):
+    """An identical-image flood (every payload byte-equal) collides in
+    ALL four band buckets. The round-9 guard must (a) emit n-1 star
+    pairs against the min-id keeper instead of ~n²/2 all-pairs, (b)
+    never materialize a member array past max_bucket (the routed
+    subgroups make every flood member its own group), and (c) report
+    the trade on the default observation: 4 overflow buckets, depth n."""
+    import pandas as pd
+    from datafusion_functions_variant_spark.operators import phash
+    from datafusion_functions_variant_spark.operators import png as pngmod
+    from datafusion_functions_variant_spark.plans.observe import observed_metrics
+    from pyspark.sql import Observation
+
+    n, cap = 500, 64
+    pix = bytes((7 * x + 13 * y) % 97 for y in range(16) for x in range(18))
+    payload = pngmod.encode_png(18, 16, pix, 1, 0)
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": range(n), "payload": [payload] * n})
+    )
+    sigs = phash.dhash_bands(assets, "asset_id", "payload")
+    obs = Observation()
+    rows = phash.neardup_pairs(
+        sigs, "asset_id", max_hamming=6, max_bucket=cap, observation=obs
+    ).collect()
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 and r.hamming == 0 for r in rows)
+    assert {r.id_b for r in rows} == set(range(1, n))
+    got = observed_metrics(obs)
+    assert got["n_overflow_buckets"] == 4
+    assert got["n_buckets"] == 4
+    assert got["n_colliding_buckets"] == 4
+    assert got["max_bucket_size"] == n
+
+
+def test_phash_small_buckets_unaffected_by_cap(spark):
+    """Below the cap the guard must be invisible: pairs (and their
+    hammings) identical between a tight cap and an effectively-infinite
+    one, on a corpus with real near-dup structure (brightness-shifted
+    clusters of 5)."""
+    import pandas as pd
+    from datafusion_functions_variant_spark.operators import phash
+    from datafusion_functions_variant_spark.operators import png as pngmod
+
+    payloads = []
+    for g in range(8):
+        pix = bytes(((3 + g) * x + (5 + 2 * g) * y) % 90 for y in range(16) for x in range(18))
+        for v in range(5):
+            shifted = bytes(p + 2 * v for p in pix)
+            payloads.append((5 * g + v, pngmod.encode_png(18, 16, shifted, 1, v % 5)))
+    assets = spark.createDataFrame(
+        pd.DataFrame(payloads, columns=["asset_id", "payload"])
+    )
+    sigs = phash.dhash_bands(assets, "asset_id", "payload")
+    capped = phash.neardup_pairs(sigs, "asset_id", max_hamming=6, max_bucket=16)
+    uncapped = phash.neardup_pairs(sigs, "asset_id", max_hamming=6, max_bucket=10**9)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+
+
+def test_simhash_observation_detects_forfeited_exactness(spark):
+    """ADVICE r8: star routing silently trades the pigeonhole
+    exactness away (the r8 sf0.1 incident: a 549-deep chunk bucket
+    star-routed 24 true pairs past a 256 cap with no runtime signal).
+    The observation must surface it: identical docs overflow every
+    chunk bucket → n_overflow_buckets == n_chunks; and attaching the
+    observation must not change the emitted pairs."""
+    from datafusion_functions_variant_spark.operators import dedup
+    from datafusion_functions_variant_spark.plans.observe import observed_metrics
+    from pyspark.sql import Observation
+
+    n, max_hamming = 300, 4  # 5 chunks
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical words repeated across every document").alias("text"),
+    )
+    sigs = dedup.simhash_signatures(docs, "text", "doc_id")
+    obs = Observation()
+    observed = dedup.simhash_near_pairs(
+        sigs, "doc_id", max_hamming=max_hamming, max_bucket=64, observation=obs
+    )
+    got_pairs = sorted(map(tuple, observed.collect()))
+    plain = sorted(
+        map(
+            tuple,
+            dedup.simhash_near_pairs(
+                sigs, "doc_id", max_hamming=max_hamming, max_bucket=64
+            ).collect(),
+        )
+    )
+    assert got_pairs == plain
+    assert len(got_pairs) == n - 1  # star pairs, keeper = 0
+    got = observed_metrics(obs)
+    assert got["n_overflow_buckets"] == max_hamming + 1
+    assert got["n_buckets"] == max_hamming + 1
+    assert got["max_bucket_size"] == n
+    # exactness intact when the cap clears the deepest bucket: no
+    # overflow reported and all-pairs emitted
+    obs2 = Observation()
+    full = dedup.simhash_near_pairs(
+        sigs, "doc_id", max_hamming=max_hamming, max_bucket=n, observation=obs2
+    )
+    assert full.count() == n * (n - 1) // 2
+    assert observed_metrics(obs2)["n_overflow_buckets"] == 0
+
+
+def test_dhash_bands_rejects_bad_geometry(spark):
+    """The decode boundary must fail LOUDLY on a wrong-geometry image
+    (r8 ADVICE: a differently-sized or RGB PNG used to yield garbage
+    signatures or a deep IndexError inside the grid comprehension)."""
+    import pandas as pd
+    import pytest
+    from datafusion_functions_variant_spark.operators import phash
+    from datafusion_functions_variant_spark.operators import png as pngmod
+
+    wrong_size = pngmod.encode_png(10, 10, bytes(100), 1, 0)
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [wrong_size]})
+    )
+    with pytest.raises(Exception, match="dhash_bands expects"):
+        phash.dhash_bands(assets, "asset_id", "payload").collect()
+
+    rgb = pngmod.encode_png(18, 16, bytes(18 * 16 * 3), 3, 0)
+    assets3 = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [rgb]})
+    )
+    with pytest.raises(Exception, match="channel"):
+        phash.dhash_bands(assets3, "asset_id", "payload").collect()

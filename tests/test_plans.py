@@ -1101,18 +1101,51 @@ def test_rollup_maintenance_merges_delta_not_recompute(spark):
 
 
 def test_image_phash_payloads_stay_in_stage_no_all_pairs(spark):
-    # perceptual image dedup: encode→decode→dHash chain in one
-    # mapInPandas pipeline (pixels never shuffle — no Exchange carries
-    # the payload column), candidate join is equi on the band key
-    # (never all-pairs), signatures ride the explode so the codec
-    # pipeline is referenced exactly twice (join sides), not four
+    # perceptual image dedup, round-9 flood-proof formulation: the
+    # encode→decode→dHash chain is one mapInPandas pipeline (pixels
+    # never shuffle — no Exchange carries the payload column) and is
+    # referenced exactly ONCE (the old band self-join evaluated it
+    # per join side); candidates come from the routed-subgroup bucket
+    # expansion — NO join operator of any kind exists in the plan, so
+    # an identical-logo flood cannot go O(n²)
     import re
 
     plan = plan_of(spark, "dedup_image_phash")
-    assert plan.count("MapInPandas") == 4  # 2 stages x 2 join sides
-    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 2  # encode + dhash, once each
+    for node in ("CartesianProduct", "SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    assert plan.count("Window") == 1  # the bucket-size/keeper annotate
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "payload" not in m.group(0), m.group(0)
+
+
+def test_lsh_pairs_bounded_state_single_bucket_exchange(spark):
+    # round-9 bounded-state pin for lsh_candidate_pairs: the window
+    # that annotates bucket size/keeper and the routed-subgroup
+    # aggregate share ONE hash exchange on the band key (the groupBy's
+    # clustering is a superset of the window's partitioning, so no
+    # second shuffle may appear), the only other hash exchange is the
+    # final pair-count groupBy, and no join node exists — the overflow
+    # path emits star pairs from single-member subgroups, never from a
+    # per-bucket id array
+    from datafusion_functions_variant_spark.operators import dedup
+    from datafusion_functions_variant_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id")
+    base = sigs._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange hashpartitioning"
+    )
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # exactly 2 exchanges beyond whatever the signature stage needs:
+    # the band-key window (shared with the subgroup aggregate) and the
+    # final pair-count groupBy
+    assert plan.count("Exchange hashpartitioning") == base + 2, plan
+    assert plan.count("Window") == 1
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, node
 
 
 def test_aqe_skew_join_split_engages_at_runtime(spark):
