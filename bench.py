@@ -121,6 +121,42 @@ HEADLINE = [
     "rollup_incremental_maintenance",
 ]
 
+#: Self-calibration (round 9): a fixed, deterministic, CPU-bound
+#: probe — 2B-row codegen range with a double-xxhash64 fold into ONE
+#: bit_xor scalar (no shuffle, no disk, no Python, result value is
+#: constant so any engine change that altered it would be visible).
+#: It is timed with the same warmup+median protocol as the headline
+#: queries, immediately before EACH query set. Purpose: divide out
+#: uniform machine weather. The r8 driver artifact measured 1.42x on
+#: shared scaled keys while byte-identical code measured 0.984x on a
+#: quiet box minutes apart (the third such incident: r3->r4 +26%,
+#: r5->r6 1.41x) — ambient load moves every query AND this probe by
+#: the same factor, a real plan regression moves queries but not the
+#: probe. Cross-round gate: compare (query_total / calibration)
+#: between rounds (policy in BASELINE.md).
+CALIBRATION_N = 2_000_000_000
+
+
+def calibration_times(spark, cpus: int, runs: int) -> tuple[float, float]:
+    """(median, min) wall-clock of the calibration probe."""
+    from pyspark.sql import functions as F
+
+    samples = []
+    for i in range(runs + 1):  # one untimed JIT warmup, like queries
+        t0 = time.perf_counter()
+        [row] = (
+            spark.range(0, CALIBRATION_N, 1, numPartitions=cpus)
+            .select(F.expr("bit_xor(xxhash64(xxhash64(id) ^ id))").alias("s"))
+            .collect()
+        )
+        if i:
+            samples.append(time.perf_counter() - t0)
+    return (
+        round(sorted(samples)[len(samples) // 2], 3),
+        round(min(samples), 3),
+    )
+
+
 #: reported per-query but EXCLUDED from the summed total: the probe is
 #: a subset re-measurement of dedup_incremental_bucketed_index's
 #: already-counted work (steady-state per-batch cost after one untimed
@@ -310,6 +346,7 @@ def main() -> None:
         return timings, minimums
 
     runs = int(os.environ.get("BENCH_RUNS", "5"))
+    calib, calib_min = calibration_times(spark, cpus, runs)
     timings, minimums = run_set(sf_dir, runs)
     total = round(
         sum(v for k, v in timings.items() if k not in NOT_IN_TOTAL), 3
@@ -323,6 +360,11 @@ def main() -> None:
         "queries": timings,
         "queries_min": minimums,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # machine-weather divisor measured just before this set; the
+        # cross-round gate compares value/calibration, not raw value
+        "calibration": calib,
+        "calibration_min": calib_min,
+        "value_per_calib": round(total / calib, 3),
     }
 
     # scaled point (~sf1): same queries over the K×-replicated copy.
@@ -337,6 +379,7 @@ def main() -> None:
         )
         ensure_scaled_dir(spark, sf_dir, scale_k, scaled_dir)
         scaled_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
+        s_calib, s_calib_min = calibration_times(spark, cpus, scaled_runs)
         scaled, scaled_min = run_set(scaled_dir, scaled_runs)
         out["scaled_queries"] = scaled
         out["scaled_queries_min"] = scaled_min
@@ -344,6 +387,9 @@ def main() -> None:
             sum(v for k, v in scaled.items() if k not in NOT_IN_TOTAL), 3
         )
         out["scale_k"] = scale_k
+        out["scaled_calibration"] = s_calib
+        out["scaled_calibration_min"] = s_calib_min
+        out["scaled_total_per_calib"] = round(out["scaled_total"] / s_calib, 3)
 
     # Self-contained full-precision artifact: the driver's stdout
     # capture keeps only a ~2 KB tail, which truncated BENCH_r07's
@@ -360,7 +406,12 @@ def main() -> None:
         fh.write("\n")
 
     def compact(d):
-        return {k: round(v, 2) for k, v in d.items()}
+        # NOT_IN_TOTAL entries stay in the committed BENCH.json only —
+        # the printed line must clear the driver's ~2 KB stdout tail
+        # even with the round-9 calib/s_calib fields added
+        return {
+            k: round(v, 2) for k, v in d.items() if k not in NOT_IN_TOTAL
+        }
 
     line = {
         "metric": out["metric"],
@@ -368,11 +419,13 @@ def main() -> None:
         "unit": "sec",
         "sf": out["sf"],
         "full": "BENCH.json",
+        "calib": round(calib, 2),
         "queries": compact(timings),
     }
     if "scaled_total" in out:
         line["scale_k"] = out["scale_k"]
         line["scaled_total"] = round(out["scaled_total"], 2)
+        line["s_calib"] = round(out["scaled_calibration"], 2)
         line["scaled_queries"] = compact(out["scaled_queries"])
     print(json.dumps(line, separators=(",", ":")))
     spark.stop()

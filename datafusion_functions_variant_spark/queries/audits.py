@@ -233,16 +233,38 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: collapse changes nothing about which DISTINCT texts pair up while
 #: removing the duplicate-mass K² from both the ground-truth gram
 #: join and the candidate buckets.
+#: Hard cap on the audited subcorpus (docs). Ground truth is exact
+#: all-qualifying-pairs Jaccard, so its cost must be bounded by
+#: construction, not by the corpus: whole prefix-blocks are kept (the
+#: planted near-dup clusters share long prefixes, so clusters survive
+#: sampling together and the recall estimate keeps statistical power)
+#: in md5-block order until the cumulative doc count reaches the cap.
+_AUDIT_SAMPLE_CAP = 1000
+
 _CANON_SIGS_CTE = (
-    """
+    f"""
 canon AS (
   SELECT text, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
   FROM documents GROUP BY text
 ),
+blocks AS (
+  SELECT doc_id, text, md5(substr(text, 1, 64)) AS bk FROM canon
+),
+keep AS (
+  SELECT bk FROM (
+    SELECT bk, SUM(c) OVER (ORDER BY bk
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+    FROM (SELECT bk, COUNT(*) AS c FROM blocks GROUP BY bk)
+  ) WHERE cum <= {_AUDIT_SAMPLE_CAP}
+),
+sampled AS (
+  SELECT b.doc_id, b.text FROM blocks b JOIN keep k ON k.bk = b.bk
+),
 grams AS (
   SELECT DISTINCT doc_id, substr(text, i::INT, 8) AS g
   FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
-        FROM canon)
+        FROM sampled)
 ),
 sigs AS (
   SELECT doc_id,
@@ -296,6 +318,7 @@ candidates AS (
     )
     SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
            CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS n_canon,
+           CAST((SELECT COUNT(*) FROM sampled) AS BIGINT) AS n_sample,
            CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
            CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
            CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
@@ -325,16 +348,43 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts.
 
     100 TB: ground-truth computation is still the expensive side
-    (that is WHY LSH exists), so the audit runs on a bounded
-    subcorpus — a shard, a day, a stratified sample — and the
-    measured recall calibrates the band/row S-curve before the
-    full-corpus LSH job (`dedup_lsh_band_sweep` estimates the curve
-    analytically; this query measures it). Single-row output: counts
-    as exact integers (incl. the n_docs → n_canon collapse),
-    recall/precision as ROUND(9) doubles."""
+    (that is WHY LSH exists), so the audit BUILDS IN its bounded
+    subcorpus (round 9 — closes the r8 sf0.1 exception where the
+    exact all-pairs oracle needed >80 GB of DuckDB temp): canonical
+    docs are blocked on md5(substr(text, 1, 64)) — planted near-dup
+    clusters share long prefixes, so clusters survive sampling
+    TOGETHER and the recall estimate keeps its statistical power —
+    and whole blocks are kept in md5 order until the cumulative doc
+    count reaches ``_AUDIT_SAMPLE_CAP`` (≤ 1000 docs at every SF; at
+    sf0.001/sf0.01 that is the whole corpus, so those results are
+    unchanged). The md5 ordering is a deterministic pseudo-random
+    stratification both engines reproduce bit-identically. The
+    cumulative-sum window is a single-partition pass over one row per
+    BLOCK — at true 100 TB scale, pre-gate blocks with a coarse fixed
+    hash-prefix filter first (e.g. bk < '01') so the exact cap scans
+    thousands, not billions, of block rows; the measured recall then
+    calibrates the band/row S-curve before the full-corpus LSH job
+    (`dedup_lsh_band_sweep` estimates the curve analytically; this
+    query measures it). Single-row output: counts as exact integers
+    (incl. the n_docs → n_canon → n_sample funnel), recall/precision
+    as ROUND(9) doubles."""
     raw = load_table(spark, sf_dir, "documents")
+    canon = raw.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    blocks = canon.select(
+        "doc_id", "text", F.md5(F.substring("text", 1, 64)).alias("bk")
+    )
+    wcum = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    keep = (
+        blocks.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(wcum))
+        .where(F.col("cum") <= _AUDIT_SAMPLE_CAP)
+        .select("bk")
+    )
     docs = dedup.fan_out(
-        raw.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        blocks.join(F.broadcast(keep), "bk").select("doc_id", "text")
     )
     grams = dedup.char_ngrams(docs, "text", "doc_id", n=8)
     # truth: gram-blocked exact Jaccard >= 0.9 over ALL qualifying pairs
@@ -365,18 +415,21 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
     nd = raw.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    nk = docs.agg(F.count(F.lit(1)).cast("long").alias("n_canon"))
+    nk = canon.agg(F.count(F.lit(1)).cast("long").alias("n_canon"))
+    ns = docs.agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     return (
         nd.crossJoin(nk)
+        .crossJoin(ns)
         .crossJoin(nt)
         .crossJoin(nc)
         .crossJoin(nh)
         .select(
             "n_docs",
             "n_canon",
+            "n_sample",
             "n_truth",
             "n_candidates",
             "n_hits",

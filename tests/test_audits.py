@@ -35,6 +35,10 @@ def test_dedup_lsh_recall_audit_invariants(spark):
     [r] = REGISTRY["dedup_lsh_recall_audit"].build(spark, SF_DIR).collect()
     # canonicalization can only shrink the doc set
     assert 1 <= r.n_canon <= r.n_docs
+    # the built-in block sample is hard-capped (round 9) and covers
+    # the whole corpus when it fits under the cap
+    assert 1 <= r.n_sample <= min(r.n_canon, 1000)
+    assert r.n_sample == r.n_canon or r.n_sample >= 980  # whole blocks
     # hits are the intersection of candidates and truth
     assert r.n_hits <= min(r.n_truth, r.n_candidates)
     assert 0.0 <= r.recall <= 1.0
