@@ -138,6 +138,119 @@ def _try_autoregister_pil() -> None:
 _try_autoregister_pil()
 
 
+def sniff_kind(p: bytes) -> str:
+    """Magic-byte kind sniff; the returned strings double as registry
+    kinds for the stdlib decoders (``register_stdlib_decoders``)."""
+    if p[:4] == b"\x89PNG":
+        return "image/png"
+    if p[:2] in (b"P5", b"P6"):
+        return "image/ppm"
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return "audio/wav"
+    if p[:9] == b"YUV4MPEG2":
+        return "video/yuv4mpeg"
+    return "application/octet-stream"
+
+
+def register_stdlib_decoders() -> None:
+    """Register the pure-stdlib codecs under mime-flavored kinds (the
+    generic "image" kind stays reserved for a real PIL/libvips
+    registration — its NotImplementedError stub is the documented
+    seam). Idempotent and non-overriding, so a deployment that
+    installs better decoders first wins. Runs at import: the registry
+    is REAL in this container, with two genuine image formats plus
+    audio — ``decode_via_registry`` dispatches across them."""
+    from . import png as _png
+    from . import ppm as _ppm
+    from . import wav as _wav
+
+    for kind, factory in (
+        ("image/png", _png.png_decoder),
+        ("image/ppm", _ppm.ppm_decoder),
+        ("audio/wav", _wav.wav_decoder),
+    ):
+        if kind not in _DECODERS:
+            register_decoder(kind, factory())
+
+
+def decode_via_registry(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    kinds: tuple,
+) -> DataFrame:
+    """Decode a MIXED-format payload column by dispatching each asset
+    to the registered decoder of its sniffed kind — the multi-kind
+    registry path (a single-format corpus can pass its decoder to
+    ``featurize_binary`` directly; a crawl corpus cannot).
+
+    All dispatched kinds must declare IDENTICAL output fields (Spark
+    needs one static schema); the stdlib PNG and PPM decoders share
+    (width, height, channels, px_sum) by design. Decoders are resolved
+    from the registry AT PLAN BUILD TIME and captured by value into
+    the mapInPandas closure — executors never consult their own copy
+    of the registry (whose import-time state may differ from the
+    driver's runtime registrations). One Arrow-batched stage; payloads
+    never leave it. A payload sniffing to an unrequested or
+    unregistered kind fails loudly with the offending asset id.
+    """
+    resolved: dict[str, MediaDecoder] = {}
+    for kind in kinds:
+        dec = get_decoder(kind)
+        if dec is None:
+            raise ValueError(
+                f"no decoder registered for kind {kind!r} — call "
+                "register_decoder / register_stdlib_decoders first"
+            )
+        resolved[kind] = dec
+    fields0 = [(f.name, f.dataType) for f in resolved[kinds[0]].fields]
+    for kind in kinds[1:]:
+        got = [(f.name, f.dataType) for f in resolved[kind].fields]
+        if got != fields0:
+            raise ValueError(
+                f"decoder field mismatch: {kinds[0]!r} declares {fields0}, "
+                f"{kind!r} declares {got} — registry dispatch needs one "
+                "static schema"
+            )
+    fns = {k: d.fn for k, d in resolved.items()}
+    field_names = [f.name for f in resolved[kinds[0]].fields]
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("kind", StringType()),
+        ]
+        + list(resolved[kinds[0]].fields)
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "asset_id": [],
+                "kind": [],
+                **{n: [] for n in field_names},
+            }
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                kind = sniff_kind(payload)
+                fn = fns.get(kind)
+                if fn is None:
+                    raise ValueError(
+                        f"asset {aid}: sniffed kind {kind!r} has no "
+                        f"dispatched decoder (requested kinds: {kinds})"
+                    )
+                decoded = fn(payload)
+                cols["asset_id"].append(int(aid))
+                cols["kind"].append(kind)
+                for n in field_names:
+                    cols[n].append(decoded[n])
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(_decode, out_schema)
+
+
+register_stdlib_decoders()
+
+
 def featurize_binary(
     df: DataFrame,
     payload_col: str,
@@ -162,14 +275,7 @@ def featurize_binary(
     decode_fn = decoder.fn if decoder is not None else None
     extra_names = [f.name for f in decoder.fields] if decoder is not None else []
 
-    def _sniff(p: bytes) -> str:
-        if p[:4] == b"\x89PNG":
-            return "image/png"
-        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-            return "audio/wav"
-        if p[:9] == b"YUV4MPEG2":
-            return "video/yuv4mpeg"
-        return "application/octet-stream"
+    _sniff = sniff_kind
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
