@@ -433,6 +433,52 @@ def main() -> None:
     print(json.dumps({"case": "image_phash_neardup_depth",
                       **results["image_phash_neardup_depth"]}), flush=True)
 
+    # --- bespoke case: IDENTICAL-image flood vs the overflow guard
+    # (round 9). The depth case above cannot distinguish the join from
+    # the answer — its verified output itself grows K². Here ALL
+    # 1000·K payloads are byte-identical and max_bucket=256 < n, so
+    # every band bucket overflows and the routed-subgroup guard must
+    # hold candidate rows to O(n) star pairs (exactly n-1 verified
+    # pairs, 4(n-1) pre-distinct candidates). Wall-clock must track
+    # the codec work (~K), NOT K²: at K=8 an unguarded all-pairs
+    # bucket join would expand C(8000,2) ≈ 32M candidates per band.
+    # The emitted pair count is asserted, so a silently-degraded
+    # guard fails the probe rather than mis-reporting it.
+    per_k = {}
+    out_k = {}
+    for k in KS:
+        ids = spark.range(0, 1000 * k).select(
+            F.lit(0).cast("long").alias("doc_id")  # constant → identical PNGs
+        )
+        assets = ids.mapInPandas(
+            phash_png_fixture(group_modulus=1),
+            "asset_id long, payload binary",
+        ).withColumn("asset_id", F.monotonically_increasing_id())
+        sigs = phash.dhash_bands(assets, "asset_id", "payload")
+        pairs = phash.neardup_pairs(
+            sigs, "asset_id", max_hamming=6, max_bucket=256
+        )
+        samples = []
+        n_pairs = None
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            [row] = pairs.agg(F.count(F.lit(1)).alias("n")).collect()
+            n_pairs = row.n
+            if i:
+                samples.append(time.perf_counter() - t0)
+        assert n_pairs == 1000 * k - 1, (
+            f"flood guard degraded: {n_pairs} pairs at n={1000 * k}"
+        )
+        per_k[k] = round(sorted(samples)[len(samples) // 2], 3)
+        out_k[k] = n_pairs
+    results["image_phash_flood_guard"] = {
+        "per_k": per_k,
+        "pairs_per_k": out_k,
+        "growth_8x": round(per_k[KS[-1]] / per_k[KS[0]], 2),
+    }
+    print(json.dumps({"case": "image_phash_flood_guard",
+                      **results["image_phash_flood_guard"]}), flush=True)
+
     for label, bits_of in (
         ("knn_graph_fixed_bits", lambda k: 8),
         ("knn_graph_scaled_bits", lambda k: 8 + max(0, k.bit_length() - 1)),
