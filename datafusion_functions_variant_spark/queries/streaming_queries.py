@@ -244,6 +244,80 @@ def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_transform_with_state",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type,
+             COUNT(*) AS n_type,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type,
+           CAST(n_type AS BIGINT) AS n_type,
+           CAST(SUM(n_type) OVER (PARTITION BY user_id) AS BIGINT) AS n_total,
+           CAST(SUM(s) OVER (PARTITION BY user_id) AS DOUBLE) AS sum_value
+    FROM per_type
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``transformWithStateInPandas`` — TYPED state variables
+    (ValueState totals + MapState per-event-type counts) behind a
+    StatefulProcessor, per-user profile re-emitted every batch in
+    update mode (streaming/core.py::transform_with_state_profile).
+    Counts are monotonic, so the max emission per (user, type) equals
+    the final state, which the oracle reproduces from the batch
+    aggregate — exact money via integer cents.
+
+    Runs in THIS container through the vendored miniproto runtime
+    (vendor/miniproto — clean-room pure-Python protobuf wire codec):
+    the state-server protocol needs ``google.protobuf`` in the driver
+    AND the executor python workers; ``ensure_protobuf_for_session``
+    injects the vendor path into ``sc.environment`` so workers resolve
+    it even when the JVM predates the import (no-op when the real
+    wheel exists). Requires the RocksDB state store provider — set for
+    the duration of the (eager, AvailableNow) run and restored.
+
+    Scale: state is hash-partitioned by the grouping key across
+    executors and incrementally checkpointed by RocksDB; this exact
+    processor runs unbounded with handle TTLs."""
+    from ..vendor import ensure_protobuf_for_session
+
+    ensure_protobuf_for_session(spark)
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, rocksdb)
+    try:
+        st = core.read_events_stream(spark, sf_dir)
+        out = core.run_to_batch(
+            core.transform_with_state_profile(st), "update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_type").alias("n_type"),
+            F.max("n_total").alias("n_total"),
+            F.max(F.col("sum_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
     "stream_variant_tumbling",
     oracle=f"""
     WITH mx AS (SELECT max(ts) AS mt FROM events)

@@ -11,6 +11,14 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# transformWithStateInPandas needs google.protobuf in BOTH the driver
+# and the executor python workers; the vendor gate must adjust
+# PYTHONPATH before the session-scoped JVM launches (workers inherit
+# the JVM's env). No-op when the real wheel is installed.
+from datafusion_functions_variant_spark.vendor import ensure_protobuf  # noqa: E402
+
+PROTOBUF_PROVIDER = ensure_protobuf()
+
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_MED = os.environ.get("TEST_SF_DIR_MED", "/root/testdata/sf0.01")
 

@@ -32,7 +32,20 @@ stands; re-attempt next round.
 Round-8 install attempt (2026-08-15, per VERDICT.md r7 ask #7):
 ``pip install protobuf`` — identical failure (index host DNS does
 not resolve, NewConnectionError ×5, no distribution found), and
-``import google.protobuf`` still ModuleNotFoundError. Gate stands."""
+``import google.protobuf`` still ModuleNotFoundError. Gate stands.
+
+Round-9 RESOLUTION (2026-08-15, VERDICT.md r8 ask #6): the gate is
+GONE. ``vendor/miniproto`` is a minimal clean-room pure-Python
+protobuf runtime (public wire-format spec) that the conftest adds to
+``sys.path``/``PYTHONPATH`` only when the real wheel is absent;
+``pyspark.sql.streaming.proto.StateMessage_pb2`` generates against it
+unmodified, and test_transform_with_state_profile now RUNS in this
+container — ValueState + MapState against the JVM's RocksDB-backed
+state server, every request parsed by the JVM's protobuf and every
+response parsed by miniproto. Wire-level unit vectors live in
+tests/test_miniproto.py; the oracled registry twin is
+``stream_transform_with_state``. On a normally-provisioned cluster the
+real wheel wins (the vendor gate never shadows an installed package)."""
 
 from __future__ import annotations
 
