@@ -200,3 +200,93 @@ def test_enum_wrapper_api():
     assert sm.HandleState.Name(sm.CREATED) == "CREATED"
     assert sm.HandleState.Value("CLOSED") == sm.CLOSED
     assert sm.HandleState.CREATED == sm.CREATED
+
+
+def test_differential_vs_jvm_protobuf(spark):
+    """The decisive cross-implementation check: random message trees
+    serialized by miniproto must parse AND re-serialize byte-identically
+    through the JVM's real protobuf (Spark ships generated Java classes
+    for the same StateMessage.proto), and miniproto must reproduce the
+    original message from the JVM's bytes. Covers every scalar kind the
+    protocol uses (negative int32/int64, bool, string, bytes), oneof
+    arms, nested messages, repeated messages, and enums."""
+    import random
+
+    sm = _sm()
+    jsm = spark.sparkContext._jvm.org.apache.spark.sql.execution.streaming.state.StateMessage
+    rng = random.Random(20260815)
+
+    def rand_scalar(fd):
+        t = fd.type
+        if t == rt.TYPE_BOOL:
+            return rng.random() < 0.5
+        if t == rt.TYPE_STRING:
+            return "".join(
+                rng.choice("abc θ∆ xyz0123") for _ in range(rng.randrange(0, 12))
+            )
+        if t == rt.TYPE_BYTES:
+            return bytes(rng.randrange(256) for _ in range(rng.randrange(0, 10)))
+        if t == rt.TYPE_ENUM:
+            return rng.choice(fd.enum_type.values).number
+        if t == rt.TYPE_INT32:
+            return rng.choice(
+                [0, 1, -1, 127, -128, 2**31 - 1, -(2**31), rng.randrange(-10**6, 10**6)]
+            )
+        return rng.choice(
+            [0, 1, -1, 300, 2**63 - 1, -(2**63), rng.randrange(-10**12, 10**12)]
+        )
+
+    def rand_message(cls, depth):
+        kwargs = {}
+        chosen_oneofs = set()
+        for fd in cls.DESCRIPTOR.fields:
+            oneof = fd.containing_oneof
+            if oneof is not None:
+                if oneof.name in chosen_oneofs or rng.random() < 0.5:
+                    continue
+                chosen_oneofs.add(oneof.name)
+            elif rng.random() < 0.4:
+                continue
+            if fd.is_repeated:
+                n = rng.randrange(0, 3)
+                if fd.type == rt.TYPE_MESSAGE:
+                    if depth <= 0:
+                        continue
+                    kwargs[fd.name] = [
+                        rand_message(fd.message_type._concrete_class, depth - 1)
+                        for _ in range(n)
+                    ]
+                else:
+                    kwargs[fd.name] = [rand_scalar(fd) for _ in range(n)]
+            elif fd.type == rt.TYPE_MESSAGE:
+                if depth <= 0:
+                    continue
+                kwargs[fd.name] = rand_message(
+                    fd.message_type._concrete_class, depth - 1
+                )
+            else:
+                kwargs[fd.name] = rand_scalar(fd)
+        return cls(**kwargs)
+
+    roots = [
+        ("StateRequest", sm.StateRequest, jsm.StateRequest),
+        ("StateResponse", sm.StateResponse, jsm.StateResponse),
+        ("StateResponseWithTimer", sm.StateResponseWithTimer, jsm.StateResponseWithTimer),
+        ("StateResponseWithMapIterator", sm.StateResponseWithMapIterator, jsm.StateResponseWithMapIterator),
+        ("StateResponseWithListGet", sm.StateResponseWithListGet, jsm.StateResponseWithListGet),
+    ]
+    n_checked = 0
+    for name, pcls, jcls in roots:
+        for _ in range(25):
+            m = rand_message(pcls, depth=5)
+            data = m.SerializeToString()
+            back = bytes(jcls.parseFrom(data).toByteArray())
+            assert back == data, (
+                f"{name}: JVM re-serialization differs\nours: {data.hex()}\n"
+                f"jvm : {back.hex()}\nmsg: {m!r}"
+            )
+            ours = pcls()
+            ours.ParseFromString(back)
+            assert ours == m, f"{name}: reparse differs: {m!r} vs {ours!r}"
+            n_checked += 1
+    assert n_checked == 125
