@@ -276,3 +276,139 @@ def test_rocksdb_state_store_tumbling_counts(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_state_timers(spark, tmp_path):
+    """Timer protocol paths against the JVM state server — the profile
+    test never touches RegisterTimer / ListTimers /
+    StateResponseWithTimer / the expired-timer iterator; this does. A
+    ProcessingTime processor registers a deliberately already-past
+    timer for each user on first sight and records what listTimers()
+    returned right after registration; Spark fires handleExpiredTimer
+    for every one of them. Assertions are set-based (which users
+    registered / listed / expired), never timing-based.
+
+    Two termination facts established in round 9 (kept here because
+    they are easy to rediscover the hard way):
+    * an explicit ``handle.deleteTimer`` inside ``handleExpiredTimer``
+      is WRONG — the framework deletes each fired timer itself
+      (stateful_processor_util._handle_expired_timers), and the extra
+      delete wedges the query;
+    * even a clean run never leaves AvailableNow's "no new data but
+      cleaning up state" loop once ProcessingTime timers were used
+      (observed: all timers fired, sink complete, trigger still
+      active after 300 s) — so this test polls the memory sink for
+      the expected rows and stops the query explicitly instead of
+      awaiting termination.
+    """
+    import time as _time
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datafusion_functions_variant_spark.sources.tables import load_table
+    from datafusion_functions_variant_spark.streaming import core
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("n_timers_listed", LongType()),
+        ]
+    )
+
+    class TimerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.seen = handle.getValueState("seen", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n_rows = sum(len(pdf) for pdf in rows)
+            assert n_rows > 0
+            if not self.seen.exists():
+                now = timer_values.getCurrentProcessingTimeInMs()
+                self.handle.registerTimer(now - 10_000)  # already past
+                listed = list(self.handle.listTimers())
+                assert listed == [now - 10_000], listed
+                self.seen.update((1,))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "kind": ["registered"],
+                        "n_timers_listed": [len(listed)],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            assert expiredTimerInfo.getExpiryTimeInMs() > 0
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "kind": ["expired"],
+                    "n_timers_listed": [0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    all_users = {
+        r.user_id
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    q = None
+    try:
+        st = core.read_multibatch_events_stream(
+            spark, SF_DIR, str(tmp_path / "splits")
+        )
+        q = (
+            st.select("user_id", "event_type", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=TimerProcessor(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="ProcessingTime",
+            )
+            .writeStream.format("memory")
+            .queryName("timer_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _time.time() + 180
+        registered: set = set()
+        expired: set = set()
+        while _time.time() < deadline:
+            rows = spark.table("timer_sink").collect()
+            registered = {r.user_id for r in rows if r.kind == "registered"}
+            expired = {r.user_id for r in rows if r.kind == "expired"}
+            if registered == all_users and expired == all_users:
+                break
+            if not q.isActive:
+                break
+            _time.sleep(2)
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    rows = spark.table("timer_sink").collect()
+    assert registered == all_users
+    assert expired == all_users  # every registered (past) timer fired
+    assert all(
+        r.n_timers_listed == 1 for r in rows if r.kind == "registered"
+    )
