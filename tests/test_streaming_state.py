@@ -412,3 +412,120 @@ def test_transform_with_state_timers(spark, tmp_path):
     assert all(
         r.n_timers_listed == 1 for r in rows if r.kind == "registered"
     )
+
+
+def test_transform_with_state_liststate_and_ttl(spark, tmp_path):
+    """Remaining state-variable protocol arms: ListState (exists /
+    appendValue / appendList / put / get-iterator — the paginated
+    ListStateGet path) and the TTLConfig message (a ValueState declared
+    with ttlDurationMs; a generous TTL so values never actually expire
+    within the run — this pins the protocol handshake, not the clock).
+    Multi-batch source so the list accumulates across batches and the
+    get-iterator replays server-side state, not same-batch writes."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datafusion_functions_variant_spark.sources.tables import load_table
+    from datafusion_functions_variant_spark.streaming import core
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_entries", LongType()),
+            StructField("sum_entries", LongType()),
+            StructField("n_batches", LongType()),
+        ]
+    )
+
+    class ListProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # generous TTL: exercises the TTLConfig protocol message
+            self.batches = handle.getValueState(
+                "batches", "n BIGINT", ttlDurationMs=3_600_000
+            )
+            self.entries = handle.getListState("entries", "v BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n_rows = 0
+            first = not self.entries.exists()
+            for pdf in rows:
+                vals = [
+                    int(round(v * 100)) for v in pdf["value"].tolist()
+                ]
+                n_rows += len(vals)
+                if first and len(vals) >= 2:
+                    # exercise put + appendList on the first batch
+                    self.entries.put([(vals[0],)])
+                    self.entries.appendList([(v,) for v in vals[1:]])
+                    first = False
+                else:
+                    for v in vals:
+                        self.entries.appendValue((v,))
+                    first = False
+            nb = (self.batches.get()[0] if self.batches.exists() else 0) + 1
+            self.batches.update((nb,))
+            got = [t[0] for t in self.entries.get()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_entries": [len(got)],
+                    "sum_entries": [sum(got)],
+                    "n_batches": [nb],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        st = core.read_multibatch_events_stream(
+            spark, SF_DIR, str(tmp_path / "splits")
+        )
+        out = core.run_to_batch(
+            st.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=ListProcessor(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            ),
+            "update",
+        )
+        import pyspark.sql.functions as F
+
+        got = {
+            r.user_id: (r.n_entries, r.sum_entries)
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("n_entries").alias("n_entries"),
+                F.max("sum_entries").alias("sum_entries"),
+            )
+            .collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    ev = load_table(spark, SF_DIR, "events")
+    import pyspark.sql.functions as F
+
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
