@@ -529,3 +529,83 @@ def test_transform_with_state_liststate_and_ttl(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_initial_state_handoff(spark):
+    """The ``initialState`` arm: a batch GroupedData of per-user seed
+    totals is handed to the processor, ``handleInitialState`` loads it
+    into ValueState before the first input batch, and the emitted
+    totals must equal seed + stream contribution per user — the warm-
+    start migration path (seed a new stateful query from yesterday's
+    batch aggregate) a production cutover uses."""
+    pytest.importorskip("google.protobuf")
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datafusion_functions_variant_spark.sources.tables import load_table
+    from datafusion_functions_variant_spark.streaming import core
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_total", LongType()),
+        ]
+    )
+
+    class SeededCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.n = handle.getValueState("n", "n BIGINT")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self.n.update((int(initialState["seed"]),))
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n = self.n.get()[0] if self.n.exists() else 0
+            n += sum(len(pdf) for pdf in rows)
+            self.n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_total": [n]})
+
+        def close(self) -> None:
+            pass
+
+    ev = load_table(spark, SF_DIR, "events")
+    # seed = 1000 + user_id, deterministic and distinct from counts
+    seeds = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") + 1000).alias("seed")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        st = core.read_events_stream(spark, SF_DIR)
+        out = core.run_to_batch(
+            st.select("user_id", "event_type")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=SeededCounter(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+                initialState=seeds.groupBy("user_id"),
+            ),
+            "update",
+        )
+        got = {
+            r.user_id: r.n_total
+            for r in out.groupBy("user_id")
+            .agg(F.max("n_total").alias("n_total"))
+            .collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    want = {
+        r.user_id: r.n + 1000 + r.user_id
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
