@@ -637,16 +637,19 @@ def simhash_near_pairs(
             F.max("n").alias("max_bucket_size"),
         )
     buckets = buckets.where(F.col("n") > 1)
+    # hamming computed INSIDE the expansion: the multi-chunk distinct
+    # then dedups (doc_a, doc_b, hamming) — 3 narrow columns instead
+    # of carrying both 64-bit signatures through the exchange
     all_pairs = (
         "flatten(transform(members, (x, i) ->"
         " transform(slice(members, i + 2, size(members) - i - 1),"
         " y -> struct(x.id AS doc_a, y.id AS doc_b,"
-        " x.simhash AS sig_a, y.simhash AS sig_b))))"
+        " cast(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"
     )
     star_pairs = (
         "filter(transform(members,"
         " y -> struct(keeper.id AS doc_a, y.id AS doc_b,"
-        " keeper.simhash AS sig_a, y.simhash AS sig_b)),"
+        " cast(bit_count(keeper.simhash ^ y.simhash) AS INT) AS hamming)),"
         " p -> p.doc_b != p.doc_a)"
     )
     pairs = buckets.select(
@@ -657,14 +660,7 @@ def simhash_near_pairs(
             )
         ).alias("p")
     ).select("p.*").distinct()  # a pair may collide in several chunks
-    return (
-        pairs.select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.expr("sig_a ^ sig_b")).cast("int").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-    )
+    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 def substring_span_stats(
