@@ -609,3 +609,119 @@ def test_transform_with_state_initial_state_handoff(spark):
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_transform_with_state_mapstate_full_api_and_delete(spark):
+    """The remaining MapState arms (containsKey / keys / values /
+    removeKey / clear) plus handle.deleteIfExists — with these, every
+    state-variable protocol message in StateMessage.proto has runtime
+    JVM-interop coverage. Per user: counts per event_type go into a
+    MapState; the largest-count key is removed and the rest re-read
+    through keys()/values(); a legacy ValueState is declared and
+    dropped via deleteIfExists inside init() (its only legal window —
+    see the in-code note). Emissions checked against the batch
+    aggregate minus the removed key."""
+    pytest.importorskip("google.protobuf")
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datafusion_functions_variant_spark.sources.tables import load_table
+    from datafusion_functions_variant_spark.streaming import core
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("removed_type", StringType()),
+            StructField("n_keys_left", LongType()),
+            StructField("sum_left", LongType()),
+        ]
+    )
+
+    class MapApiProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.counts = handle.getMapState("counts", "t STRING", "n BIGINT")
+            # deleteIfExists is only legal while the handle is in the
+            # CREATED state, i.e. inside init() — it exists to drop a
+            # LEGACY variable at query (re)start (schema evolution),
+            # not to clear state mid-stream (the JVM rejects that with
+            # INVALID_HANDLE_STATE; root-caused round 9)
+            handle.getValueState("legacy", "x BIGINT")
+            handle.deleteIfExists("legacy")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            for pdf in rows:
+                for et, c in pdf.groupby("event_type").size().items():
+                    if self.counts.containsKey((et,)):
+                        prev = self.counts.getValue((et,))[0]
+                    else:
+                        prev = 0
+                    self.counts.updateValue((et,), (prev + int(c),))
+            # deterministic removal: max (count, type) — ties broken by type
+            pairs = sorted(
+                ((v[0], k[0]) for k, v in self.counts.iterator()),
+                reverse=True,
+            )
+            removed = pairs[0][1]
+            assert self.counts.containsKey((removed,))
+            self.counts.removeKey((removed,))
+            assert not self.counts.containsKey((removed,))
+            keys_left = sorted(k[0] for k in self.counts.keys())
+            vals_left = [v[0] for v in self.counts.values()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "removed_type": [removed],
+                    "n_keys_left": [len(keys_left)],
+                    "sum_left": [sum(vals_left)],
+                }
+            )
+            self.counts.clear()  # single-batch source: leave state empty
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        st = core.read_events_stream(spark, SF_DIR)
+        out = core.run_to_batch(
+            st.select("user_id", "event_type")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=MapApiProcessor(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            ),
+            "update",
+        )
+        got = {
+            r.user_id: (r.removed_type, r.n_keys_left, r.sum_left)
+            for r in out.collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    ev = load_table(spark, SF_DIR, "events")
+    agg = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_user: dict = {}
+    for r in agg:
+        per_user.setdefault(r.user_id, []).append((r.n, r.event_type))
+    want = {}
+    for uid, pairs in per_user.items():
+        pairs.sort(reverse=True)
+        removed = pairs[0][1]
+        rest = pairs[1:]
+        want[uid] = (removed, len(rest), sum(n for n, _ in rest))
+    assert got == want
