@@ -1135,3 +1135,45 @@ def test_dhash_bands_rejects_bad_geometry(spark):
     )
     with pytest.raises(Exception, match="channel"):
         phash.dhash_bands(assets3, "asset_id", "payload").collect()
+
+
+def test_simhash_chunk_blocking_exact_below_cap_randomized(spark):
+    """Pigeonhole exactness, randomized: when no bucket overflows, the
+    chunk-blocked pair list must equal the brute-force list of ALL
+    pairs with Hamming(simhash) <= max_hamming — the r8 incident was
+    exactly this property silently failing past the cap. Signatures
+    are taken from Spark, ground truth recomputed in pure Python over
+    random word-soup docs (heavy shared vocabulary → many near pairs)."""
+    import itertools
+    import random
+
+    from datafusion_functions_variant_spark.operators import dedup
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        # clusters of 3 share most words → realistic near-dup structure
+        words = [vocab[(i // 3 * 7 + j) % 30] for j in range(12)]
+        if i % 3:
+            words[i % 12] = vocab[(i * 13) % 30]  # small perturbation
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.simhash_signatures(docs, "text", "doc_id")
+    sig_map = {r.doc_id: r.simhash for r in sigs.collect()}
+
+    for max_hamming in (2, 6):
+        got = sorted(
+            map(
+                tuple,
+                dedup.simhash_near_pairs(
+                    sigs, "doc_id", max_hamming=max_hamming, max_bucket=10**9
+                ).collect(),
+            )
+        )
+        want = sorted(
+            (a, b, bin(sig_map[a] ^ sig_map[b]).count("1"))
+            for a, b in itertools.combinations(sorted(sig_map), 2)
+            if bin(sig_map[a] ^ sig_map[b]).count("1") <= max_hamming
+        )
+        assert got == want, (max_hamming, len(got), len(want))
