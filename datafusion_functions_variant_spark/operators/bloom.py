@@ -67,14 +67,18 @@ def bloom_build(
 
 
 def bloom_member_sql(
-    key_expr: str, m_bits: int, seeds: tuple[int, ...] = DEFAULT_SEEDS
+    key_expr: str,
+    m_bits: int,
+    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+    bits_col: str = "bits",
 ) -> str:
     """SQL condition testing ``key_expr``'s membership against a
-    broadcast ``bits`` column — all k bits set. Pure built-ins
+    broadcast ``bits_col`` column — all k bits set. Pure built-ins
     (element_at/shiftright/&) so the probe stays in codegen. The
-    key_expr must hash identically to the build side's ``key``."""
+    key_expr must hash identically to the build side's ``key``;
+    ``bits_col`` lets one frame carry several attached bitsets."""
     return " AND ".join(
-        f"(shiftright(element_at(bits, cast(pmod(xxhash64({key_expr}, {s}), {m_bits})"
+        f"(shiftright(element_at({bits_col}, cast(pmod(xxhash64({key_expr}, {s}), {m_bits})"
         f" div 64 as int) + 1), cast(pmod(xxhash64({key_expr}, {s}), {m_bits}) % 64"
         f" as int)) & 1) = 1"
         for s in seeds

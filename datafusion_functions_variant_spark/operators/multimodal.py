@@ -194,6 +194,11 @@ def decode_via_registry(
     never leave it. A payload sniffing to an unrequested or
     unregistered kind fails loudly with the offending asset id.
     """
+    if not kinds:
+        raise ValueError(
+            "decode_via_registry requires at least one kind — pass the "
+            "formats this corpus may contain, e.g. kinds=('png', 'ppm')"
+        )
     resolved: dict[str, MediaDecoder] = {}
     for kind in kinds:
         dec = get_decoder(kind)

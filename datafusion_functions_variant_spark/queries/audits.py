@@ -252,11 +252,11 @@ blocks AS (
 ),
 keep AS (
   SELECT bk FROM (
-    SELECT bk, SUM(c) OVER (ORDER BY bk
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS cum
+    SELECT bk, c, SUM(c) OVER (ORDER BY bk
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
     FROM (SELECT bk, COUNT(*) AS c FROM blocks GROUP BY bk)
-  ) WHERE cum <= {_AUDIT_SAMPLE_CAP}
+  ) WHERE cum <= {_AUDIT_SAMPLE_CAP} OR cum = c
 ),
 sampled AS (
   SELECT b.doc_id, b.text FROM blocks b JOIN keep k ON k.bk = b.bk
@@ -380,7 +380,13 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocks.groupBy("bk")
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("cum", F.sum("c").over(wcum))
-        .where(F.col("cum") <= _AUDIT_SAMPLE_CAP)
+        # always keep the first md5-ordered block (cum == c) so a
+        # boilerplate-heavy corpus whose first prefix block alone
+        # exceeds the cap still yields a non-degenerate sample
+        # instead of silently reporting recall on zero docs
+        .where(
+            (F.col("cum") <= _AUDIT_SAMPLE_CAP) | (F.col("cum") == F.col("c"))
+        )
         .select("bk")
     )
     docs = dedup.fan_out(

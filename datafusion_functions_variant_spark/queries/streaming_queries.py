@@ -17,6 +17,15 @@ from ..streaming import core
 from . import dsum_sql, isum_sql, query
 
 
+def history_default_threshold() -> int:
+    """The size-aware history-probe broadcast cutoff (env-dialable,
+    see streaming/history.py) — resolved lazily so tests can
+    monkeypatch the module constant."""
+    from ..streaming.history import DEFAULT_BROADCAST_THRESHOLD_ROWS
+
+    return DEFAULT_BROADCAST_THRESHOLD_ROWS
+
+
 @query(
     "stream_tumbling_counts",
     oracle=f"""
@@ -547,9 +556,7 @@ def stream_multibatch_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start")
 
 
-@query(
-    "stream_dedup_against_corpus",
-    oracle=r"""
+_DEDUP_CORPUS_ORACLE = r"""
     WITH hist AS (
       SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
       FROM documents WHERE doc_id % 3 != 0
@@ -560,35 +567,93 @@ def stream_multibatch_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'))
           NOT IN (SELECT h FROM hist)
     ORDER BY d.doc_id
-    """,
-)
-def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-at-ingest: a stream of NEW documents (doc_id % 3 = 0)
-    anti-joins the historical corpus' exact-dedup fingerprints
-    (content-hash of normalized text, distinct, broadcast per
-    micro-batch) — only never-seen-before content survives to the
-    sink. Stateless stream-static LEFT ANTI join: no watermark, no
-    state store; at 100 TB the fingerprint table is the compact
-    corpus summary (16 bytes/doc), refreshed per batch.
     """
+
+
+def _stream_dedup_against_corpus(
+    spark: SparkSession, sf_dir: str, broadcast_threshold_rows: int
+) -> DataFrame:
     from ..operators import dedup
+    from ..sources.tables import load_table
+    from ..streaming import history
 
     st = core.read_table_stream(spark, sf_dir, "documents")
     new_docs = st.where(F.col("doc_id") % 3 == 0).withColumn(
         "content_hash", F.md5(dedup.normalize_text("text"))
     )
-    from ..sources.tables import load_table
-
     hist = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 3 != 0)
         .select(F.md5(dedup.normalize_text("text")).alias("h"))
-        .distinct()
     )
-    survivors = new_docs.join(
-        F.broadcast(hist), new_docs.content_hash == hist.h, "left_anti"
-    ).select("doc_id", "lang", "source")
+    idx = history.build_history_index(
+        spark,
+        hist,
+        "h",
+        table_name="hist_dedup_content_idx",
+        broadcast_threshold_rows=broadcast_threshold_rows,
+    )
+    cols = ["doc_id", "lang", "source"]
+    if idx.broadcasted:
+        survivors = new_docs.join(
+            idx.relation, new_docs.content_hash == F.col("h"), "left_anti"
+        ).select(*cols)
+    else:
+        # scale path: bloom-negative rows are DEFINITELY novel (no
+        # false negatives) and bypass the join entirely; only maybes
+        # reach the anti-join against the bucketed index, which is
+        # read in place — the per-batch Exchange is probe-side only.
+        probe = idx.attach_bitset(new_docs)
+        seen_maybe = idx.member("content_hash")
+        definite_new = probe.where(~seen_maybe).select(*cols)
+        verified_new = (
+            probe.where(seen_maybe)
+            .hint("merge")
+            .join(idx.relation, F.col("content_hash") == F.col("h"), "left_anti")
+            .select(*cols)
+        )
+        survivors = definite_new.unionByName(verified_new)
     return core.run_to_batch(survivors, "append").orderBy("doc_id")
+
+
+@query(
+    "stream_dedup_against_corpus",
+    oracle=_DEDUP_CORPUS_ORACLE,
+    hash_deps=(_stream_dedup_against_corpus,),
+)
+def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest: a stream of NEW documents (doc_id % 3 = 0)
+    probes the historical corpus' exact-dedup fingerprints
+    (content-hash of normalized text, distinct) with a LEFT ANTI
+    stream-static join — only never-seen-before content survives to
+    the sink. Stateless: no watermark, no state store. The history
+    relation is SIZE-AWARE (streaming/history.py): below the
+    broadcast threshold it ships as a broadcast hash join (the right
+    plan at every test SF); past it — ~10^10 docs of history at
+    100 TB is ~160 GB of fingerprints, not broadcastable — the
+    fingerprints persist once as a bucketed table probed in place,
+    with a capped Bloom bitset shedding definitely-novel rows before
+    the probe-side shuffle. Twin ``stream_dedup_against_corpus_indexed``
+    forces the scale path against the same oracle."""
+    return _stream_dedup_against_corpus(
+        spark, sf_dir, history_default_threshold()
+    )
+
+
+@query(
+    "stream_dedup_against_corpus_indexed",
+    oracle=_DEDUP_CORPUS_ORACLE,
+    hash_deps=(_stream_dedup_against_corpus,),
+)
+def stream_dedup_against_corpus_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``stream_dedup_against_corpus`` with the broadcast threshold
+    forced to zero — the 100 TB topology (bucketed fingerprint index
+    probed in place + Bloom bypass) exercised and hash-verified at
+    test scale against the identical oracle. The plan must show NO
+    BroadcastExchange on the history side (pinned in tests)."""
+    return _stream_dedup_against_corpus(spark, sf_dir, 0)
 
 
 @query(
@@ -1008,9 +1073,7 @@ def stream_classifier_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.run_to_batch(scored, "append").orderBy("doc_id")
 
 
-@query(
-    "stream_neardup_at_ingest",
-    oracle="""
+_NEARDUP_INGEST_ORACLE = """
     WITH grams AS (
       SELECT DISTINCT doc_id, substr(text, i::INT, 8) AS g
       FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
@@ -1047,8 +1110,9 @@ def stream_classifier_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.lang, h.n_matching_bands
     FROM documents d JOIN hits h ON d.doc_id = h.doc_id
     ORDER BY d.doc_id
-    """,
-)
+    """
+
+
 def stream_neardup_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate screening at ingest — the streaming complement
     to ``stream_dedup_against_corpus`` (which only catches byte-exact
@@ -1056,16 +1120,29 @@ def stream_neardup_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed IN-ROW (``array_min`` over the per-row gram-hash array —
     no explode, no per-doc groupBy, so unlike the batch formulation
     there is NO streaming aggregation) and probed against the
-    historical corpus' distinct band-bucket index via two broadcast
-    left joins. 100% STATELESS: no watermark, no state store, append
-    mode. At 100 TB of history the index is the distinct band-hash
-    set — ~2 hashes/doc, far smaller than the corpus, and it is the
-    SAME index the batch ``dedup_minhash_lsh`` bucket join builds, so
-    ingest screening and offline dedup share one artifact. Emits the
-    flagged docs with how many bands matched (2 = high-confidence
-    near-dup, 1 = candidate for the exact-Jaccard verify stage).
+    historical corpus' distinct band-bucket index (both bands folded
+    into one md5 key so one index serves both probes). 100% STATELESS:
+    no watermark, no state store, append mode. The index relation is
+    SIZE-AWARE (streaming/history.py): broadcast below the threshold,
+    else a bucketed table probed in place with a Bloom prescreen that
+    drops rows missing BOTH bands before the probe-side shuffle
+    (lossless — the query only emits rows with ≥1 matching band, and
+    Bloom has no false negatives). It is the SAME index artifact the
+    batch ``dedup_minhash_lsh`` bucket join builds, so ingest
+    screening and offline dedup share one index. Emits the flagged
+    docs with how many bands matched (2 = high-confidence near-dup,
+    1 = candidate for the exact-Jaccard verify stage). Twin
+    ``stream_neardup_at_ingest_indexed`` forces the scale path.
     """
+    return _stream_neardup_at_ingest(spark, sf_dir, history_default_threshold())
+
+
+def _stream_neardup_at_ingest(
+    spark: SparkSession, sf_dir: str, broadcast_threshold_rows: int
+) -> DataFrame:
     from ..operators.dedup import banded_hashes, minhash_signatures_inrow
+    from ..sources.tables import load_table
+    from ..streaming import history
 
     def bands_for(df: DataFrame) -> DataFrame:
         sigs = minhash_signatures_inrow(
@@ -1074,44 +1151,89 @@ def stream_neardup_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         b0, b1 = banded_hashes(sigs, num_hashes=8, bands=2)
         return sigs.select("doc_id", "lang", b0.alias("bh0"), b1.alias("bh1"))
 
-    from ..sources.tables import load_table
-
     hist_bands = bands_for(
         load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 != 0)
     )
-    hist = (
-        hist_bands.select(F.lit(0).alias("band_id"), F.col("bh0").alias("band_hash"))
-        .unionByName(
-            hist_bands.select(
-                F.lit(1).alias("band_id"), F.col("bh1").alias("band_hash")
+    # fold (band_id, band_hash) into ONE key so a single index serves
+    # both band probes and the bucketing key equals the join key
+    hist = hist_bands.select(
+        F.explode(
+            F.array(
+                F.md5(F.concat(F.lit("0"), F.col("bh0"))),
+                F.md5(F.concat(F.lit("1"), F.col("bh1"))),
             )
-        )
-        .distinct()
+        ).alias("bh2")
     )
-    h0 = hist.where(F.col("band_id") == 0).select(F.col("band_hash").alias("_h0"))
-    h1 = hist.where(F.col("band_id") == 1).select(F.col("band_hash").alias("_h1"))
+    idx = history.build_history_index(
+        spark,
+        hist,
+        "bh2",
+        table_name="hist_neardup_band_idx",
+        broadcast_threshold_rows=broadcast_threshold_rows,
+    )
 
     st = core.read_table_stream(spark, sf_dir, "documents")
-    new_bands = bands_for(st.where(F.col("doc_id") % 3 == 0))
-    flagged = (
-        new_bands.join(F.broadcast(h0), new_bands.bh0 == F.col("_h0"), "left")
-        .join(F.broadcast(h1), new_bands.bh1 == F.col("_h1"), "left")
-        .select(
-            "doc_id",
-            "lang",
-            (
-                F.col("_h0").isNotNull().cast("long")
-                + F.col("_h1").isNotNull().cast("long")
-            ).alias("n_matching_bands"),
-        )
-        .where(F.col("n_matching_bands") > 0)
+    new_bands = bands_for(st.where(F.col("doc_id") % 3 == 0)).select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("0"), F.col("bh0"))).alias("k0"),
+        F.md5(F.concat(F.lit("1"), F.col("bh1"))).alias("k1"),
     )
+    if not idx.broadcasted:
+        # shed rows missing BOTH bands before anything shuffles; the
+        # exact joins below remove bloom false positives per band
+        new_bands = idx.attach_bitset(new_bands)
+        new_bands = new_bands.where(
+            idx.member("k0") | idx.member("k1")
+        )
+        new_bands = idx.drop_bitset(new_bands)
+        m0 = idx.relation.select(F.col("bh2").alias("_m0"))
+        m1 = idx.relation.select(F.col("bh2").alias("_m1"))
+        probed = new_bands.hint("merge").join(
+            m0, new_bands.k0 == F.col("_m0"), "left"
+        )
+        probed = probed.hint("merge").join(m1, probed.k1 == F.col("_m1"), "left")
+    else:
+        m0 = idx.relation.select(F.col("bh2").alias("_m0"))
+        m1 = idx.relation.select(F.col("bh2").alias("_m1"))
+        probed = new_bands.join(
+            F.broadcast(m0), new_bands.k0 == F.col("_m0"), "left"
+        ).join(F.broadcast(m1), F.col("k1") == F.col("_m1"), "left")
+    flagged = probed.select(
+        "doc_id",
+        "lang",
+        (
+            F.col("_m0").isNotNull().cast("long")
+            + F.col("_m1").isNotNull().cast("long")
+        ).alias("n_matching_bands"),
+    ).where(F.col("n_matching_bands") > 0)
     return core.run_to_batch(flagged, "append").orderBy("doc_id")
 
 
-@query(
-    "stream_ingest_funnel",
-    oracle=r"""
+def stream_neardup_at_ingest_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``stream_neardup_at_ingest`` with the broadcast threshold
+    forced to zero — the 100 TB topology (bucketed band index probed
+    in place + both-bands-miss Bloom shed) exercised and hash-verified
+    at test scale against the identical oracle. Plan pinned: no
+    BroadcastExchange on the index side."""
+    return _stream_neardup_at_ingest(spark, sf_dir, 0)
+
+
+query(
+    "stream_neardup_at_ingest",
+    oracle=_NEARDUP_INGEST_ORACLE,
+    hash_deps=(_stream_neardup_at_ingest,),
+)(stream_neardup_at_ingest)
+query(
+    "stream_neardup_at_ingest_indexed",
+    oracle=_NEARDUP_INGEST_ORACLE,
+    hash_deps=(_stream_neardup_at_ingest,),
+)(stream_neardup_at_ingest_indexed)
+
+
+_INGEST_FUNNEL_ORACLE = r"""
     -- the whole ingest-gate cascade replayed in batch SQL: quality
     -- gate -> prefix-exact dup vs history -> 2-band near-dup probe ->
     -- classifier -> shard assignment (history = doc_id % 3 != 0,
@@ -1182,8 +1304,9 @@ def stream_neardup_at_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
            CAST(COUNT(DISTINCT shard_id) AS BIGINT) AS n_shards
     FROM verdict GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-)
+    """
+
+
 def stream_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming CAPSTONE — the whole ingest-admission cascade a
     100 TB/day pipeline runs on every arriving document, fused into
@@ -1199,17 +1322,27 @@ def stream_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every per-doc feature is IN-ROW (token count, prefix
     hash, classifier fold, in-row MinHash bands — no explode, no
-    streaming aggregation), and all three history probes are broadcast
-    left joins against artifacts that are tiny relative to the corpus
-    (distinct prefix hashes ~1 row/doc, distinct band hashes ~2
-    rows/doc, weights a function). 100% STATELESS: no watermark, no
-    state store — arbitrary per-batch parallelism at ingest, and the
-    same artifacts the batch dedup/classifier queries build
-    (``dedup_minhash_lsh``, ``text_quality_classifier``), so offline
-    and ingest curation share one index. The reference has no
-    streaming layer (its DataFusion query crate is TODO,
-    README.md:13-16); this is the Spark-native composition of its
-    codec-era building blocks."""
+    streaming aggregation), and all three history probes are
+    SIZE-AWARE stream-static left joins (streaming/history.py):
+    broadcast below the threshold (the right plan at test SF — the
+    artifacts are tiny relative to the corpus), a bucketed in-place
+    index probe past it, with a Bloom fast path that routes documents
+    matching NONE of the three history keys (the common case on a
+    mostly-novel crawl) around all three joins entirely. 100%
+    STATELESS: no watermark, no state store — arbitrary per-batch
+    parallelism at ingest, and the same artifacts the batch
+    dedup/classifier queries build (``dedup_minhash_lsh``,
+    ``text_quality_classifier``), so offline and ingest curation share
+    one index. Twin ``stream_ingest_funnel_indexed`` forces the scale
+    path. The reference has no streaming layer (its DataFusion query
+    crate is TODO, README.md:13-16); this is the Spark-native
+    composition of its codec-era building blocks."""
+    return _stream_ingest_funnel(spark, sf_dir, history_default_threshold())
+
+
+def _stream_ingest_funnel(
+    spark: SparkSession, sf_dir: str, broadcast_threshold_rows: int
+) -> DataFrame:
     from ..operators.dedup import (
         banded_hashes,
         minhash_signatures_inrow,
@@ -1217,20 +1350,42 @@ def stream_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.text import bucket_weight, token_bucket, words
     from ..sources.tables import load_table
+    from ..streaming import history
 
     hist_docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 3 != 0
     )
     prefix_hash = F.md5(F.substring(normalize_text("text"), 1, 200))
-    hist_prefix = hist_docs.select(prefix_hash.alias("_ph")).distinct()
+    hist_prefix = hist_docs.select(prefix_hash.alias("_ph"))
 
     hist_sigs = minhash_signatures_inrow(
         hist_docs, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id"]
     )
     b0, b1 = banded_hashes(hist_sigs, num_hashes=8, bands=2)
-    hist_bands = hist_sigs.select(b0.alias("bh0"), b1.alias("bh1"))
-    h0 = hist_bands.select(F.col("bh0").alias("_h0")).distinct()
-    h1 = hist_bands.select(F.col("bh1").alias("_h1")).distinct()
+    hist_bands = hist_sigs.select(
+        F.explode(
+            F.array(
+                F.md5(F.concat(F.lit("0"), b0)),
+                F.md5(F.concat(F.lit("1"), b1)),
+            )
+        ).alias("bh2")
+    )
+    pidx = history.build_history_index(
+        spark,
+        hist_prefix,
+        "_ph",
+        table_name="hist_funnel_prefix_idx",
+        broadcast_threshold_rows=broadcast_threshold_rows,
+        bits_col="bits_p",
+    )
+    bidx = history.build_history_index(
+        spark,
+        hist_bands,
+        "bh2",
+        table_name="hist_funnel_band_idx",
+        broadcast_threshold_rows=broadcast_threshold_rows,
+        bits_col="bits_b",
+    )
 
     st = core.read_table_stream(spark, sf_dir, "documents").where(
         F.col("doc_id") % 3 == 0
@@ -1255,34 +1410,68 @@ def stream_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words("text")).cast("long").alias("n_words"),
         prefix_hash.alias("ph"),
         raw.alias("raw"),
-        nb0.alias("bh0"),
-        nb1.alias("bh1"),
+        F.md5(F.concat(F.lit("0"), nb0)).alias("k0"),
+        F.md5(F.concat(F.lit("1"), nb1)).alias("k1"),
     )
-    probed = (
-        feats.join(F.broadcast(hist_prefix), feats.ph == F.col("_ph"), "left")
-        .join(F.broadcast(h0), feats.bh0 == F.col("_h0"), "left")
-        .join(F.broadcast(h1), feats.bh1 == F.col("_h1"), "left")
-    )
+
+    def verdicts_of(df: DataFrame, is_exact, nmb) -> DataFrame:
+        admitted = (
+            (F.col("n_words") >= 30) & ~is_exact & (nmb < 2) & (F.col("raw") > 0)
+        )
+        return df.select(
+            "lang",
+            F.when(F.col("n_words") < 30, "1_quality")
+            .when(is_exact, "2_exact_prefix")
+            .when(nmb == 2, "3_near_dup")
+            .when(F.col("raw") <= 0, "4_classifier")
+            .otherwise("5_admit")
+            .alias("stage"),
+            "n_words",
+            F.when(
+                admitted, token_bucket(F.col("doc_id").cast("string"), 8)
+            ).alias("shard_id"),
+        )
+
+    def probe_all(df: DataFrame) -> DataFrame:
+        """The three exact history joins; merge-hinted in-place scans
+        on the bucketed path, broadcast otherwise."""
+        prel = pidx.relation
+        m0 = bidx.relation.select(F.col("bh2").alias("_m0"))
+        m1 = bidx.relation.select(F.col("bh2").alias("_m1"))
+        if bidx.broadcasted:
+            m0, m1 = F.broadcast(m0), F.broadcast(m1)
+        out = (df.hint("merge") if not pidx.broadcasted else df).join(
+            prel, df.ph == F.col("_ph"), "left"
+        )
+        out = (out.hint("merge") if not bidx.broadcasted else out).join(
+            m0, F.col("k0") == F.col("_m0"), "left"
+        )
+        out = (out.hint("merge") if not bidx.broadcasted else out).join(
+            m1, F.col("k1") == F.col("_m1"), "left"
+        )
+        return out
+
     is_exact = F.col("_ph").isNotNull()
-    nmb = F.col("_h0").isNotNull().cast("long") + F.col("_h1").isNotNull().cast(
+    nmb = F.col("_m0").isNotNull().cast("long") + F.col("_m1").isNotNull().cast(
         "long"
     )
-    admitted = (
-        (F.col("n_words") >= 30) & ~is_exact & (nmb < 2) & (F.col("raw") > 0)
-    )
-    verdicts = probed.select(
-        "lang",
-        F.when(F.col("n_words") < 30, "1_quality")
-        .when(is_exact, "2_exact_prefix")
-        .when(nmb == 2, "3_near_dup")
-        .when(F.col("raw") <= 0, "4_classifier")
-        .otherwise("5_admit")
-        .alias("stage"),
-        "n_words",
-        F.when(
-            admitted, token_bucket(F.col("doc_id").cast("string"), 8)
-        ).alias("shard_id"),
-    )
+    if pidx.bitset is not None or bidx.bitset is not None:
+        # Bloom fast path: a document matching NONE of the three
+        # history keys (the common case on a mostly-novel crawl) needs
+        # no join at all — its flags are definitely null. False
+        # positives just take the exact-join lane; never lossy.
+        f2 = bidx.attach_bitset(pidx.attach_bitset(feats))
+        hit_any = (
+            pidx.member("ph") | bidx.member("k0") | bidx.member("k1")
+        )
+        bypass = verdicts_of(
+            f2.where(~hit_any), F.lit(False), F.lit(0).cast("long")
+        )
+        lane = bidx.drop_bitset(pidx.drop_bitset(f2.where(hit_any)))
+        joined = verdicts_of(probe_all(lane), is_exact, nmb)
+        verdicts = bypass.unionByName(joined)
+    else:
+        verdicts = verdicts_of(probe_all(feats), is_exact, nmb)
     sunk = core.run_to_batch(verdicts, "append")
     return (
         sunk.groupBy("lang", "stage")
@@ -1293,6 +1482,27 @@ def stream_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "stage")
     )
+
+
+def stream_ingest_funnel_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_ingest_funnel`` with the broadcast threshold forced to
+    zero — all three history probes run the 100 TB topology (bucketed
+    in-place index scans + Bloom none-match bypass lane) and
+    hash-verify against the identical oracle. Plan pinned: no
+    BroadcastExchange on any history side."""
+    return _stream_ingest_funnel(spark, sf_dir, 0)
+
+
+query(
+    "stream_ingest_funnel",
+    oracle=_INGEST_FUNNEL_ORACLE,
+    hash_deps=(_stream_ingest_funnel,),
+)(stream_ingest_funnel)
+query(
+    "stream_ingest_funnel_indexed",
+    oracle=_INGEST_FUNNEL_ORACLE,
+    hash_deps=(_stream_ingest_funnel,),
+)(stream_ingest_funnel_indexed)
 
 
 @query(

@@ -39,6 +39,13 @@ from pyspark.sql.types import (
 _SINK_COUNTER = [0]
 _SINK_LOCK = threading.Lock()
 
+#: The executed (micro-batch) physical plan of the most recent
+#: ``run_to_batch`` call — explainInternal on the terminated query.
+#: Plan-pin tests read this to assert streaming join topology (e.g.
+#: no BroadcastExchange on a history-index side) against the plan
+#: that actually ran, not a batch reconstruction.
+LAST_EXECUTED_PLAN: list[str] = [""]
+
 
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A test table as a file stream, schema-normalized like the batch
@@ -87,6 +94,10 @@ def run_to_batch(stream_df: DataFrame, output_mode: str = "append") -> DataFrame
         .start()
     )
     q.awaitTermination()
+    try:
+        LAST_EXECUTED_PLAN[0] = q._jsq.explainInternal(True)
+    except Exception:
+        LAST_EXECUTED_PLAN[0] = ""  # plan capture is best-effort
     return spark.table(name)
 
 

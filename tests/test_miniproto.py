@@ -195,6 +195,83 @@ def test_attribute_set_and_unknown_field_skip():
         cmd.noSuchField = "x"
 
 
+def test_nested_autovivification_ttl_pattern():
+    """PySpark's state client configures TTL by mutating an UNSET
+    nested message: ``state_call_command.ttl.durationMs = ms``
+    (pyspark stateful_processor_api_client). Real protobuf
+    auto-vivifies — the child becomes present on FIRST WRITE, never on
+    read. Round 9's detached-default-view returned here silently
+    dropped TTLConfig from the wire (state never expired); pin the
+    fixed semantics: presence, wire bytes, reparse."""
+    sm = _sm()
+    cmd = sm.StateCallCommand(stateName="batches", schema="n BIGINT")
+    assert not cmd.HasField("ttl")
+    _ = cmd.ttl.durationMs  # reading alone must NOT set presence
+    assert not cmd.HasField("ttl")
+    assert cmd.ttl is cmd.ttl  # stable view across reads pre-commit
+    cmd.ttl.durationMs = 3_600_000
+    assert cmd.HasField("ttl")
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.HasField("ttl")
+    assert back.ttl.durationMs == 3_600_000
+
+
+def test_autovivification_chain_and_repeated_commit():
+    sm = _sm()
+    # two-level chain: writing the leaf makes every ancestor present,
+    # including correct oneof bookkeeping on the intermediate arm
+    req = sm.StateRequest()
+    req.statefulProcessorCall.getValueState.stateName = "s"
+    assert req.HasField("statefulProcessorCall")
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.WhichOneof("method") == "getValueState"
+    assert back.statefulProcessorCall.getValueState.stateName == "s"
+    # appending to a repeated field of an unset child commits the child
+    call = sm.ListStateCall(stateName="l")
+    assert not call.HasField("listStatePut")
+    call.listStatePut.value.append(b"x")
+    assert call.HasField("listStatePut")
+    b2 = sm.ListStateCall()
+    b2.ParseFromString(call.SerializeToString())
+    assert list(b2.listStatePut.value) == [b"x"]
+
+
+def test_truncated_frames_fail_loudly():
+    """A corrupt length prefix must raise DecodeError, never parse a
+    shorter value (runtime's stated fail-loudly contract)."""
+    from google.protobuf.message import DecodeError
+
+    sm = _sm()
+    # cut inside a string payload
+    r = sm.StateResponse(statusCode=-3, errorMessage="boom-boom-boom")
+    data = r.SerializeToString()
+    with pytest.raises(DecodeError):
+        sm.StateResponse().ParseFromString(data[:-4])
+    # unknown length-delimited field claiming more bytes than present
+    bad = bytearray()
+    rt.write_varint(bad, (1000 << 3) | 2)
+    rt.write_varint(bad, 100)
+    bad += b"\x01\x02"
+    with pytest.raises(DecodeError):
+        sm.StateResponse().ParseFromString(bytes(bad))
+    # nested message length overrunning the frame
+    ok = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CREATED)
+        )
+    ).SerializeToString()
+    with pytest.raises(DecodeError):
+        sm.StateRequest().ParseFromString(ok[:-1])
+    # truncated fixed-width scalar (unknown field skip path)
+    bad64 = bytearray()
+    rt.write_varint(bad64, (999 << 3) | 1)  # I64 wire type, 3 bytes follow
+    bad64 += b"\x00\x00\x00"
+    with pytest.raises(DecodeError):
+        sm.StateResponse().ParseFromString(bytes(bad64))
+
+
 def test_enum_wrapper_api():
     sm = _sm()
     assert sm.HandleState.Name(sm.CREATED) == "CREATED"

@@ -1217,3 +1217,63 @@ def test_expectations_fuse_rules_into_per_table_scans(spark):
     assert plan.count("events.parquet") == 1
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Size-aware streaming history probes (verdict r9 #1): past the
+# broadcast threshold the history side of every ingest probe must be a
+# bucketed in-place index scan, never a BroadcastExchange — the probes
+# must survive a history that exceeds executor memory. These pins read
+# the EXECUTED micro-batch plan (core.LAST_EXECUTED_PLAN), not a batch
+# reconstruction.
+# ---------------------------------------------------------------------------
+
+
+def _stream_plan(spark, name: str) -> str:
+    from datafusion_functions_variant_spark.streaming import core
+
+    REGISTRY[name].build(spark, SF)
+    plan = core.LAST_EXECUTED_PLAN[0]
+    assert plan, "no executed streaming plan captured"
+    return plan
+
+
+def test_stream_dedup_scale_path_no_history_broadcast(spark):
+    plan = _stream_plan(spark, "stream_dedup_against_corpus_indexed")
+    # the fingerprint history must never broadcast on the forced scale
+    # path; the anti-join reads the bucketed index in place and only
+    # the arriving batch shuffles
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    assert "hist_dedup_content_idx" in plan
+    assert "SelectedBucketsCount" in plan
+    # the bloom bitset is built ONCE at index-build time; a bit_or
+    # aggregate inside the micro-batch plan would mean every batch
+    # re-scans the whole index to rebuild it
+    assert "bit_or" not in plan
+
+
+def test_stream_neardup_scale_path_bucketed_probe(spark):
+    plan = _stream_plan(spark, "stream_neardup_at_ingest_indexed")
+    assert "BroadcastHashJoin" not in plan
+    assert "hist_neardup_band_idx" in plan
+    assert plan.count("SelectedBucketsCount") >= 2  # both band joins in place
+    assert "bit_or" not in plan
+
+
+def test_stream_funnel_scale_path_bucketed_probes_and_bypass(spark):
+    plan = _stream_plan(spark, "stream_ingest_funnel_indexed")
+    assert "BroadcastHashJoin" not in plan
+    assert "hist_funnel_prefix_idx" in plan
+    assert "hist_funnel_band_idx" in plan
+    assert "Union" in plan  # bloom none-match bypass lane around all 3 joins
+    assert "bit_or" not in plan
+
+
+def test_stream_history_small_path_still_broadcasts(spark):
+    # the other half of the size-aware contract: below the threshold
+    # the history ships as a broadcast hash join (optimal at test SF)
+    # and no bucketed index is referenced
+    plan = _stream_plan(spark, "stream_dedup_against_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "hist_dedup_content_idx" not in plan

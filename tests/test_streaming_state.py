@@ -417,11 +417,24 @@ def test_transform_with_state_timers(spark, tmp_path):
 def test_transform_with_state_liststate_and_ttl(spark, tmp_path):
     """Remaining state-variable protocol arms: ListState (exists /
     appendValue / appendList / put / get-iterator — the paginated
-    ListStateGet path) and the TTLConfig message (a ValueState declared
-    with ttlDurationMs; a generous TTL so values never actually expire
-    within the run — this pins the protocol handshake, not the clock).
+    ListStateGet path) and the TTLConfig message, OBSERVED: the
+    ``batches`` ValueState carries a 1 ms TTL, so it must have expired
+    by the next micro-batch (consecutive batches are far more than
+    1 ms apart) and every batch sees ``exists() == False`` → reports
+    n_batches == 1 — while the un-TTL'd ``entries`` ListState
+    accumulates across the same batches, proving the reset is TTL
+    expiry and not state loss. Round 9's miniproto dropped TTLConfig
+    from the wire (detached nested-message view), which this test's
+    earlier never-expires variant could not detect; it also masked
+    that TTL requires timeMode=ProcessingTime (the JVM never saw the
+    TTL, so NoTime mode never had a chance to reject it).
     Multi-batch source so the list accumulates across batches and the
-    get-iterator replays server-side state, not same-batch writes."""
+    get-iterator replays server-side state, not same-batch writes.
+    ProcessingTime + AvailableNow may never terminate (the known
+    timer-cleanup wedge, see the timer test above), so this polls the
+    sink for the completed totals and stops the query explicitly."""
+    import time as _time
+
     pytest.importorskip("google.protobuf")
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -440,9 +453,10 @@ def test_transform_with_state_liststate_and_ttl(spark, tmp_path):
 
     class ListProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            # generous TTL: exercises the TTLConfig protocol message
+            # 1 ms TTL: certainly elapsed by the next micro-batch, so
+            # expiry is deterministically observable (n_batches == 1)
             self.batches = handle.getValueState(
-                "batches", "n BIGINT", ttlDurationMs=3_600_000
+                "batches", "n BIGINT", ttlDurationMs=1
             )
             self.entries = handle.getListState("entries", "v BIGINT")
 
@@ -480,43 +494,9 @@ def test_transform_with_state_liststate_and_ttl(spark, tmp_path):
         def close(self) -> None:
             pass
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
-    try:
-        st = core.read_multibatch_events_stream(
-            spark, SF_DIR, str(tmp_path / "splits")
-        )
-        out = core.run_to_batch(
-            st.select("user_id", "value")
-            .groupBy("user_id")
-            .transformWithStateInPandas(
-                statefulProcessor=ListProcessor(),
-                outputStructType=out_schema,
-                outputMode="Update",
-                timeMode="None",
-            ),
-            "update",
-        )
-        import pyspark.sql.functions as F
-
-        got = {
-            r.user_id: (r.n_entries, r.sum_entries)
-            for r in out.groupBy("user_id")
-            .agg(
-                F.max("n_entries").alias("n_entries"),
-                F.max("sum_entries").alias("sum_entries"),
-            )
-            .collect()
-        }
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-
-    ev = load_table(spark, SF_DIR, "events")
     import pyspark.sql.functions as F
 
+    ev = load_table(spark, SF_DIR, "events")
     want = {
         r.user_id: (r.n, r.s)
         for r in ev.groupBy("user_id")
@@ -528,7 +508,70 @@ def test_transform_with_state_liststate_and_ttl(spark, tmp_path):
         )
         .collect()
     }
+
+    def totals_of(rows):
+        acc: dict = {}
+        for r in rows:
+            n, s = acc.get(r.user_id, (0, 0))
+            acc[r.user_id] = (max(n, r.n_entries), max(s, r.sum_entries))
+        return acc
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    q = None
+    rows: list = []
+    try:
+        st = core.read_multibatch_events_stream(
+            spark, SF_DIR, str(tmp_path / "splits")
+        )
+        q = (
+            st.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=ListProcessor(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="ProcessingTime",  # state TTL requires it
+            )
+            .writeStream.format("memory")
+            .queryName("ttl_list_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _time.time() + 300
+        got: dict = {}
+        while _time.time() < deadline:
+            rows = spark.table("ttl_list_sink").collect()
+            got = totals_of(rows)
+            if got == want:
+                break
+            if not q.isActive:
+                break
+            _time.sleep(2)
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
     assert got == want
+    # TTL observation: the 1 ms ValueState expired before every
+    # subsequent batch, so no batch ever saw a surviving count —
+    # while the n_entries totals above prove the un-TTL'd list DID
+    # survive the same batch boundaries
+    max_batches = max(r.n_batches for r in rows)
+    assert max_batches == 1, (
+        f"TTL'd ValueState survived a micro-batch boundary "
+        f"(n_batches={max_batches}) — TTLConfig not honored"
+    )
+    # the observation has power only if some user actually spanned
+    # multiple batches (Update mode emits one row per user-batch)
+    assert len(rows) > len(got), (
+        "every user fit in one micro-batch — TTL expiry unobserved"
+    )
 
 
 def test_transform_with_state_initial_state_handoff(spark):
