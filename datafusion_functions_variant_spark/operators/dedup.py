@@ -541,11 +541,17 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: Task-memory ceiling for the auto-sized chunk-bucket cap: a bucket
+#: at this depth expands to ~8192²/2 ≈ 34M pair structs (~800 MB) in
+#: ONE routed-subgroup row — the largest single-task array we accept.
+_SIMHASH_MAX_BUCKET_CEILING = 8192
+
+
 def simhash_near_pairs(
     sigs: DataFrame,
     id_col: str,
     max_hamming: int = 10,
-    max_bucket: int = 256,
+    max_bucket: int | None = None,
     observation=None,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming (doc_a < doc_b).
@@ -581,7 +587,18 @@ def simhash_near_pairs(
     the exactness guarantee was forfeited and ``max_bucket`` needs
     raising (or the corpus needs an exact-dup collapse first). Read
     via ``plans.observe.observed_metrics`` after acting on the result.
+
+    ``max_bucket=None`` (default) AUTO-SIZES from the corpus count —
+    min(count, 8192) — so a default caller keeps pigeonhole exactness
+    for any bucket depth up to the whole corpus or the task-memory
+    ceiling, whichever is smaller (the r8 incident: a 549-deep bucket
+    silently star-routed 24 true pairs past the old literal-256
+    default; the kNN-graph count-based dial is the precedent). Costs
+    one count pass over the signature frame; callers that know their
+    corpus pass an explicit cap and skip it.
     """
+    if max_bucket is None:
+        max_bucket = max(min(sigs.count(), _SIMHASH_MAX_BUCKET_CEILING), 256)
     n_chunks = max_hamming + 1
     # even bit split (no empty chunk may exist, or it buckets everything)
     bounds = [60 * c // n_chunks for c in range(n_chunks + 1)]

@@ -108,23 +108,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-@query("dedup_minhash_xxhash")  # no oracle: xxhash64 not reproducible in SQL
+#: Where ``dedup_minhash_xxhash`` persists its Spark-computed
+#: signatures so the DuckDB oracle can derive the band/pair answer
+#: from the SAME bytes (xxhash64 itself has no SQL twin; everything
+#: downstream of the hash is value-verified this way, and the hash
+#: gets a known-vector test against a clean-room XXH64 in
+#: tests/test_operator_properties.py).
+_XXHASH_SIGS_PATH = "/root/repo/.tmp_io/xxhash_sigs.parquet"
+
+
+@query(
+    "dedup_minhash_xxhash",
+    oracle=f"""
+    WITH sigs AS (SELECT * FROM read_parquet('{_XXHASH_SIGS_PATH}/*.parquet')),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || mh1 || mh2 || mh3) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(mh4 || mh5 || mh6 || mh7) AS band_hash FROM sigs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production fast-path twin of ``dedup_minhash_lsh``: identical
     pipeline shape (in-row gram hashing → minhash groupBy → band-bucket
     pairs) with the gram hash swapped from md5-hex-conv to Spark's
     native ``xxhash64`` intrinsic. md5 in the oracled twin is pure
     portability tax (the DuckDB oracle must reproduce the integers);
-    this entry shows the number a Spark-only deployment gets. Driver
-    check is rows-only (deterministic candidate count); recall parity
-    with the md5 family on exact-duplicate clusters is pinned in
-    tests/test_operator_properties.py."""
+    this entry shows the number a Spark-only deployment gets.
+
+    Oracle strategy (closes the r9 verdict's last rows-only entry):
+    the Spark-computed signatures are PERSISTED eagerly, the returned
+    plan re-reads that parquet, and the DuckDB oracle derives the
+    band/pair answer from the same file — so the banding + pairing
+    logic downstream of the hash is value-verified. The hash itself is
+    pinned against a clean-room XXH64 implementation (public spec) in
+    tests/test_operator_properties.py, and recall parity with the md5
+    family on exact-duplicate clusters keeps its property test."""
     docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures_text(
         docs, "text", "doc_id", n=8, num_hashes=8, hash_fn="xxhash64"
     )
+    sigs.write.mode("overwrite").parquet(_XXHASH_SIGS_PATH)
+    persisted = spark.read.parquet(_XXHASH_SIGS_PATH)
     return dedup.lsh_candidate_pairs(
-        sigs,
+        persisted,
         "doc_id",
         num_hashes=8,
         bands=2,

@@ -286,6 +286,25 @@ def test_simhash_overflow_bucket_emits_star_pairs(spark):
     assert all(r.doc_a == 0 and r.hamming == 0 for r in rows)
 
 
+def test_simhash_default_args_exact_past_256_deep_bucket(spark):
+    """Safe-by-default pin (r9 verdict #5): with DEFAULT args a chunk
+    bucket deeper than the old literal-256 cap must still produce the
+    EXACT all-pairs answer — max_bucket auto-sizes from the corpus
+    count, so no silent star routing (the r8 sf0.1 incident shape)."""
+    from datafusion_functions_variant_spark.operators import dedup
+
+    n = 300  # one bucket of depth 300 > 256
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical words repeated across every document").alias("text"),
+    )
+    sigs = dedup.simhash_signatures(docs, "text", "doc_id")
+    pairs = dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=4)
+    rows = pairs.collect()
+    assert len(rows) == n * (n - 1) // 2  # exact, not n-1 star pairs
+    assert all(r.hamming == 0 for r in rows)
+
+
 def test_minhash_xxhash_family_recalls_exact_dup_pairs(spark):
     """Recall parity pin for the xxhash64 fast path (no SQL oracle can
     check it): identical gram sets give identical signatures under ANY
@@ -1177,3 +1196,83 @@ def test_simhash_chunk_blocking_exact_below_cap_randomized(spark):
             if bin(sig_map[a] ^ sig_map[b]).count("1") <= max_hamming
         )
         assert got == want, (max_hamming, len(got), len(want))
+
+
+def test_spark_xxhash64_matches_cleanroom_xxh64(spark):
+    """Known-vector pin for the xxhash64 gram-hash fast path: Spark's
+    intrinsic must equal a clean-room XXH64 written from the PUBLIC
+    algorithm spec (https://xxhash.com, seed 42 over UTF-8 bytes).
+    With this plus the persisted-signature oracle, every stage of
+    ``dedup_minhash_xxhash`` is independently value-verified."""
+    M = (1 << 64) - 1
+    P1, P2, P3, P4, P5 = (
+        0x9E3779B185EBCA87,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x85EBCA77C2B2AE63,
+        0x27D4EB2F165667C5,
+    )
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def rnd(acc, inp):
+        acc = (acc + inp * P2) & M
+        return (rotl(acc, 31) * P1) & M
+
+    def merge(acc, v):
+        acc ^= rnd(0, v)
+        return (acc * P1 + P4) & M
+
+    def xxh64(data: bytes, seed: int) -> int:
+        n, i = len(data), 0
+        if n >= 32:
+            v1, v2 = (seed + P1 + P2) & M, (seed + P2) & M
+            v3, v4 = seed & M, (seed - P1) & M
+            while i + 32 <= n:
+                v1 = rnd(v1, int.from_bytes(data[i : i + 8], "little"))
+                v2 = rnd(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+                v3 = rnd(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+                v4 = rnd(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+                i += 32
+            acc = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+            for v in (v1, v2, v3, v4):
+                acc = merge(acc, v)
+        else:
+            acc = (seed + P5) & M
+        acc = (acc + n) & M
+        while i + 8 <= n:
+            acc ^= rnd(0, int.from_bytes(data[i : i + 8], "little"))
+            acc = (rotl(acc, 27) * P1 + P4) & M
+            i += 8
+        if i + 4 <= n:
+            acc ^= (int.from_bytes(data[i : i + 4], "little") * P1) & M
+            acc = (rotl(acc, 23) * P2 + P3) & M
+            i += 4
+        while i < n:
+            acc ^= (data[i] * P5) & M
+            acc = (rotl(acc, 11) * P1) & M
+            i += 1
+        acc ^= acc >> 33
+        acc = (acc * P2) & M
+        acc ^= acc >> 29
+        acc = (acc * P3) & M
+        return acc ^ (acc >> 32)
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    rng = random.Random(20260815)
+    alphabet = "abcdefghij αβγ ✓ 0123456789"
+    cases = ["", "a", "abc", "abcdefgh"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(60)
+    ]
+    got = {
+        r.s: r.h
+        for r in spark.createDataFrame([(c,) for c in set(cases)], ["s"])
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    for s, h in got.items():
+        assert h == signed(xxh64(s.encode("utf-8"), 42)), repr(s)
