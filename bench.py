@@ -119,6 +119,14 @@ HEADLINE = [
     # linear-drift maintenance; the delta-sized-exchange claim is the
     # test_plans.py pin
     "rollup_incremental_maintenance",
+    # round 10: the transformWithStateInPandas runtime (typed
+    # ValueState+MapState via the RocksDB state server over the
+    # vendored protobuf wire codec) — r9 unlocked it with correctness
+    # evidence only; this records its perf in both columns. The cost
+    # is per-user Python state round-trips, so the scaled point (10×
+    # rows AND 10× distinct users) measures state-store growth, not
+    # just input volume — r10 measured ~1.8× wall at 10× data.
+    "stream_transform_with_state",
 ]
 
 #: Self-calibration (round 9): a fixed, deterministic, CPU-bound

@@ -63,14 +63,23 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     file_schema = spark.read.parquet(path).schema
-    # FileStreamSource requires a directory; pathGlobFilter narrows it
-    # to the one table.
-    raw = (
-        spark.readStream.schema(file_schema)
-        .format("parquet")
-        .option("pathGlobFilter", f"{name}.parquet")
-        .load(sf_dir)
-    )
+    if os.path.isdir(path):
+        # Spark-written table (e.g. the K×-replicated bench corpus):
+        # stream the directory itself. The glob branch below would
+        # match NOTHING here — part files are nested one level down
+        # and named part-*.parquet — silently yielding an empty
+        # stream (root-caused round 10).
+        raw = spark.readStream.schema(file_schema).format("parquet").load(path)
+    else:
+        # single-file testdata table: FileStreamSource requires a
+        # directory, so load the dir with pathGlobFilter narrowing it
+        # to the one table file.
+        raw = (
+            spark.readStream.schema(file_schema)
+            .format("parquet")
+            .option("pathGlobFilter", f"{name}.parquet")
+            .load(sf_dir)
+        )
     return normalize_timestamps(raw)
 
 

@@ -519,6 +519,105 @@ def main() -> None:
         results[name] = {"per_k": per_k, "growth_8x": growth}
         print(json.dumps({"case": name, **results[name]}), flush=True)
 
+    # --- bespoke case: transformWithState state-store growth (r10).
+    # The registered stream_transform_with_state query over events
+    # replicated K× ON DISK (the file stream needs real files): rows
+    # AND distinct users both grow K×, so RocksDB holds K× state keys
+    # and the Python state server round-trips K× getValueState /
+    # MapState updates. The claim: wall tracks data (~K at worst),
+    # never state-size^2 — the state layer adds no superlinear term.
+    from bench import ensure_scaled_dir
+    from datafusion_functions_variant_spark.queries import load_all_queries
+
+    tws = load_all_queries()["stream_transform_with_state"]
+    per_k, out_k = {}, {}
+    for k in KS:
+        tws_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".tmp_bench",
+            f"tws_probe_k{k}",
+        )
+        ensure_scaled_dir(spark, SF_DIR, k, tws_dir)
+        samples = []
+        n_rows = None
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            n_rows = tws.build(spark, tws_dir).count()
+            if i:
+                samples.append(time.perf_counter() - t0)
+        per_k[k] = round(sorted(samples)[len(samples) // 2], 3)
+        out_k[k] = n_rows
+    results["stream_transform_with_state_growth"] = {
+        "per_k": per_k,
+        "rows_per_k": out_k,
+        "growth_8x": round(per_k[KS[-1]] / per_k[KS[0]], 2),
+    }
+    print(json.dumps({"case": "stream_transform_with_state_growth",
+                      **results["stream_transform_with_state_growth"]}),
+          flush=True)
+
+    # --- bespoke case: streaming ingest probe vs K×-replicated
+    # HISTORY (r10, verdict #1 done-criterion). The arriving stream is
+    # FIXED (sf0.1 docs with doc_id % 3 = 0) while the dedup history
+    # grows K×: replica fingerprints are salted per replica (md5 of
+    # hash#replica) so the DISTINCT index genuinely grows — exact
+    # copies would dedup away. Scale path forced (threshold 0): the
+    # per-batch streaming cost must track the PROBE side, not the
+    # history — the bucketed index is read in place. (Index build +
+    # bloom build are untimed: one-time per history generation.)
+    from datafusion_functions_variant_spark.operators.dedup import (
+        normalize_text,
+    )
+    from datafusion_functions_variant_spark.streaming import core as score
+    from datafusion_functions_variant_spark.streaming.history import (
+        build_history_index,
+    )
+
+    docs_src = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    base_fp = docs_src.where(F.col("doc_id") % 3 != 0).select(
+        F.md5(normalize_text("text")).alias("h")
+    )
+    per_k = {}
+    for k in KS:
+        hist_k = base_fp if k == 1 else base_fp.unionByName(
+            spark.range(1, k)
+            .crossJoin(base_fp)
+            .select(F.md5(F.concat_ws("#", "h", "id")).alias("h"))
+        )
+        idx = build_history_index(
+            spark,
+            hist_k,
+            "h",
+            table_name=f"hist_probe_k{k}",
+            broadcast_threshold_rows=0,  # force the 100 TB topology
+        )
+        st = score.read_table_stream(spark, SF_DIR, "documents")
+        new_docs = st.where(F.col("doc_id") % 3 == 0).withColumn(
+            "content_hash", F.md5(normalize_text("text"))
+        )
+        probe = idx.attach_bitset(new_docs)
+        seen = idx.member("content_hash")
+        survivors = probe.where(~seen).select("doc_id").unionByName(
+            probe.where(seen)
+            .hint("merge")
+            .join(idx.relation, F.col("content_hash") == F.col("h"), "left_anti")
+            .select("doc_id")
+        )
+        samples = []
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            score.run_to_batch(survivors, "append").count()
+            if i:
+                samples.append(time.perf_counter() - t0)
+        per_k[k] = round(sorted(samples)[len(samples) // 2], 3)
+    results["stream_history_probe_vs_k_history"] = {
+        "per_k": per_k,
+        "growth_8x": round(per_k[KS[-1]] / per_k[KS[0]], 2),
+    }
+    print(json.dumps({"case": "stream_history_probe_vs_k_history",
+                      **results["stream_history_probe_vs_k_history"]}),
+          flush=True)
+
     print(json.dumps({"metric": "scale_probe", "sf": SF_DIR, "results": results}))
     spark.stop()
 
