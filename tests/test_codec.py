@@ -445,3 +445,173 @@ class TestMergePatch:
         codec.convert_value(merged, buf, m2)
         out = codec.to_json_str(bytes(buf), codec.build_metadata(keys))
         assert out == '{"nest":{"x":1,"y":20},"z":true}'
+
+
+def test_declared_only_ids_write_read_roundtrip():
+    """The reference DECLARES (but never writes) Float32 / Binary /
+    Date32 / timestamp / dictionary-ref ids (values/mod.rs:40-62); the
+    codec implements the spec'd behavior for all of them — pin every
+    write→read pair plus the type-mismatch errors these getters raise
+    (coverage gaps named in the round-10 BASELINE measurement)."""
+    import struct
+
+    # float32 (PRIM_FLOAT32)
+    b = bytearray()
+    c.write_f32(b, 1.5)
+    v = c.Variant(bytes(b))
+    assert v.get_f32() == 1.5
+    with pytest.raises(c.VariantError):
+        v.get_f64()
+
+    # binary (PRIM_BINARY)
+    b = bytearray()
+    c.write_binary(b, b"\x00\xffpayload")
+    v = c.Variant(bytes(b))
+    assert v.get_binary() == b"\x00\xffpayload"
+    with pytest.raises(c.VariantError):
+        v.get_string()
+
+    # date32
+    b = bytearray()
+    c.write_date32(b, -719162)  # 0001-01-01
+    assert c.Variant(bytes(b)).get_date32() == -719162
+
+    # timestamps: tz + ntz share the payload, differ in type id
+    for ntz in (False, True):
+        b = bytearray()
+        c.write_timestamp_micros(b, 1_700_000_000_000_000, ntz=ntz)
+        v = c.Variant(bytes(b))
+        assert v.get_timestamp_micros() == 1_700_000_000_000_000
+    with pytest.raises(c.VariantError):
+        c.Variant(bytes(b)).get_date32()
+
+    # string/binary from dictionary resolve through the metadata
+    meta = c.Metadata(c.build_metadata(["alpha", "beta"]))
+    b = bytearray()
+    c.write_string_from_dictionary(b, 1)
+    v = c.Variant(bytes(b))
+    assert v.get_dictionary_index() == 1
+    assert v.get_string_from_dictionary(meta) == "beta"
+    b = bytearray()
+    c.write_binary_from_dictionary(b, 0)
+    assert c.Variant(bytes(b)).get_binary_from_dictionary(meta) == b"alpha"
+    # OOB dictionary index fails loudly on read
+    b = bytearray()
+    c.write_string_from_dictionary(b, 7)
+    with pytest.raises(c.VariantError):
+        c.Variant(bytes(b)).get_string_from_dictionary(meta)
+    with pytest.raises(c.VariantError):
+        c.write_string_from_dictionary(bytearray(), 1 << 33)
+
+    # decimal16: 128-bit unscaled value round-trips; >128 bits errors
+    big = (1 << 100) + 12345
+    b = bytearray()
+    c.write_decimal(b, big, 9)
+    v = c.Variant(bytes(b))
+    assert v.get_i128() == big
+    assert v.get_decimal() == (big, 9)
+    with pytest.raises(c.VariantError):
+        c.write_decimal(bytearray(), 1 << 128, 0)
+    with pytest.raises(c.VariantError):
+        v.get_int()  # decimal16 is not an integer id
+
+
+def test_builder_typed_appenders_and_field_by_index():
+    """ObjectBuilder's typed appenders (null/bool/decimal) and
+    Variant.field() dispatch (object field-id / array index / scalar
+    None — read.rs:87-93)."""
+    meta_buf = c.build_metadata(["a", "b", "d", "n"])
+    meta = c.Metadata(meta_buf)
+    ob = c.ObjectBuilder(meta)
+    ob.append_null("n")
+    ob.append_bool("b", True)
+    ob.append_decimal("d", 1234, 2)
+    ob.append_i64("a", 7)
+    v = c.Variant(bytes(ob.finish()))
+    obj = v.get_object()
+    assert v.field(meta.find_string("a")).get_i64() == 7
+    assert v.field(meta.find_string("b")).get_bool() is True
+    assert v.field(meta.find_string("d")).get_decimal() == (1234, 2)
+    assert v.field(meta.find_string("n")).is_null()
+    # array index dispatch + scalar → None
+    ab = c.ArrayBuilder()
+    el = bytearray()
+    c.write_i64(el, 42)
+    ab.append_value(bytes(el))
+    av = c.Variant(bytes(ab.finish()))
+    assert av.field(0).get_i64() == 42
+    scalar = bytearray()
+    c.write_i64(scalar, 1)
+    assert c.Variant(bytes(scalar)).field(0) is None
+
+
+def test_codec_error_paths_fail_loudly():
+    """Malformed buffers raise VariantError, never mis-parse: empty
+    metadata/value, unsorted sorted-flag dictionary, not-object /
+    not-array views, 4-byte offset width selection."""
+    with pytest.raises(c.VariantError):
+        c.Metadata(b"")
+    with pytest.raises(c.VariantError):
+        c.Variant(b"")
+    # binary search requires the sorted flag: clear it and find_string
+    # must refuse rather than silently bisect an unsorted dictionary
+    unsorted = bytearray(c.build_metadata(["x", "y"]))
+    unsorted[0] &= ~0x10
+    with pytest.raises(c.VariantError):
+        c.Metadata(bytes(unsorted)).find_string("x")
+    scalar = bytearray()
+    c.write_bool(scalar, True)
+    with pytest.raises(c.VariantError):
+        c.ObjectView(c.Variant(bytes(scalar)))
+    with pytest.raises(c.VariantError):
+        c.ArrayView(c.Variant(bytes(scalar)))
+    # _byte_width picks 4- and 8-byte widths for large maxima
+    assert c._byte_width(0x7FFFFFFF) == 4
+    assert c._byte_width(0x80000000) == 8
+
+
+def test_to_python_declared_only_ids_and_path_walk_misses():
+    """to_python renders every declared-only id to the natural Python
+    value (float32, binary, dictionary refs, date32, both timestamp
+    flavors); walk_path returns None on type mismatches instead of
+    raising; parse_json_path rejects malformed syntax."""
+    from datetime import date, datetime, timezone
+
+    meta = c.Metadata(c.build_metadata(["k"]))
+
+    def rt(writer, *args):
+        b = bytearray()
+        writer(b, *args)
+        return c.to_python(c.Variant(bytes(b)), meta)
+
+    assert rt(c.write_f32, 2.5) == 2.5
+    assert rt(c.write_binary, b"\x01\x02") == b"\x01\x02"
+    assert rt(c.write_string_from_dictionary, 0) == "k"
+    assert rt(c.write_binary_from_dictionary, 0) == b"k"
+    assert rt(c.write_date32, 19000) == date(1970, 1, 1).fromordinal(
+        date(1970, 1, 1).toordinal() + 19000
+    )
+    assert rt(c.write_timestamp_micros, 1_000_000) == datetime(
+        1970, 1, 1, 0, 0, 1, tzinfo=timezone.utc
+    )
+    assert rt(c.write_timestamp_micros, 1_000_000, True) == datetime(
+        1970, 1, 1, 0, 0, 1
+    )
+    big = bytearray()
+    c.write_decimal(big, (1 << 80) + 3, 0)  # decimal16, scale 0 → int
+    assert c.to_python(c.Variant(bytes(big)), meta) == (1 << 80) + 3
+
+    # walk_path type-mismatch rules: scalar under object step, scalar
+    # under array step, missing field id → all None, never an error
+    scalar = bytearray()
+    c.write_i64(scalar, 5)
+    assert c.walk_path(bytes(scalar), ["a"], [0]) is None
+    assert c.walk_path(bytes(scalar), [0], [None]) is None
+    assert c.walk_path(bytes(scalar), ["a"], [None]) is None
+
+    with pytest.raises(c.VariantError):
+        c.parse_json_path("$..x")  # empty step
+    with pytest.raises(c.VariantError):
+        c.parse_json_path("$x")  # bad syntax after root
+    with pytest.raises(c.VariantError):
+        c._render_json(object())  # not JSON serializable
