@@ -768,3 +768,39 @@ def test_transform_with_state_mapstate_full_api_and_delete(spark):
         rest = pairs[1:]
         want[uid] = (removed, len(rest), sum(n for n, _ in rest))
     assert got == want
+
+
+def test_python_exec_wrapper_is_portable_and_reversible(spark):
+    """The transformWithState pythonExec swap (r10 ADVICE): the
+    wrapper must keep the session's ORIGINAL exec name verbatim (a
+    relative name stays PATH-resolved on each worker host — baking in
+    the driver's sys.executable breaks heterogeneous deployments),
+    live in a per-session temp dir (no cross-session file races), and
+    be reversible via restore_python_exec."""
+    pytest.importorskip("google.protobuf")
+    from datafusion_functions_variant_spark.vendor import (
+        ensure_protobuf_for_session,
+        restore_python_exec,
+    )
+
+    sc = spark.sparkContext
+    orig = sc.pythonExec
+    provider = ensure_protobuf_for_session(spark)
+    try:
+        if provider != "miniproto":
+            pytest.skip("real protobuf wheel present; no swap happens")
+        wrapper = sc.pythonExec
+        assert wrapper.endswith("pythonwrap.sh") and wrapper != orig
+        body = open(wrapper).read()
+        # original exec name verbatim (PATH-resolvable), quoted
+        assert f'exec "{orig}" "$@"' in body
+        assert "PYTHONPATH" in body
+        # per-session temp dir, not the shared vendor tree
+        assert "/miniproto/pythonwrap.sh" not in wrapper
+        # idempotent: second call must not stack wrappers
+        ensure_protobuf_for_session(spark)
+        assert sc.pythonExec == wrapper
+    finally:
+        assert restore_python_exec(spark) is (provider == "miniproto")
+    assert sc.pythonExec == orig
+    assert restore_python_exec(spark) is False  # already restored
