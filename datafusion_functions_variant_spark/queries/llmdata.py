@@ -12,6 +12,8 @@ relational queries. The heavy lifting lives in operators/
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -113,8 +115,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from the SAME bytes (xxhash64 itself has no SQL twin; everything
 #: downstream of the hash is value-verified this way, and the hash
 #: gets a known-vector test against a clean-room XXH64 in
-#: tests/test_operator_properties.py).
-_XXHASH_SIGS_PATH = "/root/repo/.tmp_io/xxhash_sigs.parquet"
+#: tests/test_operator_properties.py). ONE fixed path by design: the
+#: oracle SQL is static, so query evaluation is single-flight —
+#: build → evaluate → compare before the next build (the driver,
+#: tests, and bench all do exactly this); a later build for another
+#: sf_dir overwrites it and invalidates earlier unevaluated frames.
+def _xxhash_sigs_path() -> str:
+    from .catalog import _IO_DIR
+
+    return os.path.join(_IO_DIR, "xxhash_sigs.parquet")
+
+
+_XXHASH_SIGS_PATH = _xxhash_sigs_path()
 
 
 @query(

@@ -599,20 +599,28 @@ def _stream_dedup_against_corpus(
             idx.relation, new_docs.content_hash == F.col("h"), "left_anti"
         ).select(*cols)
     else:
-        # scale path: bloom-negative rows are DEFINITELY novel (no
-        # false negatives) and bypass the join entirely; only maybes
-        # reach the anti-join against the bucketed index, which is
-        # read in place — the per-batch Exchange is probe-side only.
+        # scale path, SINGLE PASS: bloom-negative rows are DEFINITELY
+        # novel (no false negatives), so their probe key is rewritten
+        # to a salted sentinel ("#<doc_id mod 64>") that can never
+        # match a 32-hex-char fingerprint — they traverse the anti-
+        # join unmatched and survive, without a second plan branch
+        # that would re-scan the source and re-hash every document
+        # (the round-10 review finding on the earlier union shape).
+        # The salt spreads sentinel keys across partitions; only
+        # NARROW columns reach the exchange (text is projected away),
+        # and the bucketed index is read in place.
         probe = idx.attach_bitset(new_docs)
-        seen_maybe = idx.member("content_hash")
-        definite_new = probe.where(~seen_maybe).select(*cols)
-        verified_new = (
-            probe.where(seen_maybe)
+        probe_key = F.when(
+            idx.member("content_hash"), F.col("content_hash")
+        ).otherwise(
+            F.concat(F.lit("#"), (F.col("doc_id") % 64).cast("string"))
+        )
+        survivors = (
+            probe.select(*cols, probe_key.alias("_pk"))
             .hint("merge")
-            .join(idx.relation, F.col("content_hash") == F.col("h"), "left_anti")
+            .join(idx.relation, F.col("_pk") == F.col("h"), "left_anti")
             .select(*cols)
         )
-        survivors = definite_new.unionByName(verified_new)
     return core.run_to_batch(survivors, "append").orderBy("doc_id")
 
 
@@ -1432,7 +1440,7 @@ def _stream_ingest_funnel(
             ).alias("shard_id"),
         )
 
-    def probe_all(df: DataFrame) -> DataFrame:
+    def probe_all(df: DataFrame, ph_key, k0_key, k1_key) -> DataFrame:
         """The three exact history joins; merge-hinted in-place scans
         on the bucketed path, broadcast otherwise."""
         prel = pidx.relation
@@ -1441,13 +1449,13 @@ def _stream_ingest_funnel(
         if bidx.broadcasted:
             m0, m1 = F.broadcast(m0), F.broadcast(m1)
         out = (df.hint("merge") if not pidx.broadcasted else df).join(
-            prel, df.ph == F.col("_ph"), "left"
+            prel, ph_key == F.col("_ph"), "left"
         )
         out = (out.hint("merge") if not bidx.broadcasted else out).join(
-            m0, F.col("k0") == F.col("_m0"), "left"
+            m0, k0_key == F.col("_m0"), "left"
         )
         out = (out.hint("merge") if not bidx.broadcasted else out).join(
-            m1, F.col("k1") == F.col("_m1"), "left"
+            m1, k1_key == F.col("_m1"), "left"
         )
         return out
 
@@ -1456,22 +1464,40 @@ def _stream_ingest_funnel(
         "long"
     )
     if pidx.bitset is not None or bidx.bitset is not None:
-        # Bloom fast path: a document matching NONE of the three
-        # history keys (the common case on a mostly-novel crawl) needs
-        # no join at all — its flags are definitely null. False
-        # positives just take the exact-join lane; never lossy.
+        # Bloom fast path, SINGLE PASS: a key the bloom clears is
+        # DEFINITELY absent from its history, so it is rewritten to a
+        # salted sentinel ("#<doc_id mod 64>" — can never match an
+        # md5-hex index key) and traverses its join unmatched with a
+        # null flag. One source scan, ONE evaluation of the per-doc
+        # feature pipeline, and only narrow columns shuffle — unlike
+        # the earlier two-branch union, which re-scanned the batch
+        # and re-ran the whole minhash/classifier pipeline for the
+        # bypass lane (round-10 review finding). False positives just
+        # reach the exact join and miss; never lossy.
         f2 = bidx.attach_bitset(pidx.attach_bitset(feats))
-        hit_any = (
-            pidx.member("ph") | bidx.member("k0") | bidx.member("k1")
+        salt = F.concat(F.lit("#"), (F.col("doc_id") % 64).cast("string"))
+
+        def gated(key_col, member):
+            return F.when(member, key_col).otherwise(salt)
+
+        f2 = f2.select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "raw",
+            gated(F.col("ph"), pidx.member("ph")).alias("ph"),
+            gated(F.col("k0"), bidx.member("k0")).alias("k0"),
+            gated(F.col("k1"), bidx.member("k1")).alias("k1"),
         )
-        bypass = verdicts_of(
-            f2.where(~hit_any), F.lit(False), F.lit(0).cast("long")
+        verdicts = verdicts_of(
+            probe_all(f2, F.col("ph"), F.col("k0"), F.col("k1")),
+            is_exact,
+            nmb,
         )
-        lane = bidx.drop_bitset(pidx.drop_bitset(f2.where(hit_any)))
-        joined = verdicts_of(probe_all(lane), is_exact, nmb)
-        verdicts = bypass.unionByName(joined)
     else:
-        verdicts = verdicts_of(probe_all(feats), is_exact, nmb)
+        verdicts = verdicts_of(
+            probe_all(feats, feats.ph, F.col("k0"), F.col("k1")), is_exact, nmb
+        )
     sunk = core.run_to_batch(verdicts, "append")
     return (
         sunk.groupBy("lang", "stage")

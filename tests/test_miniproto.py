@@ -238,6 +238,44 @@ def test_autovivification_chain_and_repeated_commit():
     assert list(b2.listStatePut.value) == [b"x"]
 
 
+def test_oneof_switch_detaches_old_view_and_fresh_view_reattaches():
+    """Round-10 review repro: after a oneof switch evicts an arm, the
+    arm's old child is DETACHED (writes through it no longer reach the
+    parent — real protobuf semantics) but a FRESH access must hand out
+    a live view whose writes switch the oneof back and serialize."""
+    sm = _sm()
+    req = sm.StateRequest()
+    req.statefulProcessorCall.getValueState.stateName = "a"
+    old_view = req.statefulProcessorCall
+    req.implicitGroupingKeyRequest.setImplicitKey.key = b"k"  # evicts arm 1
+    assert req.WhichOneof("method") == "implicitGroupingKeyRequest"
+    # a NEW write through a fresh access must re-activate the arm
+    req.statefulProcessorCall.getValueState.stateName = "c"
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    assert req.HasField("statefulProcessorCall")
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.getValueState.stateName == "c"
+    # the evicted child stays detached: mutating it must NOT clobber
+    old_view.getValueState.stateName = "zombie"
+    assert req.statefulProcessorCall.getValueState.stateName == "c"
+
+
+def test_parse_merges_into_handed_out_view():
+    """A pre-parse lazy view and a post-parse read must be the SAME
+    object (real protobuf exposes one child per field), so parsed
+    content is visible through the earlier handle."""
+    sm = _sm()
+    m = sm.StatefulProcessorCall()
+    view = m.getValueState  # unset lazy view, held across the parse
+    src = sm.StatefulProcessorCall(
+        getValueState=sm.StateCallCommand(stateName="parsed")
+    )
+    m.MergeFromString(src.SerializeToString())
+    assert m.getValueState is view
+    assert view.stateName == "parsed"
+
+
 def test_truncated_frames_fail_loudly():
     """A corrupt length prefix must raise DecodeError, never parse a
     shorter value (runtime's stated fail-loudly contract)."""

@@ -1261,13 +1261,24 @@ def test_stream_neardup_scale_path_bucketed_probe(spark):
     assert "bit_or" not in plan
 
 
-def test_stream_funnel_scale_path_bucketed_probes_and_bypass(spark):
+def test_stream_funnel_scale_path_bucketed_probes_single_pass(spark):
     plan = _stream_plan(spark, "stream_ingest_funnel_indexed")
     assert "BroadcastHashJoin" not in plan
     assert "hist_funnel_prefix_idx" in plan
     assert "hist_funnel_band_idx" in plan
-    assert "Union" in plan  # bloom none-match bypass lane around all 3 joins
+    # single-pass bloom gating: bloom-cleared keys become salted
+    # sentinels instead of a second union branch that would re-scan
+    # the source and re-run the feature pipeline
+    assert "Union" not in plan
     assert "bit_or" not in plan
+
+
+def test_stream_dedup_scale_path_single_scan(spark):
+    plan = _stream_plan(spark, "stream_dedup_against_corpus_indexed")
+    assert "Union" not in plan  # same single-pass discipline
+    # the arriving batch is scanned once per plan section (the
+    # executed plan prints Final + Initial, so ≤2 total)
+    assert plan.count("documents.parquet") <= 2
 
 
 def test_stream_history_small_path_still_broadcasts(spark):

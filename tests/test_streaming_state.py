@@ -547,6 +547,11 @@ def test_transform_with_state_liststate_and_ttl(spark, tmp_path):
             if got == want:
                 break
             if not q.isActive:
+                # the final micro-batch may have committed between the
+                # collect above and this check — re-collect once so a
+                # commit in that window can't fail the test spuriously
+                rows = spark.table("ttl_list_sink").collect()
+                got = totals_of(rows)
                 break
             _time.sleep(2)
     finally:
