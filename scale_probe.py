@@ -595,12 +595,18 @@ def main() -> None:
         new_docs = st.where(F.col("doc_id") % 3 == 0).withColumn(
             "content_hash", F.md5(normalize_text("text"))
         )
+        # single-pass salted-sentinel probe — the registered query's
+        # exact scale-path shape (one scan, narrow-column shuffle)
         probe = idx.attach_bitset(new_docs)
-        seen = idx.member("content_hash")
-        survivors = probe.where(~seen).select("doc_id").unionByName(
-            probe.where(seen)
+        probe_key = F.when(
+            idx.member("content_hash"), F.col("content_hash")
+        ).otherwise(
+            F.concat(F.lit("#"), (F.col("doc_id") % 64).cast("string"))
+        )
+        survivors = (
+            probe.select("doc_id", probe_key.alias("_pk"))
             .hint("merge")
-            .join(idx.relation, F.col("content_hash") == F.col("h"), "left_anti")
+            .join(idx.relation, F.col("_pk") == F.col("h"), "left_anti")
             .select("doc_id")
         )
         samples = []

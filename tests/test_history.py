@@ -1,0 +1,107 @@
+"""Unit tests for streaming/history.py — the size-aware history-probe
+builder behind the round-10 de-broadcast of the streaming ingest
+gates. Each probe topology must be a pure function of measured history
+size, the Bloom prescreen must never produce a false negative, and the
+two paths must be answer-equivalent on the same data (the registry
+twins prove this end-to-end against DuckDB; these pin the module in
+isolation with adversarial inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_functions_variant_spark.streaming.history import (
+    DEFAULT_BLOOM_MAX_BITS,
+    build_history_index,
+)
+
+
+def _keys(spark, n, salt=""):
+    return spark.range(n).select(
+        F.md5(F.concat_ws("#", F.col("id").cast("string"), F.lit(salt))).alias("k")
+    )
+
+
+def test_threshold_boundary_picks_topology(spark):
+    hist = _keys(spark, 100)
+    at = build_history_index(
+        spark, hist, "k", table_name="hist_t_at", broadcast_threshold_rows=100
+    )
+    assert at.broadcasted and at.bitset is None and at.n_keys == 100
+    over = build_history_index(
+        spark, hist, "k", table_name="hist_t_over", broadcast_threshold_rows=99
+    )
+    assert not over.broadcasted
+    assert over.bitset is not None and over.m_bits >= 2 * 100
+    # the persisted relation holds exactly the distinct keys
+    assert over.relation.count() == 100
+
+
+def test_bloom_never_false_negative_and_sheds_most_misses(spark):
+    hist = _keys(spark, 500, salt="hist")
+    idx = build_history_index(
+        spark, hist, "k", table_name="hist_t_bloom", broadcast_threshold_rows=0
+    )
+    # every true history key must pass the membership test
+    members = idx.attach_bitset(idx.relation)
+    assert members.where(~idx.member("k")).count() == 0
+    # foreign keys: false positives allowed, but the filter must shed
+    # the overwhelming majority (~20 bits/key ⇒ FP well under 5%)
+    foreign = idx.attach_bitset(_keys(spark, 2000, salt="other"))
+    fp = foreign.where(idx.member("k")).count()
+    assert fp < 100, f"bloom false-positive rate implausibly high: {fp}/2000"
+
+
+def test_paths_are_answer_equivalent_for_anti_probe(spark):
+    hist = _keys(spark, 300, salt="hist")
+    arriving = _keys(spark, 200, salt="hist").unionByName(
+        _keys(spark, 150, salt="new")
+    )  # 200 seen + 150 novel
+    small = build_history_index(
+        spark, hist, "k", table_name="hist_t_eq_b",
+        broadcast_threshold_rows=10_000,
+    )
+    big = build_history_index(
+        spark, hist, "k", table_name="hist_t_eq_i", broadcast_threshold_rows=0
+    )
+    via_broadcast = sorted(
+        r.k
+        for r in arriving.join(
+            small.relation.select(F.col("k").alias("_h")),
+            arriving.k == F.col("_h"),
+            "left_anti",
+        ).collect()
+    )
+    probe = big.attach_bitset(arriving)
+    probe_key = F.when(big.member("k"), F.col("k")).otherwise(F.lit("#x"))
+    via_index = sorted(
+        r.k
+        for r in probe.select("k", probe_key.alias("_pk"))
+        .hint("merge")
+        .join(
+            big.relation.select(F.col("k").alias("_h")),
+            F.col("_pk") == F.col("_h"),
+            "left_anti",
+        )
+        .collect()
+    )
+    assert via_index == via_broadcast
+    assert len(via_index) == 150
+
+
+def test_bloom_caps_and_degrades_gracefully(spark):
+    # a tiny bloom_max_bits forces the cap below 2 bits/key → the
+    # bitset is omitted entirely (member() degenerates to literal
+    # True) rather than shipped as dead weight
+    hist = _keys(spark, 5000)
+    idx = build_history_index(
+        spark, hist, "k", table_name="hist_t_cap",
+        broadcast_threshold_rows=0, bloom_max_bits=4096,
+    )
+    assert idx.bitset is None and idx.m_bits is None
+    # member() must then pass everything (prescreen off, join decides)
+    passed = idx.attach_bitset(_keys(spark, 50, salt="z")).where(
+        idx.member("k")
+    )
+    assert passed.count() == 50
+    assert DEFAULT_BLOOM_MAX_BITS == 1 << 26  # 8 MiB broadcast ceiling
