@@ -789,6 +789,7 @@ def test_python_exec_wrapper_is_portable_and_reversible(spark):
     )
 
     sc = spark.sparkContext
+    restore_python_exec(spark)  # an earlier test may have left a swap
     orig = sc.pythonExec
     provider = ensure_protobuf_for_session(spark)
     try:
