@@ -224,6 +224,96 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_index_update",
+    oracle=r"""
+    -- sequential-replay semantics: a doc is a dup iff its normalized
+    -- content hash appeared in a STRICTLY EARLIER micro-batch (batch
+    -- p = doc_id % 3; docs sharing a hash within the first batch that
+    -- contains it are all novel — the index grows only after the
+    -- batch's probe)
+    WITH d AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+             doc_id % 3 AS b
+      FROM documents
+    ),
+    firstb AS (SELECT h, MIN(b) AS fb FROM d GROUP BY h)
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.b > f.fb THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM d JOIN firstb f ON d.h = f.h
+    ORDER BY d.doc_id
+    """,
+)
+def stream_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest with a SELF-UPDATING index — the loop the other
+    ingest gates leave open (their history is a static artifact per
+    run): each micro-batch (1) probes the persisted content-hash index
+    for duplicates, emits per-doc verdicts, then (2) APPENDS its own
+    novel hashes to the index, so batch N+1 dedups against everything
+    admitted through batch N. foreachBatch gives the two-action
+    transaction ordering (probe/emit BEFORE append — appending first
+    would flag every doc a dup of itself); the index read is resolved
+    freshly inside the callback so each batch sees the previous
+    batch's append. Within one batch, same-hash docs are all novel by
+    design (the index grows between batches, not within one) — which
+    is exactly what makes the semantics engine-reproducible: the
+    oracle replays 'dup iff the hash appeared in a strictly earlier
+    batch'. At 100 TB the index is the same artifact
+    ``dedup_incremental_bucketed_index`` persists (bucketed layout,
+    probe-side-only shuffle) and the append is a per-batch
+    dynamic-partition write; this query pins the UPDATE protocol."""
+    import os as _os
+    import shutil as _sh
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "docs_idx_update_split")
+    idx_dir = _os.path.join(_catalog._IO_DIR, "stream_upd_hash_idx")
+    out_dir = _os.path.join(_catalog._IO_DIR, "stream_upd_verdicts")
+    ckpt = out_dir + "_ckpt_tmp"
+    for d in (split_dir, idx_dir, out_dir, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    st = core.read_multibatch_documents_stream(spark, sf_dir, split_dir)
+    idx_schema = StructType([StructField("h", StringType())])
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # pin the batch so the two actions below share one evaluation
+        b = batch_df.localCheckpoint(eager=True)
+        if _os.path.isdir(idx_dir):
+            seen = (
+                spark.read.schema(idx_schema)
+                .parquet(idx_dir)
+                .select(F.col("h").alias("_ih"))
+                .distinct()
+            )
+        else:
+            seen = spark.createDataFrame([], idx_schema).select(
+                F.col("h").alias("_ih")
+            )
+        # action 1: probe + emit verdicts (MUST complete before the
+        # index grows, or every doc would match its own hash)
+        b.join(seen, b.h == F.col("_ih"), "left").select(
+            "doc_id", F.col("_ih").isNotNull().cast("long").alias("is_dup")
+        ).write.mode("append").parquet(out_dir)
+        # action 2: grow the index with this batch's novel hashes
+        b.select("h").distinct().join(
+            seen, F.col("h") == F.col("_ih"), "left_anti"
+        ).write.mode("append").parquet(idx_dir)
+
+    q = (
+        st.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _sh.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).orderBy("doc_id")
+
+
+@query(
     "stream_stateful_running_max",
     oracle="""
     SELECT user_id,

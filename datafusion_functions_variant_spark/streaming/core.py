@@ -432,3 +432,46 @@ def read_multibatch_dedup_stream(
         .option("maxFilesPerTrigger", "1")
         .load(split_dir)
     )
+
+
+def read_multibatch_documents_stream(
+    spark: SparkSession, sf_dir: str, split_dir: str
+) -> DataFrame:
+    """Documents as THREE deterministic micro-batches of
+    (doc_id, content-hash) rows — batch p holds doc_id % 3 == p, file
+    order pinned via mtimes (FileStreamSource orders by modification
+    time), ``maxFilesPerTrigger=1``. The narrow projection is computed
+    ONCE at split-write time with the same normalize→md5 convention
+    the dedup oracles replay, so batch membership and content keys are
+    engine-reproducible. Used by ``stream_dedup_index_update``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..operators.dedup import normalize_text
+    from ..sources.tables import load_table
+
+    os.makedirs(split_dir, exist_ok=True)
+    full = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("h"),
+        (F.col("doc_id") % 3).alias("b"),
+    )
+    paths = []
+    for p in range(3):
+        pdf = full.where(F.col("b") == p).select("doc_id", "h").toPandas()
+        path = os.path.join(split_dir, f"batch{p}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        paths.append(path)
+    base = 1_700_000_000
+    for i, path in enumerate(paths):
+        os.utime(path, (base + i * 10, base + i * 10))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("h", StringType())]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(split_dir)
+    )
