@@ -258,49 +258,64 @@ def stream_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     design (the index grows between batches, not within one) — which
     is exactly what makes the semantics engine-reproducible: the
     oracle replays 'dup iff the hash appeared in a strictly earlier
-    batch'. At 100 TB the index is the same artifact
-    ``dedup_incremental_bucketed_index`` persists (bucketed layout,
-    probe-side-only shuffle) and the append is a per-batch
-    dynamic-partition write; this query pins the UPDATE protocol."""
+    batch'.
+
+    Scale shape: the index lives as the SAME bucketed+sorted table
+    layout ``dedup_incremental_bucketed_index`` persists (bucketBy on
+    the probe key), every batch's probe reads it IN PLACE (only the
+    batch side shuffles — merge-hinted SMJ), and the append is a
+    bucket-spec-matching ``mode("append")`` write of just the batch's
+    novel hashes followed by a catalog refresh. The store is globally
+    distinct BY CONSTRUCTION (each append excludes already-present
+    hashes), so no per-batch distinct re-shuffles the accumulated
+    index — the O(index) per-batch terms are one in-place scan and
+    nothing else. SCALE.md probes the per-batch cost against a
+    K×-grown index."""
     import os as _os
     import shutil as _sh
-
-    from pyspark.sql.types import StringType, StructField, StructType
 
     from . import catalog as _catalog
 
     split_dir = _os.path.join(_catalog._IO_DIR, "docs_idx_update_split")
-    idx_dir = _os.path.join(_catalog._IO_DIR, "stream_upd_hash_idx")
+    idx_table = "stream_upd_hash_idx"
+    idx_dir = _os.path.join(_catalog._IO_DIR, idx_table)
     out_dir = _os.path.join(_catalog._IO_DIR, "stream_upd_verdicts")
     ckpt = out_dir + "_ckpt_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
     for d in (split_dir, idx_dir, out_dir, ckpt):
         _sh.rmtree(d, ignore_errors=True)
     st = core.read_multibatch_documents_stream(spark, sf_dir, split_dir)
-    idx_schema = StructType([StructField("h", StringType())])
+    # bootstrap an EMPTY bucketed index so batch 0 probes/appends the
+    # same layout every later batch uses
+    (
+        spark.createDataFrame([], "h string")
+        .write.bucketBy(8, "h")
+        .sortBy("h")
+        .option("path", idx_dir)
+        .saveAsTable(idx_table)
+    )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         # pin the batch so the two actions below share one evaluation
         b = batch_df.localCheckpoint(eager=True)
-        if _os.path.isdir(idx_dir):
-            seen = (
-                spark.read.schema(idx_schema)
-                .parquet(idx_dir)
-                .select(F.col("h").alias("_ih"))
-                .distinct()
-            )
-        else:
-            seen = spark.createDataFrame([], idx_schema).select(
-                F.col("h").alias("_ih")
-            )
+        spark.catalog.refreshTable(idx_table)  # see the last append
+        seen = spark.table(idx_table).select(F.col("h").alias("_ih"))
         # action 1: probe + emit verdicts (MUST complete before the
         # index grows, or every doc would match its own hash)
-        b.join(seen, b.h == F.col("_ih"), "left").select(
+        b.hint("merge").join(seen, b.h == F.col("_ih"), "left").select(
             "doc_id", F.col("_ih").isNotNull().cast("long").alias("is_dup")
         ).write.mode("append").parquet(out_dir)
-        # action 2: grow the index with this batch's novel hashes
-        b.select("h").distinct().join(
-            seen, F.col("h") == F.col("_ih"), "left_anti"
-        ).write.mode("append").parquet(idx_dir)
+        # action 2: grow the index with this batch's novel hashes,
+        # bucket-spec-matching append
+        (
+            b.select("h")
+            .distinct()
+            .join(seen, F.col("h") == F.col("_ih"), "left_anti")
+            .write.mode("append")
+            .bucketBy(8, "h")
+            .sortBy("h")
+            .saveAsTable(idx_table)
+        )
 
     q = (
         st.writeStream.foreachBatch(ingest)

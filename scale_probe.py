@@ -624,6 +624,65 @@ def main() -> None:
                       **results["stream_history_probe_vs_k_history"]}),
           flush=True)
 
+    # --- bespoke case: self-updating ingest index, steady-state
+    # per-batch cost vs index SIZE (r10 capstone
+    # stream_dedup_index_update, in its final bucketed-table shape).
+    # The index table is pre-seeded with K x salted hashes (3.3k ->
+    # 26.6k keys, untimed), then ONE fixed batch (sf0.1 docs with
+    # doc_id % 3 = 0) runs the probe-then-append transaction. The
+    # claim: per-batch cost tracks the BATCH plus one in-place index
+    # scan — no index shuffle, no per-batch distinct over the store.
+    import shutil as _sh
+
+    batch_fp = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.md5(normalize_text("text")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    upd_base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp_bench", "idx_update_probe"
+    )
+    per_k = {}
+    for k in KS:
+        tbl = f"idx_update_probe_k{k}"
+        tdir = os.path.join(upd_base, tbl)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _sh.rmtree(tdir, ignore_errors=True)
+        seed = spark.range(1, k + 1).crossJoin(base_fp).select(
+            F.md5(F.concat_ws("#", "h", "id")).alias("h")
+        )
+        (
+            seed.write.bucketBy(8, "h").sortBy("h")
+            .option("path", tdir).saveAsTable(tbl)
+        )  # untimed: the accumulated history
+        samples = []
+        for i in range(RUNS + 1):
+            t0 = time.perf_counter()
+            spark.catalog.refreshTable(tbl)
+            seen = spark.table(tbl).select(F.col("h").alias("_ih"))
+            batch_fp.hint("merge").join(
+                seen, batch_fp.h == F.col("_ih"), "left"
+            ).select(
+                "doc_id", F.col("_ih").isNotNull().cast("long").alias("is_dup")
+            ).agg(F.count(F.lit(1)), F.sum("is_dup")).collect()
+            (
+                batch_fp.select("h").distinct()
+                .join(seen, F.col("h") == F.col("_ih"), "left_anti")
+                .write.mode("append").bucketBy(8, "h").sortBy("h")
+                .saveAsTable(tbl)
+            )
+            if i:
+                samples.append(time.perf_counter() - t0)
+        per_k[k] = round(sorted(samples)[len(samples) // 2], 3)
+    results["stream_index_update_batch_cost"] = {
+        "per_k": per_k,
+        "growth_8x": round(per_k[KS[-1]] / per_k[KS[0]], 2),
+    }
+    print(json.dumps({"case": "stream_index_update_batch_cost",
+                      **results["stream_index_update_batch_cost"]}),
+          flush=True)
+
     print(json.dumps({"metric": "scale_probe", "sf": SF_DIR, "results": results}))
     spark.stop()
 
