@@ -119,13 +119,24 @@ HEADLINE = [
     # linear-drift maintenance; the delta-sized-exchange claim is the
     # test_plans.py pin
     "rollup_incremental_maintenance",
-    # round 10: the transformWithStateInPandas runtime (typed
-    # ValueState+MapState via the RocksDB state server over the
-    # vendored protobuf wire codec) — r9 unlocked it with correctness
-    # evidence only; this records its perf in both columns. The cost
-    # is per-user Python state round-trips, so the scaled point (10×
-    # rows AND 10× distinct users) measures state-store growth, not
-    # just input volume — r10 measured ~1.8× wall at 10× data.
+]
+
+#: Keys timed LAST, after BOTH query sets have completed (round 11).
+#: ``stream_transform_with_state`` spins up the RocksDB state-store
+#: provider + per-key Python state workers for 6 consecutive runs; in
+#: round 10 it sat at the END of the sf0.1 set, i.e. immediately
+#: BEFORE the scaled set's scan-heavy TPC-H keys — and exactly those
+#: keys (q1/q3/q5) drifted up in the driver's run while every other
+#: family stayed flat (VERDICT r10 "What's wrong" #2). Running the
+#: stateful-streaming family after everything else means JVM heap /
+#: GC / state-server residue can only follow the scan keys, never
+#: precede them. Timings merge into the same per-column maps.
+#:
+#: (round 10 origin: the transformWithStateInPandas runtime — typed
+#: ValueState+MapState via the RocksDB state server over the vendored
+#: protobuf wire codec; the scaled point is 10× rows AND 10× distinct
+#: users, so it measures state-store growth, ~1.8-2.1× wall at 10×.)
+HEADLINE_ISOLATED = [
     "stream_transform_with_state",
 ]
 
@@ -171,6 +182,58 @@ def calibration_times(spark, cpus: int, runs: int) -> tuple[float, float]:
 #: index build) — summing both would double-count the probe (r6
 #: ADVICE)
 NOT_IN_TOTAL = {"dedup_incremental_bucketed_probe"}
+
+#: Hard byte cap for the ONE printed JSON line. The driver records
+#: only a ~2 KB stdout tail; a line longer than that loses its leading
+#: ``{`` and the round's official number becomes unparseable
+#: (BENCH_r07 sf0.1 column, then BENCH_r10 entirely — ``parsed: null``
+#: — when the 29th headline key pushed the two per-query maps past the
+#: window). 1900 leaves headroom for the driver's own framing bytes.
+STDOUT_LINE_LIMIT = 1900
+
+
+def compact_stdout_line(out: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
+    """The driver-facing summary line for a full ``out`` artifact,
+    GUARANTEED ≤ ``limit`` bytes. Full precision (3-decimal medians +
+    min-of-N floors, both columns) always lives in the committed
+    BENCH.json; the printed line degrades stepwise as headline keys
+    accumulate — never silently overflows:
+
+    1. both per-query maps at 2 decimals (the r9 shape);
+    2. drop the scaled map (totals/calibrations keep the scaled
+       column comparable; per-key detail is in BENCH.json);
+    3. drop both maps — totals + calibrations only.
+
+    Raises AssertionError if even the minimal form exceeds ``limit``
+    (would mean the fixed fields themselves outgrew the tail — a
+    structural bug, not a data-volume one)."""
+
+    def compact(d):
+        # NOT_IN_TOTAL entries stay in the committed BENCH.json only
+        return {k: round(v, 2) for k, v in d.items() if k not in NOT_IN_TOTAL}
+
+    line = {
+        "metric": out["metric"],
+        "value": round(out["value"], 2),
+        "unit": "sec",
+        "sf": out["sf"],
+        "full": "BENCH.json",
+        "calib": round(out["calibration"], 2),
+        "queries": compact(out["queries"]),
+    }
+    if "scaled_total" in out:
+        line["scale_k"] = out["scale_k"]
+        line["scaled_total"] = round(out["scaled_total"], 2)
+        line["s_calib"] = round(out["scaled_calibration"], 2)
+        line["scaled_queries"] = compact(out["scaled_queries"])
+    for drop in ((), ("scaled_queries",), ("scaled_queries", "queries")):
+        cand = {k: v for k, v in line.items() if k not in drop}
+        s = json.dumps(cand, separators=(",", ":"))
+        if len(s) <= limit:
+            return s
+    raise AssertionError(
+        f"bench stdout line irreducibly exceeds {limit} bytes: {len(s)}"
+    )
 
 
 # --- scaled bench point -----------------------------------------------------
@@ -304,7 +367,9 @@ def main() -> None:
         bucketed_index_probe,
     )
 
-    def run_set(dir_: str, runs: int) -> tuple[dict[str, float], dict[str, float]]:
+    def run_set(
+        dir_: str, runs: int, names: list[str] | None = None, with_probe: bool = True
+    ) -> tuple[dict[str, float], dict[str, float]]:
         """Returns (median, min) per query. The min-of-N rides along as
         the noise floor: cross-round median comparisons on sub-second
         sf0.1 queries have documented ±30-40% ambient swings
@@ -317,7 +382,7 @@ def main() -> None:
             timings[name] = round(sorted(samples)[len(samples) // 2], 3)
             minimums[name] = round(min(samples), 3)
 
-        for name in HEADLINE:
+        for name in (HEADLINE if names is None else names):
             spec = registry.get(name)
             if spec is None:
                 continue
@@ -337,6 +402,8 @@ def main() -> None:
                 if i:
                     samples.append(time.perf_counter() - t0)
             record(name, samples)
+        if not with_probe:
+            return timings, minimums
         # steady-state probe of the persisted bucketed index: one
         # untimed build, then the probe alone per run — the recurring
         # per-batch cost a continuous pipeline pays (the end-to-end
@@ -355,7 +422,42 @@ def main() -> None:
 
     runs = int(os.environ.get("BENCH_RUNS", "5"))
     calib, calib_min = calibration_times(spark, cpus, runs)
-    timings, minimums = run_set(sf_dir, runs)
+    timings, minimums = run_set(sf_dir, runs, HEADLINE)
+
+    # scaled point (~sf1): same queries over the K×-replicated copy.
+    # 3 runs by default — at 10× the data the queries are no longer
+    # overhead-dominated, so the median stabilizes with fewer samples.
+    scale_k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "10"))
+    scaled = scaled_min = None
+    scaled_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
+    if scale_k > 1:
+        scaled_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".tmp_bench",
+            f"scaled{scale_k}x",
+        )
+        ensure_scaled_dir(spark, sf_dir, scale_k, scaled_dir)
+        s_calib, s_calib_min = calibration_times(spark, cpus, scaled_runs)
+        scaled, scaled_min = run_set(scaled_dir, scaled_runs, HEADLINE)
+
+    # HEADLINE_ISOLATED keys run LAST — after every scan/join/agg key
+    # in both columns — so stateful-streaming residue (RocksDB state
+    # server, Python state workers, JVM heap growth) cannot precede
+    # the scan-heavy keys (VERDICT r10 #2: q1/q5 scaled drift traced
+    # to 6 back-to-back streaming runs opening the scaled set).
+    # Calibration divisors are the ones measured before each column's
+    # main set — documented approximation: these keys are Python-
+    # state-bound, not scan-bound, so column weather matters less.
+    iso_t, iso_m = run_set(sf_dir, runs, HEADLINE_ISOLATED, with_probe=False)
+    timings.update(iso_t)
+    minimums.update(iso_m)
+    if scaled is not None:
+        iso_t, iso_m = run_set(
+            scaled_dir, scaled_runs, HEADLINE_ISOLATED, with_probe=False
+        )
+        scaled.update(iso_t)
+        scaled_min.update(iso_m)
+
     total = round(
         sum(v for k, v in timings.items() if k not in NOT_IN_TOTAL), 3
     )
@@ -374,21 +476,7 @@ def main() -> None:
         "calibration_min": calib_min,
         "value_per_calib": round(total / calib, 3),
     }
-
-    # scaled point (~sf1): same queries over the K×-replicated copy.
-    # 3 runs by default — at 10× the data the queries are no longer
-    # overhead-dominated, so the median stabilizes with fewer samples.
-    scale_k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "10"))
-    if scale_k > 1:
-        scaled_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            ".tmp_bench",
-            f"scaled{scale_k}x",
-        )
-        ensure_scaled_dir(spark, sf_dir, scale_k, scaled_dir)
-        scaled_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
-        s_calib, s_calib_min = calibration_times(spark, cpus, scaled_runs)
-        scaled, scaled_min = run_set(scaled_dir, scaled_runs)
+    if scaled is not None:
         out["scaled_queries"] = scaled
         out["scaled_queries_min"] = scaled_min
         out["scaled_total"] = round(
@@ -401,11 +489,10 @@ def main() -> None:
 
     # Self-contained full-precision artifact: the driver's stdout
     # capture keeps only a ~2 KB tail, which truncated BENCH_r07's
-    # sf0.1 column. Everything (3-decimal medians AND min-of-N
-    # floors, both columns) goes to the committed BENCH.json; the
-    # printed line carries both query columns at 2 decimals with
-    # compact separators so it stays under the tail window even as
-    # headline entries grow.
+    # sf0.1 column and BENCH_r10 entirely. Everything (3-decimal
+    # medians AND min-of-N floors, both columns) goes to the committed
+    # BENCH.json; the printed line is built by compact_stdout_line,
+    # which degrades stepwise and HARD-CAPS at STDOUT_LINE_LIMIT.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
         "w",
@@ -413,29 +500,7 @@ def main() -> None:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    def compact(d):
-        # NOT_IN_TOTAL entries stay in the committed BENCH.json only —
-        # the printed line must clear the driver's ~2 KB stdout tail
-        # even with the round-9 calib/s_calib fields added
-        return {
-            k: round(v, 2) for k, v in d.items() if k not in NOT_IN_TOTAL
-        }
-
-    line = {
-        "metric": out["metric"],
-        "value": round(out["value"], 2),
-        "unit": "sec",
-        "sf": out["sf"],
-        "full": "BENCH.json",
-        "calib": round(calib, 2),
-        "queries": compact(timings),
-    }
-    if "scaled_total" in out:
-        line["scale_k"] = out["scale_k"]
-        line["scaled_total"] = round(out["scaled_total"], 2)
-        line["s_calib"] = round(out["scaled_calibration"], 2)
-        line["scaled_queries"] = compact(out["scaled_queries"])
-    print(json.dumps(line, separators=(",", ":")))
+    print(compact_stdout_line(out))
     spark.stop()
 
 
