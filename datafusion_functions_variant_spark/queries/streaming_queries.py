@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming import core
+from ..streaming import history as _history
 from . import dsum_sql, isum_sql, query
 
 
@@ -243,6 +244,9 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d JOIN firstb f ON d.h = f.h
     ORDER BY d.doc_id
     """,
+    # the probe/append topology lives in the history module — changes
+    # there must re-front this query for driver re-verification
+    hash_deps=(_history.SelfUpdatingHistoryIndex,),
 )
 def stream_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-at-ingest with a SELF-UPDATING index — the loop the other
@@ -260,20 +264,27 @@ def stream_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays 'dup iff the hash appeared in a strictly earlier
     batch'.
 
-    Scale shape: the index lives as the SAME bucketed+sorted table
-    layout ``dedup_incremental_bucketed_index`` persists (bucketBy on
-    the probe key), every batch's probe reads it IN PLACE (only the
-    batch side shuffles — merge-hinted SMJ), and the append is a
-    bucket-spec-matching ``mode("append")`` write of just the batch's
-    novel hashes followed by a catalog refresh. The store is globally
-    distinct BY CONSTRUCTION (each append excludes already-present
-    hashes), so no per-batch distinct re-shuffles the accumulated
-    index — the O(index) per-batch terms are one in-place scan and
-    nothing else. SCALE.md probes the per-batch cost against a
-    K×-grown index."""
+    Scale shape (owned by streaming/history.py, round 11): the index
+    lives as a ``SelfUpdatingHistoryIndex`` — the SAME bucketed+sorted
+    table layout ``dedup_incremental_bucketed_index`` persists
+    (bucketBy on the probe key), every batch's probe reads it IN PLACE
+    (only the batch side shuffles — merge-hinted SMJ), and an
+    incrementally-maintained Bloom bitset routes definite-novel hashes
+    to salted sentinel keys MAP-SIDE ahead of that join ('#…' never
+    matches an md5 hex, so sentinel rows fall through unmatched —
+    lossless, one pass, no union). The append is a bucket-spec-matching
+    write of just the batch's novel hashes, with the batch's bits OR-ed
+    into the bitset so the next batch's prescreen has no false
+    negatives. The store is globally distinct BY CONSTRUCTION (each
+    append excludes already-present hashes), so no per-batch distinct
+    re-shuffles the accumulated index — the O(index) per-batch terms
+    are one in-place scan and nothing else. SCALE.md probes the
+    per-batch cost against a K×-grown index."""
     import os as _os
     import shutil as _sh
 
+    from ..sources.tables import load_table
+    from ..streaming.history import SelfUpdatingHistoryIndex
     from . import catalog as _catalog
 
     split_dir = _os.path.join(_catalog._IO_DIR, "docs_idx_update_split")
@@ -281,41 +292,59 @@ def stream_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = _os.path.join(_catalog._IO_DIR, idx_table)
     out_dir = _os.path.join(_catalog._IO_DIR, "stream_upd_verdicts")
     ckpt = out_dir + "_ckpt_tmp"
-    spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
     for d in (split_dir, idx_dir, out_dir, ckpt):
         _sh.rmtree(d, ignore_errors=True)
     st = core.read_multibatch_documents_stream(spark, sf_dir, split_dir)
-    # bootstrap an EMPTY bucketed index so batch 0 probes/appends the
-    # same layout every later batch uses
-    (
-        spark.createDataFrame([], "h string")
-        .write.bucketBy(8, "h")
-        .sortBy("h")
-        .option("path", idx_dir)
-        .saveAsTable(idx_table)
+    # expected key universe for bloom sizing = corpus row count (a
+    # parquet metadata-only count — cheap at any scale; an upper bound
+    # on distinct content hashes, and over-sizing only lowers FPR)
+    idx = SelfUpdatingHistoryIndex(
+        spark,
+        idx_table,
+        "h",
+        path=idx_dir,
+        expected_keys=load_table(spark, sf_dir, "documents").count(),
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         # pin the batch so the two actions below share one evaluation
         b = batch_df.localCheckpoint(eager=True)
-        spark.catalog.refreshTable(idx_table)  # see the last append
-        seen = spark.table(idx_table).select(F.col("h").alias("_ih"))
+        seen = idx.relation().select(F.col("h").alias("_ih"))
+        # single-pass bloom routing: definite-miss hashes probe with a
+        # salted sentinel ('#' + doc_id % 64 — 64 narrow groups, never
+        # an md5 hex) so they ride the same SMJ and emit is_dup=0
+        # without an index lookup
+        probe_key = F.when(idx.member("h"), F.col("h")).otherwise(
+            F.concat(F.lit("#"), (F.col("doc_id") % 64).cast("string"))
+        )
         # action 1: probe + emit verdicts (MUST complete before the
         # index grows, or every doc would match its own hash)
-        b.hint("merge").join(seen, b.h == F.col("_ih"), "left").select(
-            "doc_id", F.col("_ih").isNotNull().cast("long").alias("is_dup")
-        ).write.mode("append").parquet(out_dir)
-        # action 2: grow the index with this batch's novel hashes,
-        # bucket-spec-matching append
-        (
-            b.select("h")
-            .distinct()
-            .join(seen, F.col("h") == F.col("_ih"), "left_anti")
-            .write.mode("append")
-            .bucketBy(8, "h")
-            .sortBy("h")
-            .saveAsTable(idx_table)
+        verdicts = (
+            idx.attach_bitset(b)
+            .select("doc_id", probe_key.alias("_pk"))
+            .hint("merge")
+            .join(seen, F.col("_pk") == F.col("_ih"), "left")
+            .select(
+                "doc_id", F.col("_ih").isNotNull().cast("long").alias("is_dup")
+            )
         )
+        core.LAST_INGEST_PLAN[0] = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            verdicts._jdf.queryExecution(), "formatted"
+        )
+        verdicts.write.mode("append").parquet(out_dir)
+        # action 2: grow the index with this batch's novel hashes —
+        # same bloom routing (sentinel salt from the hash itself) so
+        # definite-novel hashes skip the lookup here too
+        novel_key = F.when(idx.member("h"), F.col("h")).otherwise(
+            F.concat(F.lit("#"), F.substring("h", 1, 2))
+        )
+        novel = (
+            idx.attach_bitset(b.select("h").distinct())
+            .select("h", novel_key.alias("_pk"))
+            .join(seen, F.col("_pk") == F.col("_ih"), "left_anti")
+            .select("h")
+        )
+        idx.append(novel)
 
     q = (
         st.writeStream.foreachBatch(ingest)
@@ -756,7 +785,7 @@ def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_dedup_against_corpus_indexed",
     oracle=_DEDUP_CORPUS_ORACLE,
-    hash_deps=(_stream_dedup_against_corpus,),
+    hash_deps=(_stream_dedup_against_corpus, _history.build_history_index),
 )
 def stream_dedup_against_corpus_indexed(
     spark: SparkSession, sf_dir: str
@@ -1342,7 +1371,7 @@ query(
 query(
     "stream_neardup_at_ingest_indexed",
     oracle=_NEARDUP_INGEST_ORACLE,
-    hash_deps=(_stream_neardup_at_ingest,),
+    hash_deps=(_stream_neardup_at_ingest, _history.build_history_index),
 )(stream_neardup_at_ingest_indexed)
 
 
@@ -1632,7 +1661,7 @@ query(
 query(
     "stream_ingest_funnel_indexed",
     oracle=_INGEST_FUNNEL_ORACLE,
-    hash_deps=(_stream_ingest_funnel,),
+    hash_deps=(_stream_ingest_funnel, _history.build_history_index),
 )(stream_ingest_funnel_indexed)
 
 

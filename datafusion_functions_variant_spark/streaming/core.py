@@ -46,6 +46,12 @@ _SINK_LOCK = threading.Lock()
 #: that actually ran, not a batch reconstruction.
 LAST_EXECUTED_PLAN: list[str] = [""]
 
+#: The formatted plan of the most recent foreachBatch PROBE frame
+#: (set by callbacks that compose their own per-batch actions, e.g.
+#: ``stream_dedup_index_update``'s probe-then-append transaction,
+#: where there is no terminated query object to explainInternal).
+LAST_INGEST_PLAN: list[str] = [""]
+
 
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A test table as a file stream, schema-normalized like the batch

@@ -58,21 +58,12 @@ DEFAULT_BROADCAST_THRESHOLD_ROWS = int(
 DEFAULT_BLOOM_MAX_BITS = 1 << 26
 
 
-@dataclass(frozen=True)
-class HistoryIndex:
-    """A probe-ready history relation: ``relation`` joins on ``key``
-    (broadcast-hinted on the small path, a bucketed in-place scan on
-    the scale path); ``bitset``/``m_bits`` carry the optional Bloom
-    prescreen (None on the broadcast path — prescreening a broadcast
-    probe would cost more than the join it guards)."""
-
-    relation: DataFrame
-    key: str
-    broadcasted: bool
-    n_keys: int
-    bitset: DataFrame | None = None
-    m_bits: int | None = None
-    bits_col: str = "bits"
+class _BloomProbeMixin:
+    """Shared Bloom-prescreen surface: ``member``/``attach_bitset``/
+    ``drop_bitset`` over ``self.bitset``/``self.m_bits``/
+    ``self.bits_col``. Used by the immutable ``HistoryIndex`` and the
+    mutable ``SelfUpdatingHistoryIndex`` so every ingest gate probes
+    through one implementation."""
 
     def member(self, key_expr: str) -> Column:
         """Map-side Bloom membership test for ``key_expr`` (a SQL
@@ -93,6 +84,23 @@ class HistoryIndex:
 
     def drop_bitset(self, df: DataFrame) -> DataFrame:
         return df.drop(self.bits_col) if self.bitset is not None else df
+
+
+@dataclass(frozen=True)
+class HistoryIndex(_BloomProbeMixin):
+    """A probe-ready history relation: ``relation`` joins on ``key``
+    (broadcast-hinted on the small path, a bucketed in-place scan on
+    the scale path); ``bitset``/``m_bits`` carry the optional Bloom
+    prescreen (None on the broadcast path — prescreening a broadcast
+    probe would cost more than the join it guards)."""
+
+    relation: DataFrame
+    key: str
+    broadcasted: bool
+    n_keys: int
+    bitset: DataFrame | None = None
+    m_bits: int | None = None
+    bits_col: str = "bits"
 
 
 def build_history_index(
@@ -152,3 +160,123 @@ def build_history_index(
         m_bits=m_bits,
         bits_col=bits_col,
     )
+
+
+class SelfUpdatingHistoryIndex(_BloomProbeMixin):
+    """The MUTABLE twin of :func:`build_history_index` for dedup-at-
+    ingest pipelines whose history IS the stream's own past batches
+    (``stream_dedup_index_update``): a bucketed+sorted key table that
+    each micro-batch probes and then appends its novel keys to, plus
+    an incrementally-maintained Bloom bitset over everything appended
+    so far.
+
+    Why incremental: the static builder sizes and builds its bitset
+    once from a finished history. Here the history grows every batch —
+    rebuilding the bitset per batch would re-scan the whole index
+    (exactly the O(index) per-batch term this module exists to kill),
+    while a STALE bitset is a correctness bug, not a perf bug: a key
+    appended in batch N but missing from the bitset would test
+    'definitely absent' in batch N+1 and sail past the exact join as a
+    false novel. So ``append`` both writes the keys bucket-spec-
+    matched and ORs their bits into the bitset — O(batch + m/64 words)
+    — preserving the no-false-negative invariant batch over batch.
+
+    Sizing: ``m_bits`` must be FIXED up front (bits from different m
+    don't merge), so it is derived from ``expected_keys`` — the
+    pipeline's estimate of the eventual key universe (a parquet
+    metadata count of the backing corpus; cheap at any scale). An
+    underestimate degrades FPR gracefully (sheds less, never drops a
+    true match); below ~2 bits/expected-key the bitset is omitted and
+    ``member`` returns literal True, same rule as the static builder.
+
+    Recovery note: the table is the durable truth; the bitset is
+    in-memory pruning state. A restarted pipeline must rebuild it from
+    the table once (``rebuild_bitset``) before probing — resuming with
+    a bitset older than the table would reintroduce false negatives.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_name: str,
+        key: str,
+        *,
+        path: str,
+        expected_keys: int,
+        bucket_count: int = 8,
+        bloom_max_bits: int = DEFAULT_BLOOM_MAX_BITS,
+        bits_col: str = "bits",
+    ) -> None:
+        self.spark = spark
+        self.table_name = table_name
+        self.key = key
+        self.bucket_count = bucket_count
+        self.bits_col = bits_col
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        (
+            spark.createDataFrame([], f"{key} string")
+            .write.bucketBy(bucket_count, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(table_name)
+        )
+        m_bits = min(bloom_m_bits(expected_keys), bloom_max_bits)
+        if m_bits >= 2 * expected_keys:
+            self.m_bits = m_bits
+            self.bitset = self._zero_bitset()
+        else:
+            self.m_bits = None
+            self.bitset = None
+
+    def _zero_bitset(self) -> DataFrame:
+        m_words = self.m_bits // 64
+        return self.spark.range(1).select(
+            F.expr(f"array_repeat(0L, {m_words})").alias(self.bits_col)
+        ).localCheckpoint(eager=True)
+
+    def relation(self) -> DataFrame:
+        """The index as of the LAST completed ``append`` — refreshed
+        so a foreachBatch callback sees the previous batch's files."""
+        self.spark.catalog.refreshTable(self.table_name)
+        return self.spark.table(self.table_name)
+
+    def append(self, novel: DataFrame) -> None:
+        """Grow the index with ``novel`` (must already exclude keys
+        present in the table — the caller's anti-join guarantees the
+        store stays distinct by construction, so no per-batch distinct
+        ever re-shuffles the accumulated index). Bucket-spec-matching
+        append plus an O(batch) bitset merge."""
+        if self.bitset is not None:
+            # OR the batch's bits in BEFORE the blocking write: both
+            # complete before this batch's callback returns, and the
+            # checkpoint bounds lineage so batch N's bitset never
+            # re-aggregates batches 0..N-1
+            delta = bloom_build(novel, F.col(self.key), self.m_bits)
+            self.bitset = (
+                self.bitset.crossJoin(
+                    delta.select(F.col("bits").alias("_nb"))
+                )
+                .select(
+                    F.zip_with(
+                        self.bits_col, "_nb", lambda a, b: a.bitwiseOR(b)
+                    ).alias(self.bits_col)
+                )
+                .localCheckpoint(eager=True)
+            )
+        (
+            novel.write.mode("append")
+            .bucketBy(self.bucket_count, self.key)
+            .sortBy(self.key)
+            .saveAsTable(self.table_name)
+        )
+
+    def rebuild_bitset(self) -> None:
+        """Recovery path: one full index scan re-derives the bitset
+        from the durable table (see class docstring)."""
+        if self.m_bits is None:
+            return
+        self.bitset = (
+            bloom_build(self.relation(), F.col(self.key), self.m_bits)
+            .select(F.col("bits").alias(self.bits_col))
+            .localCheckpoint(eager=True)
+        )

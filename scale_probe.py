@@ -626,13 +626,20 @@ def main() -> None:
 
     # --- bespoke case: self-updating ingest index, steady-state
     # per-batch cost vs index SIZE (r10 capstone
-    # stream_dedup_index_update, in its final bucketed-table shape).
-    # The index table is pre-seeded with K x salted hashes (3.3k ->
-    # 26.6k keys, untimed), then ONE fixed batch (sf0.1 docs with
-    # doc_id % 3 = 0) runs the probe-then-append transaction. The
-    # claim: per-batch cost tracks the BATCH plus one in-place index
-    # scan — no index shuffle, no per-batch distinct over the store.
+    # stream_dedup_index_update; r11: routed through
+    # SelfUpdatingHistoryIndex — bucketed table + incrementally
+    # maintained Bloom bitset, the registered query's exact shape).
+    # The index is pre-seeded with K x salted hashes (3.3k -> 26.6k
+    # keys, untimed), then ONE fixed batch (sf0.1 docs with doc_id % 3
+    # = 0) runs the probe-then-append transaction. The claim:
+    # per-batch cost tracks the BATCH plus one in-place index scan —
+    # no index shuffle, no per-batch distinct over the store, and the
+    # O(batch) bitset merge stays flat in K.
     import shutil as _sh
+
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
 
     batch_fp = (
         spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -643,34 +650,41 @@ def main() -> None:
     upd_base = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".tmp_bench", "idx_update_probe"
     )
+    n_base = base_fp.count()
     per_k = {}
     for k in KS:
         tbl = f"idx_update_probe_k{k}"
         tdir = os.path.join(upd_base, tbl)
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         _sh.rmtree(tdir, ignore_errors=True)
+        idx = SelfUpdatingHistoryIndex(
+            spark, tbl, "h", path=tdir, expected_keys=(k + 1) * n_base
+        )
         seed = spark.range(1, k + 1).crossJoin(base_fp).select(
             F.md5(F.concat_ws("#", "h", "id")).alias("h")
         )
-        (
-            seed.write.bucketBy(8, "h").sortBy("h")
-            .option("path", tdir).saveAsTable(tbl)
-        )  # untimed: the accumulated history
+        idx.append(seed.distinct())  # untimed: the accumulated history
         samples = []
         for i in range(RUNS + 1):
             t0 = time.perf_counter()
-            spark.catalog.refreshTable(tbl)
-            seen = spark.table(tbl).select(F.col("h").alias("_ih"))
-            batch_fp.hint("merge").join(
-                seen, batch_fp.h == F.col("_ih"), "left"
+            seen = idx.relation().select(F.col("h").alias("_ih"))
+            probe_key = F.when(idx.member("h"), F.col("h")).otherwise(
+                F.concat(F.lit("#"), (F.col("doc_id") % 64).cast("string"))
+            )
+            idx.attach_bitset(batch_fp).select(
+                "doc_id", probe_key.alias("_pk")
+            ).hint("merge").join(
+                seen, F.col("_pk") == F.col("_ih"), "left"
             ).select(
                 "doc_id", F.col("_ih").isNotNull().cast("long").alias("is_dup")
             ).agg(F.count(F.lit(1)), F.sum("is_dup")).collect()
-            (
-                batch_fp.select("h").distinct()
-                .join(seen, F.col("h") == F.col("_ih"), "left_anti")
-                .write.mode("append").bucketBy(8, "h").sortBy("h")
-                .saveAsTable(tbl)
+            novel_key = F.when(idx.member("h"), F.col("h")).otherwise(
+                F.concat(F.lit("#"), F.substring("h", 1, 2))
+            )
+            idx.append(
+                idx.attach_bitset(batch_fp.select("h").distinct())
+                .select("h", novel_key.alias("_pk"))
+                .join(seen, F.col("_pk") == F.col("_ih"), "left_anti")
+                .select("h")
             )
             if i:
                 samples.append(time.perf_counter() - t0)

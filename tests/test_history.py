@@ -105,3 +105,78 @@ def test_bloom_caps_and_degrades_gracefully(spark):
     )
     assert passed.count() == 50
     assert DEFAULT_BLOOM_MAX_BITS == 1 << 26  # 8 MiB broadcast ceiling
+
+
+def _idx_dir(spark, name):
+    from datafusion_functions_variant_spark.queries.catalog import _IO_DIR
+    import os
+    return os.path.join(_IO_DIR, name)
+
+
+def test_self_updating_index_grows_and_never_false_negative(spark):
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    idx = SelfUpdatingHistoryIndex(
+        spark, "sui_t_grow", "k",
+        path=_idx_dir(spark, "sui_t_grow"), expected_keys=400,
+    )
+    assert idx.bitset is not None and idx.m_bits >= 2 * 400
+    assert idx.relation().count() == 0
+    # batch 1: 150 novel keys
+    b1 = _keys(spark, 150, salt="b1")
+    idx.append(b1)
+    assert idx.relation().count() == 150
+    # every appended key must test member=True on the UPDATED bitset —
+    # the no-false-negative invariant across appends (a stale bitset
+    # would shed true duplicates as definite-novel)
+    assert idx.attach_bitset(b1).where(~idx.member("k")).count() == 0
+    # batch 2: 100 more — batch 1 keys STILL members afterwards
+    b2 = _keys(spark, 100, salt="b2")
+    idx.append(b2)
+    assert idx.relation().count() == 250
+    both = b1.unionByName(b2)
+    assert idx.attach_bitset(both).where(~idx.member("k")).count() == 0
+    # foreign keys still overwhelmingly shed
+    foreign = idx.attach_bitset(_keys(spark, 2000, salt="zzz"))
+    fp = foreign.where(idx.member("k")).count()
+    assert fp < 100, f"incremental bloom FP implausibly high: {fp}/2000"
+
+
+def test_self_updating_index_rebuild_matches_incremental(spark):
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    idx = SelfUpdatingHistoryIndex(
+        spark, "sui_t_rebuild", "k",
+        path=_idx_dir(spark, "sui_t_rebuild"), expected_keys=300,
+    )
+    idx.append(_keys(spark, 120, salt="r1"))
+    idx.append(_keys(spark, 80, salt="r2"))
+    probe = _keys(spark, 3000, salt="probe-mix").unionByName(
+        _keys(spark, 120, salt="r1")
+    )
+    incr = idx.attach_bitset(probe).where(idx.member("k")).count()
+    idx.rebuild_bitset()  # recovery path: re-derive from the table
+    rebuilt = idx.attach_bitset(probe).where(idx.member("k")).count()
+    # identical bits (same keys, same m, same seeds) → identical sheds
+    assert incr == rebuilt
+
+
+def test_self_updating_index_degenerates_without_headroom(spark):
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    idx = SelfUpdatingHistoryIndex(
+        spark, "sui_t_degen", "k",
+        path=_idx_dir(spark, "sui_t_degen"), expected_keys=5000,
+        bloom_max_bits=4096,  # < 2 bits/key → prescreen off
+    )
+    assert idx.bitset is None and idx.m_bits is None
+    idx.append(_keys(spark, 50, salt="d"))  # append still works
+    assert idx.relation().count() == 50
+    passed = idx.attach_bitset(_keys(spark, 30, salt="e")).where(idx.member("k"))
+    assert passed.count() == 30  # member() passes everything

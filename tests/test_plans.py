@@ -1288,3 +1288,28 @@ def test_stream_history_small_path_still_broadcasts(spark):
     plan = _stream_plan(spark, "stream_dedup_against_corpus")
     assert "BroadcastHashJoin" in plan
     assert "hist_dedup_content_idx" not in plan
+
+
+def test_stream_index_update_bloom_ahead_of_smj(spark):
+    # r11: the self-updating ingest index capstone probes through
+    # streaming/history.py — the per-batch verdict plan must show the
+    # map-side Bloom prescreen (member bits feeding the salted-
+    # sentinel probe key) AHEAD of a merge SMJ that reads the bucketed
+    # index in place. Captured from the batch that actually ran inside
+    # foreachBatch (core.LAST_INGEST_PLAN).
+    from datafusion_functions_variant_spark.streaming import core
+
+    REGISTRY["stream_dedup_index_update"].build(spark, SF)
+    plan = core.LAST_INGEST_PLAN[0]
+    assert plan, "no ingest probe plan captured"
+    assert "SortMergeJoin" in plan and "LeftOuter" in plan
+    # the index side never broadcasts and is read bucket-in-place
+    assert "BroadcastHashJoin" not in plan
+    assert "stream_upd_hash_idx" in plan
+    assert "SelectedBucketsCount" in plan
+    # bloom membership runs map-side in the probe-key projection
+    # (shiftright/element_at over the broadcast bits words)
+    assert "shiftright" in plan and "element_at" in plan
+    # the bitset is maintained incrementally — a bit_or aggregate in
+    # the batch plan would mean the whole index is re-scanned per batch
+    assert "bit_or" not in plan
