@@ -154,6 +154,125 @@ def variant_global_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_global_dictionary_wide",
+    oracle="""
+    WITH d AS (
+      SELECT (e.event_id * 8 + g.i) AS kid
+      FROM events e
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) g
+    )
+    SELECT CAST(COUNT(DISTINCT kid) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(kid) AS BIGINT) AS sum_kid,
+           CAST(SUM(kid % 97) AS BIGINT) AS sum_v
+    FROM d
+    """,
+)
+def variant_global_dictionary_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``variant_global_dictionary`` beyond its 2^16-key refusal
+    (VERDICT r10 ask #7): the TWO-PASS DISTRIBUTED dictionary. The
+    synthetic corpus fans every event into 8 one-key JSON objects with
+    globally unique keys ('k' + event_id*8+i), so the key universe is
+    8x the events table — 80,000 keys at the sf0.01 driver gate,
+    clearing 2^16 by design.
+
+    Pass 1 extracts the key universe JVM-side (json_object_keys →
+    explode → distinct; one narrow distinct-agg shuffle), builds ONE
+    metadata blob driver-side from the sorted keys, and ships it with
+    ``sc.broadcast`` — per-executor, fetched once, NOT closure-pickled
+    per task and NOT materialized per row. Pass 2 encodes each row
+    against the shared dictionary; encoded rows carry ONLY their
+    ~10-byte value (field ids reference the broadcast dictionary),
+    which is the write-amplification-optimal layout the reference's
+    batch-shared design points at (json.rs:165-170 repeats the
+    dictionary per Arrow batch; this is its global extension). The
+    verification decode walks every value back through the same
+    broadcast dictionary (codec.to_python) and re-derives key ids and
+    values — one dictionary, every row decodable.
+
+    Driver state is O(distinct keys) during the blob build — bounded
+    and refused loudly past 2^24 keys (~hundreds of MB of strings; at
+    THAT point the key space is data, not schema, and the per-batch
+    dictionaries of Track C are the right tool)."""
+    from .. import codec
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    ev = load_table(spark, sf_dir, "events")
+    corpus = (
+        ev.select(
+            F.explode(F.expr("sequence(0, 7)")).alias("i"), "event_id"
+        )
+        .select((F.col("event_id") * 8 + F.col("i")).alias("kid"))
+        .select(
+            F.to_json(
+                F.create_map(
+                    F.concat(F.lit("k"), F.col("kid").cast("string")),
+                    (F.col("kid") % 97).cast("long"),
+                )
+            ).alias("js")
+        )
+    )
+
+    # pass 1: distributed distinct over the key universe; only the
+    # DISTINCT keys ever reach the driver
+    keys_df = corpus.select(
+        F.explode(F.json_object_keys("js")).alias("k")
+    ).distinct()
+    cap = 1 << 24
+    key_universe = sorted(r["k"] for r in keys_df.limit(cap + 1).collect())
+    if len(key_universe) > cap:
+        raise ValueError(
+            f"global dictionary key universe exceeds {cap} keys; "
+            "use per-batch dictionaries (explicit.variant_from_json) instead"
+        )
+    n_keys = len(key_universe)
+    meta_bc = spark.sparkContext.broadcast(
+        bytes(codec.build_metadata(key_universe))
+    )
+
+    # pass 2: encode against the broadcast dictionary — rows keep only
+    # their value bytes, never a per-row copy of the metadata blob
+    @pandas_udf("binary")
+    def encode_wide(texts: pd.Series) -> pd.Series:
+        import json as _json
+
+        m = codec.Metadata(meta_bc.value)
+        values = []
+        for t in texts:
+            buf = bytearray()
+            codec.convert_value(_json.loads(t), buf, m)
+            values.append(bytes(buf))
+        return pd.Series(values)
+
+    @pandas_udf("struct<key: string, v: long>")
+    def decode_wide(vals: pd.Series) -> pd.DataFrame:
+        m = codec.Metadata(meta_bc.value)
+        ks, vs = [], []
+        for b in vals:
+            ((k, vv),) = tuple(codec.Variant(b).get_object().items(m))
+            ks.append(k)
+            vs.append(int(codec.to_python(vv, m)))
+        return pd.DataFrame({"key": ks, "v": vs})
+
+    dec = (
+        corpus.select(encode_wide(F.col("js")).alias("value"))
+        .select(decode_wide(F.col("value")).alias("d"))
+        .select("d.key", "d.v")
+    )
+    return dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("cast(substr(key, 2) as bigint)")).alias("sum_kid"),
+        F.sum("v").alias("sum_v"),
+    ).select(
+        F.lit(n_keys).cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long"),
+        F.col("sum_kid").cast("long"),
+        F.col("sum_v").cast("long"),
+    )
+
+
+@query(
     "variant_shred_pipeline",
     oracle=f"""
     SELECT e.event_type, o.o_orderpriority, COUNT(*) AS n,
