@@ -153,6 +153,19 @@ _WINDOW = 50
 #: changed under an unchanged spec hash — 8/round re-covers any given
 #: operator family within ~2 rounds instead of ~5.
 _REVERIFY_SAMPLE = 8
+#: Names force-joined to the re-verify sample regardless of the
+#: rotation offset — for queries whose BENCH numbers moved in the
+#: driver's last run (VERDICT r10 #2: the scaled TPC-H drift) so the
+#: driver re-hashes them in the same round that re-measures them.
+#: Keep this SMALL and transient: each pin consumes a window slot the
+#: rotation would otherwise spend sweeping the verified backlog.
+_PINNED_REVERIFY = frozenset(
+    {
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+    }
+)
 _SPEC_LEDGER = "QUERY_SPECS.json"
 
 
@@ -288,7 +301,11 @@ def _reverify_sample(verified: set[str]) -> set[str]:
         return set()
     names = sorted(verified)
     start = (_current_round() * _REVERIFY_SAMPLE) % len(names)
-    return {names[(start + i) % len(names)] for i in range(min(_REVERIFY_SAMPLE, len(names)))}
+    sample = {
+        names[(start + i) % len(names)]
+        for i in range(min(_REVERIFY_SAMPLE, len(names)))
+    }
+    return sample | (_PINNED_REVERIFY & verified)
 
 
 def load_all_queries() -> dict[str, QuerySpec]:

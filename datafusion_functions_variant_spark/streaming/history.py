@@ -213,6 +213,16 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
         self.bucket_count = bucket_count
         self.bits_col = bits_col
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        # __init__ is CREATE-FRESH: clear leftover files at ``path``
+        # from a previous session whose metastore entry is gone (the
+        # DROP above only removes files the CURRENT metastore knows
+        # about) — otherwise the CTAS below refuses the non-empty
+        # location. Restart-and-keep recovery is a different flow:
+        # re-register the table over the existing path, then
+        # ``rebuild_bitset()``.
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         (
             spark.createDataFrame([], f"{key} string")
             .write.bucketBy(bucket_count, key)
