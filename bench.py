@@ -292,7 +292,8 @@ def ensure_scaled_dir(spark, sf_dir: str, k: int, out_dir: str) -> None:
     )
 
     meta_path = os.path.join(out_dir, "_scale_meta.json")
-    want = {"src": os.path.abspath(sf_dir), "k": k, "v": 1}
+    # v4: order-preserving read-parallel layout (maxRecordsPerFile)
+    want = {"src": os.path.abspath(sf_dir), "k": k, "v": 4}
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             if _json.load(fh) == want:
@@ -329,8 +330,36 @@ def ensure_scaled_dir(spark, sf_dir: str, k: int, out_dir: str) -> None:
             out = copies[0]
             for c in copies[1:]:
                 out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"{name}.parquet")
+        # Write a READ-PARALLEL layout WITHOUT reordering rows. The
+        # union writes one file per copy, and when the source table is
+        # a single row group (the driver's testdata generator does
+        # that) each output file is one giant row group too — parquet
+        # byte-range splits beyond the row-group count are no-ops, so
+        # the scaled lineitem scan had K=10 effective readers on a
+        # 32-core box. That was the round-10/11 "scaled TPC-H drift":
+        # q1 stalled at 10 running tasks of 31 while 21 finished
+        # instantly; q1 sf0.1 stayed flat the whole time. A 100 TB
+        # corpus is thousands of files with many row groups per
+        # executor — the scaled fixture must model that (this
+        # function's contract: "the scaled read gets proportionally
+        # more tasks").
+        #
+        # maxRecordsPerFile (not repartition) because HOW the files
+        # are cut matters as much as how many there are: interleaved
+        # A/Bs showed a round-robin repartition to 60-64 files fixes
+        # q1 (1.61→0.96 s min floor) but regresses q3 ~1.2-1.5× —
+        # the shuffle destroys the source's natural key/date
+        # clustering, so parquet row-group and page statistics stop
+        # skipping anything under q3's selective date predicates.
+        # maxRecordsPerFile splits each write task's output into
+        # order-preserving 100k-row files: same 60 readers for
+        # lineitem, zero extra shuffle, clustering (and therefore
+        # stat-based skipping) intact. Tables smaller than 100k rows
+        # per copy keep the one-file-per-copy layout unchanged.
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", 100_000)
+            .parquet(os.path.join(out_dir, f"{name}.parquet"))
         )
     with open(meta_path, "w") as fh:
         _json.dump(want, fh)
