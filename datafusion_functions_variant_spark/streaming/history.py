@@ -238,6 +238,58 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
             self.m_bits = None
             self.bitset = None
 
+    @classmethod
+    def attach(
+        cls,
+        spark: SparkSession,
+        table_name: str,
+        key: str,
+        *,
+        path: str,
+        expected_keys: int,
+        bucket_count: int = 8,
+        bloom_max_bits: int = DEFAULT_BLOOM_MAX_BITS,
+        bits_col: str = "bits",
+    ) -> "SelfUpdatingHistoryIndex":
+        """Restart-and-keep recovery: adopt an index a PREVIOUS session
+        built, without losing a key. ``__init__`` is create-fresh (it
+        clears the path); a restarted ingest pipeline instead needs the
+        durable table back as-is. A fresh session's metastore has no
+        entry for it, so this re-registers an EXTERNAL bucketed table
+        over the existing files — the bucket spec in the DDL must match
+        the one the files were written with (Spark maps the bucket id
+        from each file's name, so the in-place, Exchange-free probe
+        scans survive the restart) — then rebuilds the Bloom bitset
+        once from the table (the class docstring's recovery protocol:
+        the table is durable truth, the bitset is in-memory pruning
+        state, and a bitset older than the table would reintroduce
+        false negatives).
+        """
+        idx = cls.__new__(cls)
+        idx.spark = spark
+        idx.table_name = table_name
+        idx.key = key
+        idx.bucket_count = bucket_count
+        idx.bits_col = bits_col
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        spark.sql(
+            f"""
+            CREATE TABLE {table_name} ({key} STRING)
+            USING parquet
+            CLUSTERED BY ({key}) SORTED BY ({key})
+            INTO {bucket_count} BUCKETS
+            LOCATION '{path}'
+            """
+        )
+        m_bits = min(bloom_m_bits(expected_keys), bloom_max_bits)
+        if m_bits >= 2 * expected_keys:
+            idx.m_bits = m_bits
+            idx.rebuild_bitset()
+        else:
+            idx.m_bits = None
+            idx.bitset = None
+        return idx
+
     def _zero_bitset(self) -> DataFrame:
         m_words = self.m_bits // 64
         return self.spark.range(1).select(

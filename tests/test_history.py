@@ -180,3 +180,59 @@ def test_self_updating_index_degenerates_without_headroom(spark):
     assert idx.relation().count() == 50
     passed = idx.attach_bitset(_keys(spark, 30, salt="e")).where(idx.member("k"))
     assert passed.count() == 30  # member() passes everything
+
+
+def test_self_updating_index_attach_recovers_across_sessions(spark):
+    """Restart-and-keep: a fresh session (metastore lost, files kept)
+    adopts the durable table via attach() — no key lost, bitset
+    rebuilt, bucketed Exchange-free probe scans intact, and the index
+    keeps growing from where the previous session stopped."""
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    path = _idx_dir(spark, "sui_t_attach")
+    idx = SelfUpdatingHistoryIndex(
+        spark, "sui_t_attach", "k", path=path, expected_keys=400,
+    )
+    idx.append(_keys(spark, 150, salt="a1"))
+    idx.append(_keys(spark, 100, salt="a2"))
+
+    # simulate the restart: metastore entry gone, files untouched
+    spark.sql("DROP TABLE IF EXISTS sui_t_attach")
+
+    re = SelfUpdatingHistoryIndex.attach(
+        spark, "sui_t_attach", "k", path=path, expected_keys=400,
+    )
+    assert re.relation().count() == 250
+    seen = _keys(spark, 150, salt="a1").unionByName(_keys(spark, 100, salt="a2"))
+    # no false negatives after recovery (stale/missing bitset would
+    # shed true duplicates as definite-novel)
+    assert re.attach_bitset(seen).where(~re.member("k")).count() == 0
+    # foreign keys still overwhelmingly shed → the bitset really was
+    # rebuilt, not silently disabled
+    fp = re.attach_bitset(_keys(spark, 2000, salt="zz")).where(re.member("k")).count()
+    assert fp < 100, f"post-attach bloom FP implausibly high: {fp}/2000"
+
+    # the re-registered table keeps its bucket spec: a merge-join probe
+    # against it must NOT exchange the index side (in-place bucketed
+    # scan — the whole point of the persisted layout)
+    probe = _keys(spark, 50, salt="a1")
+    joined = probe.hint("merge").join(
+        re.relation().select(F.col("k").alias("_h")),
+        probe.k == F.col("_h"),
+        "left_semi",
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    assert joined.count() == 50
+
+    # appends keep working after recovery, invariant intact
+    re.append(_keys(spark, 60, salt="a3"))
+    assert re.relation().count() == 310
+    assert (
+        re.attach_bitset(_keys(spark, 60, salt="a3"))
+        .where(~re.member("k"))
+        .count()
+        == 0
+    )
