@@ -1276,3 +1276,169 @@ def test_spark_xxhash64_matches_cleanroom_xxh64(spark):
     }
     for s, h in got.items():
         assert h == signed(xxh64(s.encode("utf-8"), 42)), repr(s)
+
+
+def _vecs(spark, n, dim=8, seed=3, id_col="vec_id"):
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, [id_col, "embedding"])
+
+
+def test_brute_force_topk_fast_path_agrees_with_exact(spark):
+    """The double fast path (exact=False) must return the same top-k
+    SET as the decimal exact path on well-separated random vectors —
+    it exists for the 100 TB scan where BigDecimal per element is the
+    dominant cost, so agreement is the whole contract."""
+    from datafusion_functions_variant_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    corpus = _vecs(spark, 120, seed=5)
+    queries = _vecs(spark, 4, seed=11)
+    fast = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(corpus, queries, k=3, exact=False).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(corpus, queries, k=3, exact=True).collect()
+    }
+    assert fast == exact and len(fast) == 12
+
+
+def test_cosine_topk_matches_normalized_dot(spark):
+    """cosine_topk must rank identically to brute-force dot top-k over
+    pre-normalized vectors (cosine IS the dot of unit vectors)."""
+    from datafusion_functions_variant_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_topk,
+    )
+
+    corpus = _vecs(spark, 100, seed=7)
+    queries = _vecs(spark, 3, seed=23)
+
+    def unit(df):
+        norm = F.sqrt(
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return df.withColumn(
+            "embedding", F.transform("embedding", lambda x: x / norm)
+        )
+
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in cosine_topk(corpus, queries, k=3).collect()
+    }
+    via_dot = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(
+            unit(corpus), unit(queries), k=3, exact=False
+        ).collect()
+    }
+    assert got == via_dot and len(got) == 9
+
+
+def test_pq_topk_skips_rerank_when_shortlist_not_larger_than_k(spark):
+    """shortlist <= k must take the ADC-only exit (same schema, score
+    = the ADC approximation) instead of building a rerank join."""
+    from datafusion_functions_variant_spark.operators.similarity import pq_topk
+
+    corpus = _vecs(spark, 80, seed=17)
+    queries = _vecs(spark, 2, seed=29)
+    out = pq_topk(corpus, queries, k=3, m=2, ks=4, dim=8, shortlist=3)
+    rows = out.collect()
+    assert out.columns == ["query_id", "vec_id", "score", "rank"]
+    assert len(rows) == 6 and all(r.rank <= 3 for r in rows)
+
+
+def test_knn_graph_dim_guard_and_ranked_k(spark):
+    """bands*bits_per_band > dim must raise loudly (silent NULL sign
+    bits would collapse the bucket space); k>1 emits a rank column."""
+    import pytest
+
+    from datafusion_functions_variant_spark.operators.similarity import knn_graph
+
+    df = _vecs(spark, 60, dim=8, seed=31)
+    with pytest.raises(ValueError, match="sign dims"):
+        knn_graph(df, "vec_id", "embedding", bands=3, bits_per_band=4, dim=8)
+    out = knn_graph(
+        df, "vec_id", "embedding", bands=2, bits_per_band=4, dim=8, k=2,
+        exact=False,  # the double fast path — the registry queries pin exact
+    )
+    rows = out.collect()
+    assert "rank" in out.columns and rows
+    assert all(r.rank in (1, 2) for r in rows)
+
+
+def test_fan_out_repartitions_only_when_under_target(spark):
+    from datafusion_functions_variant_spark.operators.dedup import fan_out
+
+    one = spark.createDataFrame([(i,) for i in range(10)], ["id"]).coalesce(1)
+    assert fan_out(one, min_partitions=4).rdd.getNumPartitions() == 4
+    wide = spark.range(100).repartition(8)
+    assert fan_out(wide, min_partitions=4) is wide  # already saturated
+
+
+def test_minhash_signatures_gram_input_and_hash_guard(spark):
+    """The grams-input form must equal the _text convenience wrapper
+    on the same documents (same grams → same signature), and an
+    unknown hash_fn must raise."""
+    import pytest
+
+    from datafusion_functions_variant_spark.operators.dedup import (
+        char_ngrams,
+        gram_hash,
+        minhash_signatures,
+        minhash_signatures_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "pack my box with five dozen")],
+        ["doc_id", "text"],
+    )
+    via_grams = minhash_signatures(
+        char_ngrams(docs, "text", "doc_id"), "doc_id", num_hashes=4
+    )
+    via_text = minhash_signatures_text(docs, "text", "doc_id", num_hashes=4)
+    assert sorted(map(tuple, via_grams.collect())) == sorted(
+        map(tuple, via_text.collect())
+    )
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        gram_hash(F.lit("x"), "sha9000")
+
+
+def test_history_degenerate_attach_and_noop_rebuild(spark):
+    """attach() with no bloom headroom must come back bitset-less
+    (member() passes everything, rebuild_bitset is a no-op) while the
+    durable table still answers exactly; drop_bitset is an identity
+    on a bitset-less frame."""
+    import os
+
+    from datafusion_functions_variant_spark.queries.catalog import _IO_DIR
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    path = os.path.join(_IO_DIR, "sui_t_degen_attach")
+    idx = SelfUpdatingHistoryIndex(
+        spark, "sui_t_degen_attach", "k", path=path, expected_keys=50,
+    )
+    keys = spark.range(40).select(F.md5(F.col("id").cast("string")).alias("k"))
+    idx.append(keys)
+    spark.sql("DROP TABLE IF EXISTS sui_t_degen_attach")
+
+    re = SelfUpdatingHistoryIndex.attach(
+        spark, "sui_t_degen_attach", "k", path=path, expected_keys=5000,
+        bloom_max_bits=4096,  # < 2 bits/key → prescreen off
+    )
+    assert re.bitset is None and re.m_bits is None
+    re.rebuild_bitset()  # no-op, must not crash or grow state
+    assert re.bitset is None
+    probe = re.attach_bitset(keys)  # identity without a bitset
+    assert re.drop_bitset(probe) is probe
+    assert probe.where(re.member("k")).count() == 40
+    assert re.relation().count() == 40
