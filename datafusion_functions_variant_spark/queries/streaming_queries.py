@@ -224,6 +224,59 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_update_ingest(spark, idx, out_dir):
+    """foreachBatch callback of the self-updating ingest dedup — the
+    probe-before-append transaction both the fresh-index capstone
+    (``stream_dedup_index_update``) and its restart twin
+    (``stream_dedup_index_restart``) run; shared so the two can never
+    drift. ``idx`` is a ``SelfUpdatingHistoryIndex`` (fresh-built or
+    attach()-recovered — the callback is agnostic, which is the point:
+    recovery changes WHERE the index came from, not how batches probe
+    and grow it)."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # pin the batch so the two actions below share one evaluation
+        b = batch_df.localCheckpoint(eager=True)
+        seen = idx.relation().select(F.col("h").alias("_ih"))
+        # single-pass bloom routing: definite-miss hashes probe with a
+        # salted sentinel ('#' + doc_id % 64 — 64 narrow groups, never
+        # an md5 hex) so they ride the same SMJ and emit is_dup=0
+        # without an index lookup
+        probe_key = F.when(idx.member("h"), F.col("h")).otherwise(
+            F.concat(F.lit("#"), (F.col("doc_id") % 64).cast("string"))
+        )
+        # action 1: probe + emit verdicts (MUST complete before the
+        # index grows, or every doc would match its own hash)
+        verdicts = (
+            idx.attach_bitset(b)
+            .select("doc_id", probe_key.alias("_pk"))
+            .hint("merge")
+            .join(seen, F.col("_pk") == F.col("_ih"), "left")
+            .select(
+                "doc_id", F.col("_ih").isNotNull().cast("long").alias("is_dup")
+            )
+        )
+        core.LAST_INGEST_PLAN[0] = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            verdicts._jdf.queryExecution(), "formatted"
+        )
+        verdicts.write.mode("append").parquet(out_dir)
+        # action 2: grow the index with this batch's novel hashes —
+        # same bloom routing (sentinel salt from the hash itself) so
+        # definite-novel hashes skip the lookup here too
+        novel_key = F.when(idx.member("h"), F.col("h")).otherwise(
+            F.concat(F.lit("#"), F.substring("h", 1, 2))
+        )
+        novel = (
+            idx.attach_bitset(b.select("h").distinct())
+            .select("h", novel_key.alias("_pk"))
+            .join(seen, F.col("_pk") == F.col("_ih"), "left_anti")
+            .select("h")
+        )
+        idx.append(novel)
+
+    return ingest
+
+
 @query(
     "stream_dedup_index_update",
     oracle=r"""
@@ -246,7 +299,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # the probe/append topology lives in the history module — changes
     # there must re-front this query for driver re-verification
-    hash_deps=(_history.SelfUpdatingHistoryIndex,),
+    hash_deps=(_history.SelfUpdatingHistoryIndex, _index_update_ingest),
 )
 def stream_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-at-ingest with a SELF-UPDATING index — the loop the other
@@ -306,48 +359,129 @@ def stream_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected_keys=load_table(spark, sf_dir, "documents").count(),
     )
 
-    def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        # pin the batch so the two actions below share one evaluation
-        b = batch_df.localCheckpoint(eager=True)
-        seen = idx.relation().select(F.col("h").alias("_ih"))
-        # single-pass bloom routing: definite-miss hashes probe with a
-        # salted sentinel ('#' + doc_id % 64 — 64 narrow groups, never
-        # an md5 hex) so they ride the same SMJ and emit is_dup=0
-        # without an index lookup
-        probe_key = F.when(idx.member("h"), F.col("h")).otherwise(
-            F.concat(F.lit("#"), (F.col("doc_id") % 64).cast("string"))
-        )
-        # action 1: probe + emit verdicts (MUST complete before the
-        # index grows, or every doc would match its own hash)
-        verdicts = (
-            idx.attach_bitset(b)
-            .select("doc_id", probe_key.alias("_pk"))
-            .hint("merge")
-            .join(seen, F.col("_pk") == F.col("_ih"), "left")
-            .select(
-                "doc_id", F.col("_ih").isNotNull().cast("long").alias("is_dup")
-            )
-        )
-        core.LAST_INGEST_PLAN[0] = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-            verdicts._jdf.queryExecution(), "formatted"
-        )
-        verdicts.write.mode("append").parquet(out_dir)
-        # action 2: grow the index with this batch's novel hashes —
-        # same bloom routing (sentinel salt from the hash itself) so
-        # definite-novel hashes skip the lookup here too
-        novel_key = F.when(idx.member("h"), F.col("h")).otherwise(
-            F.concat(F.lit("#"), F.substring("h", 1, 2))
-        )
-        novel = (
-            idx.attach_bitset(b.select("h").distinct())
-            .select("h", novel_key.alias("_pk"))
-            .join(seen, F.col("_pk") == F.col("_ih"), "left_anti")
-            .select("h")
-        )
-        idx.append(novel)
+    ingest = _index_update_ingest(spark, idx, out_dir)
 
     q = (
         st.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _sh.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).orderBy("doc_id")
+
+
+@query(
+    "stream_dedup_index_restart",
+    oracle=r"""
+    -- SAME semantics as stream_dedup_index_update — the driver restart
+    -- in the middle must be invisible: a doc is a dup iff its
+    -- normalized content hash appeared in a STRICTLY EARLIER
+    -- micro-batch (batch p = doc_id % 3), no matter that batches 0-1
+    -- ran before the crash and batch 2 after recovery. The corpus is
+    -- enriched with an exact replica of every 10th doc at
+    -- doc_id + 1e6 (landing in the NEXT batch) because the raw test
+    -- documents have zero duplicate texts at the sf0.001/0.01 gates —
+    -- without the replicas the verdict column is all zeros and the
+    -- query would prove exactly-once replay but never a post-recovery
+    -- dedup hit.
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    d AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+             doc_id % 3 AS b
+      FROM docs
+    ),
+    firstb AS (SELECT h, MIN(b) AS fb FROM d GROUP BY h)
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.b > f.fb THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM d JOIN firstb f ON d.h = f.h
+    ORDER BY d.doc_id
+    """,
+    hash_deps=(
+        _history.SelfUpdatingHistoryIndex,
+        _index_update_ingest,
+        core.write_documents_split,
+    ),
+)
+def stream_dedup_index_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest surviving a DRIVER RESTART mid-stream — the
+    recovery story ``stream_dedup_index_update`` leaves untested: that
+    capstone builds its index fresh and runs every batch in one
+    process; a real 100 TB ingest pipeline crashes, and what makes it
+    production-grade is that the restarted driver resumes with (a) the
+    file source's checkpoint (batches already ingested must not
+    replay — exactly-once verdicts) and (b) the index the dead driver
+    grew (hashes admitted before the crash must still dedup the
+    batches after it).
+
+    Phase 1 stages batch files 0-1 and streams them to completion
+    (fresh ``SelfUpdatingHistoryIndex``, checkpointed source). The
+    simulated crash then drops the index's metastore entry — its
+    bucketed table files and the source checkpoint survive, the
+    session-held Bloom bitset does not (the exact in-memory state a
+    real crash loses). Phase 2 is the restarted driver: batch file 2
+    appears, ``SelfUpdatingHistoryIndex.attach`` re-registers the
+    durable table over its files (bucket spec matched, so the in-place
+    Exchange-free probe scans survive) and rebuilds the bitset once
+    from the table; a NEW stream on the SAME checkpoint resumes — the
+    source log already holds batches 0-1, so only batch 2 forms a
+    micro-batch, probed by the identical shared callback
+    (``_index_update_ingest``) against the recovered index. The oracle
+    is the restart-free twin's: recovery must be semantically
+    invisible."""
+    import os as _os
+    import shutil as _sh
+
+    from ..sources.tables import load_table
+    from ..streaming.history import SelfUpdatingHistoryIndex
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "docs_idx_restart_split")
+    idx_table = "stream_restart_hash_idx"
+    idx_dir = _os.path.join(_catalog._IO_DIR, idx_table)
+    out_dir = _os.path.join(_catalog._IO_DIR, "stream_restart_verdicts")
+    ckpt = out_dir + "_ckpt_tmp"
+    for d in (split_dir, idx_dir, out_dir, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+
+    # ---- phase 1: the pipeline before the crash (batches 0 and 1)
+    core.write_documents_split(
+        spark, sf_dir, split_dir, batches=(0, 1), with_replicas=True
+    )
+    idx = SelfUpdatingHistoryIndex(
+        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs
+    )
+    q = (
+        core.documents_split_stream(spark, split_dir)
+        .writeStream.foreachBatch(_index_update_ingest(spark, idx, out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # ---- the crash: metastore entry and in-memory bitset gone; the
+    # index table's files and the source checkpoint survive on disk
+    spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+
+    # ---- phase 2: the restarted driver picks up batch 2
+    core.write_documents_split(
+        spark, sf_dir, split_dir, batches=(2,), with_replicas=True
+    )
+    recovered = SelfUpdatingHistoryIndex.attach(
+        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs
+    )
+    q = (
+        core.documents_split_stream(spark, split_dir)
+        .writeStream.foreachBatch(_index_update_ingest(spark, recovered, out_dir))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -460,26 +460,60 @@ def read_multibatch_documents_stream(
     ONCE at split-write time with the same normalize→md5 convention
     the dedup oracles replay, so batch membership and content keys are
     engine-reproducible. Used by ``stream_dedup_index_update``."""
+    write_documents_split(spark, sf_dir, split_dir)
+    return documents_split_stream(spark, split_dir)
+
+
+def write_documents_split(
+    spark: SparkSession,
+    sf_dir: str,
+    split_dir: str,
+    batches: tuple[int, ...] = (0, 1, 2),
+    with_replicas: bool = False,
+) -> None:
+    """Write the (doc_id, content-hash) batch files ``batches`` of the
+    doc_id % 3 split into ``split_dir`` (mtime-pinned to batch order).
+    Exposed separately from the reader so restart scenarios can stage
+    files in phases: write batches (0, 1), run a stream to completion,
+    then write (2,) and RESUME on the same checkpoint — the file
+    source's log already holds batches 0-1, so only batch 2 forms a
+    new micro-batch, exactly a production ingest picking up where the
+    crashed driver stopped."""
     from ..operators.dedup import normalize_text
     from ..sources.tables import load_table
 
     os.makedirs(split_dir, exist_ok=True)
-    full = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if with_replicas:
+        # deterministic cross-batch duplicates: every 10th doc gets an
+        # exact-content replica at doc_id + 1,000,000, which lands in
+        # the NEXT batch ((id + 1e6) % 3 == (id + 1) % 3) — without
+        # this the test corpora have zero duplicate texts at the
+        # sf0.001/0.01 gates and an ingest-dedup capstone would
+        # hash-green on an all-zero verdict column, proving
+        # exactly-once replay but never an actual dedup hit. The
+        # enrichment is plain SQL over the same table, so the oracle
+        # replays it verbatim.
+        docs = docs.unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    full = docs.select(
         "doc_id",
         F.md5(normalize_text("text")).alias("h"),
         (F.col("doc_id") % 3).alias("b"),
     )
-    paths = []
-    for p in range(3):
+    base = 1_700_000_000
+    for p in batches:
         path = os.path.join(split_dir, f"batch{p}.parquet")
         _write_single_file_split(
             full.where(F.col("b") == p).select("doc_id", "h"), path
         )
-        paths.append(path)
-    base = 1_700_000_000
-    for i, path in enumerate(paths):
-        os.utime(path, (base + i * 10, base + i * 10))
+        os.utime(path, (base + p * 10, base + p * 10))
 
+
+def documents_split_stream(spark: SparkSession, split_dir: str) -> DataFrame:
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("h", StringType())]
     )

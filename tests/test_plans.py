@@ -1313,3 +1313,23 @@ def test_stream_index_update_bloom_ahead_of_smj(spark):
     # the bitset is maintained incrementally — a bit_or aggregate in
     # the batch plan would mean the whole index is re-scanned per batch
     assert "bit_or" not in plan
+
+
+def test_stream_index_restart_recovered_probe_plan(spark):
+    """The restart capstone's LAST captured batch plan is batch 2 —
+    probed by the attach()-RECOVERED index: the re-registered external
+    table must still be read bucket-in-place (no Exchange under it, no
+    broadcast), and the REBUILT bitset must still prescreen map-side.
+    Recovery changing the probe topology would be a silent 100 TB
+    regression the answer hash can't see."""
+    from datafusion_functions_variant_spark.streaming import core
+
+    REGISTRY["stream_dedup_index_restart"].build(spark, SF)
+    plan = core.LAST_INGEST_PLAN[0]
+    assert plan, "no ingest probe plan captured"
+    assert "SortMergeJoin" in plan and "LeftOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "stream_restart_hash_idx" in plan
+    assert "SelectedBucketsCount" in plan
+    assert "shiftright" in plan and "element_at" in plan
+    assert "bit_or" not in plan
