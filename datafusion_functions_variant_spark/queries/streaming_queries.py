@@ -237,7 +237,13 @@ def _index_update_ingest(spark, idx, out_dir):
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         # pin the batch so the two actions below share one evaluation
         b = batch_df.localCheckpoint(eager=True)
-        seen = idx.relation().select(F.col("h").alias("_ih"))
+        # verdicts probe the index AS OF the previous batch (_b <
+        # batch_id): on a crash-replay the batch's own pre-crash
+        # append is already in the table, and probing it would flag
+        # every doc a dup of itself. The append below anti-joins the
+        # FULL table instead, so the replayed append is a no-op.
+        seen = idx.relation(before=batch_id).select(F.col("h").alias("_ih"))
+        seen_all = idx.relation().select(F.col("h").alias("_ih"))
         # single-pass bloom routing: definite-miss hashes probe with a
         # salted sentinel ('#' + doc_id % 64 — 64 narrow groups, never
         # an md5 hex) so they ride the same SMJ and emit is_dup=0
@@ -259,7 +265,23 @@ def _index_update_ingest(spark, idx, out_dir):
         core.LAST_INGEST_PLAN[0] = spark.sparkContext._jvm.PythonSQLUtils.explainString(
             verdicts._jdf.queryExecution(), "formatted"
         )
-        verdicts.write.mode("append").parquet(out_dir)
+        # IDEMPOTENT verdict write: foreachBatch replays the whole
+        # batch after a crash between its two actions, and a plain
+        # append would then double-write the verdicts (the classic
+        # foreachBatch exactly-once gap). Partitioning by batch_id
+        # with dynamic partition overwrite makes the replay rewrite
+        # ITS OWN partition and touch nothing else — together with
+        # the index append (already idempotent: the anti-join makes a
+        # replayed append a no-op) the callback becomes exactly-once
+        # end to end, which is what lets the restart twin resume on
+        # the same checkpoint without a dedup-on-read.
+        (
+            verdicts.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_dir)
+        )
         # action 2: grow the index with this batch's novel hashes —
         # same bloom routing (sentinel salt from the hash itself) so
         # definite-novel hashes skip the lookup here too
@@ -269,10 +291,10 @@ def _index_update_ingest(spark, idx, out_dir):
         novel = (
             idx.attach_bitset(b.select("h").distinct())
             .select("h", novel_key.alias("_pk"))
-            .join(seen, F.col("_pk") == F.col("_ih"), "left_anti")
+            .join(seen_all, F.col("_pk") == F.col("_ih"), "left_anti")
             .select("h")
         )
-        idx.append(novel)
+        idx.append(novel, batch_id)
 
     return ingest
 
@@ -369,7 +391,9 @@ def stream_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _sh.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(out_dir).orderBy("doc_id")
+    return (
+        spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
+    )
 
 
 @query(
@@ -488,7 +512,9 @@ def stream_dedup_index_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _sh.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(out_dir).orderBy("doc_id")
+    return (
+        spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
+    )
 
 
 @query(

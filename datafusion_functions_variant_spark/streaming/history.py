@@ -223,8 +223,15 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
+        # _b = the micro-batch id (epoch) that admitted the key. It
+        # exists for exactly-once REPLAY: foreachBatch re-runs a whole
+        # batch after a crash, and a replayed batch N must compute its
+        # verdicts against the index as of batch N-1 — i.e. the rows
+        # with _b < N — because its own pre-crash append (_b == N) is
+        # already in the table. Appends anti-join the FULL table, so
+        # a replayed append is a no-op either way.
         (
-            spark.createDataFrame([], f"{key} string")
+            spark.createDataFrame([], f"{key} string, _b long")
             .write.bucketBy(bucket_count, key)
             .sortBy(key)
             .option("path", path)
@@ -274,7 +281,7 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         spark.sql(
             f"""
-            CREATE TABLE {table_name} ({key} STRING)
+            CREATE TABLE {table_name} ({key} STRING, _b BIGINT)
             USING parquet
             CLUSTERED BY ({key}) SORTED BY ({key})
             INTO {bucket_count} BUCKETS
@@ -296,18 +303,27 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
             F.expr(f"array_repeat(0L, {m_words})").alias(self.bits_col)
         ).localCheckpoint(eager=True)
 
-    def relation(self) -> DataFrame:
+    def relation(self, before: int | None = None) -> DataFrame:
         """The index as of the LAST completed ``append`` — refreshed
-        so a foreachBatch callback sees the previous batch's files."""
+        so a foreachBatch callback sees the previous batch's files.
+        ``before=N`` restricts to keys admitted by batches < N: the
+        view a replayed batch N must probe for its VERDICTS (its own
+        pre-crash append carries _b == N). Appends must NOT pass it —
+        idempotency needs the anti-join to see the full table."""
         self.spark.catalog.refreshTable(self.table_name)
-        return self.spark.table(self.table_name)
+        t = self.spark.table(self.table_name)
+        if before is not None:
+            t = t.where(F.col("_b") < before)
+        return t
 
-    def append(self, novel: DataFrame) -> None:
+    def append(self, novel: DataFrame, batch_id: int = 0) -> None:
         """Grow the index with ``novel`` (must already exclude keys
-        present in the table — the caller's anti-join guarantees the
-        store stays distinct by construction, so no per-batch distinct
-        ever re-shuffles the accumulated index). Bucket-spec-matching
-        append plus an O(batch) bitset merge."""
+        present in the table — the caller's anti-join against the FULL
+        table guarantees the store stays distinct by construction, so
+        no per-batch distinct ever re-shuffles the accumulated index,
+        and a crash-replayed append is a no-op). Bucket-spec-matching
+        append stamped with the admitting batch id plus an O(batch)
+        bitset merge."""
         if self.bitset is not None:
             # OR the batch's bits in BEFORE the blocking write: both
             # complete before this batch's callback returns, and the
@@ -326,7 +342,8 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
                 .localCheckpoint(eager=True)
             )
         (
-            novel.write.mode("append")
+            novel.withColumn("_b", F.lit(batch_id).cast("long"))
+            .write.mode("append")
             .bucketBy(self.bucket_count, self.key)
             .sortBy(self.key)
             .saveAsTable(self.table_name)

@@ -236,3 +236,57 @@ def test_self_updating_index_attach_recovers_across_sessions(spark):
         .count()
         == 0
     )
+
+
+def test_index_update_ingest_is_exactly_once_under_batch_replay(spark):
+    """foreachBatch's contract is at-least-once: a crash between the
+    verdict write and the index append replays the WHOLE batch. The
+    callback must be idempotent — replaying batch N must leave both
+    the verdict output and the index byte-identical (dynamic
+    batch-partition overwrite for the verdicts; the anti-join already
+    makes a replayed append a no-op)."""
+    import os
+    import shutil
+
+    from datafusion_functions_variant_spark.queries.catalog import _IO_DIR
+    from datafusion_functions_variant_spark.queries.streaming_queries import (
+        _index_update_ingest,
+    )
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    out_dir = os.path.join(_IO_DIR, "replay_verdicts")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    idx = SelfUpdatingHistoryIndex(
+        spark, "replay_hash_idx", "h",
+        path=os.path.join(_IO_DIR, "replay_hash_idx"), expected_keys=100,
+    )
+    ingest = _index_update_ingest(spark, idx, out_dir)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.md5((F.col("id") % 40).cast("string")).alias("h"),
+        )
+
+    def snapshot():
+        rows = sorted(
+            map(tuple, spark.read.parquet(out_dir).select("doc_id", "is_dup").collect())
+        )
+        return rows, idx.relation().count()
+
+    ingest(batch(0, 30), 0)
+    first = snapshot()
+    assert first[1] == 30  # 30 distinct hashes admitted
+    ingest(batch(0, 30), 0)  # crash-replay of the SAME batch
+    assert snapshot() == first  # no verdict duplication, no index growth
+
+    ingest(batch(30, 60), 1)  # ids 30-59 → hashes id%40: 20 repeats
+    rows, n_keys = snapshot()
+    assert n_keys == 40
+    assert len(rows) == 60
+    dups = sum(d for _, d in rows)
+    assert dups == 20  # ids 40-59 rehash ids 0-19's keys
+    ingest(batch(30, 60), 1)  # replay the second batch too
+    assert snapshot() == (rows, n_keys)
