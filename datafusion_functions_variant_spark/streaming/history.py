@@ -212,6 +212,7 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
         self.key = key
         self.bucket_count = bucket_count
         self.bits_col = bits_col
+        self.path = path
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         # __init__ is CREATE-FRESH: clear leftover files at ``path``
         # from a previous session whose metastore entry is gone (the
@@ -278,16 +279,9 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
         idx.key = key
         idx.bucket_count = bucket_count
         idx.bits_col = bits_col
+        idx.path = path
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        spark.sql(
-            f"""
-            CREATE TABLE {table_name} ({key} STRING, _b BIGINT)
-            USING parquet
-            CLUSTERED BY ({key}) SORTED BY ({key})
-            INTO {bucket_count} BUCKETS
-            LOCATION '{path}'
-            """
-        )
+        idx._register_external()
         m_bits = min(bloom_m_bits(expected_keys), bloom_max_bits)
         if m_bits >= 2 * expected_keys:
             idx.m_bits = m_bits
@@ -296,6 +290,69 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
             idx.m_bits = None
             idx.bitset = None
         return idx
+
+    def _register_external(self) -> None:
+        """Register the durable table over its existing files — the
+        bucket spec in the DDL must match the layout the files were
+        written with (Spark maps bucket ids from file names)."""
+        self.spark.sql(
+            f"""
+            CREATE TABLE {self.table_name}
+            ({self.key} STRING, _b BIGINT)
+            USING parquet
+            CLUSTERED BY ({self.key}) SORTED BY ({self.key})
+            INTO {self.bucket_count} BUCKETS
+            LOCATION '{self.path}'
+            """
+        )
+
+    def compact(self) -> None:
+        """Collapse the accumulated per-batch file sets into one file
+        per bucket, preserving rows, epochs, and the bucket spec.
+
+        Every ``append`` writes its own bucket-spec-matched file set,
+        so a long-running ingest pipeline grows the index table by one
+        set of small files per micro-batch — after thousands of
+        batches the in-place probe scan pays per-file open cost on a
+        small-files swamp (the classic streaming-sink failure mode;
+        same medicine as the ``sink_compaction`` query). The rewrite
+        funnels each bucket's rows to one write task (repartition on
+        the bucket key — same Murmur3 family the bucket spec uses),
+        lands in a sibling directory, and swaps in atomically at the
+        directory level before re-registering; the old files are only
+        removed after the rewrite committed, so a crash mid-compact
+        leaves the original index intact. The bitset is untouched —
+        content is identical, only the file layout changes.
+        """
+        import shutil
+
+        tmp_table = self.table_name + "__compact"
+        tmp_path = self.path + "__compact"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        (
+            self.relation()
+            # group by the BUCKET ID expression (pmod(hash, n) — the
+            # same Murmur3 formula the bucket spec applies), not the
+            # raw key: the writer routes rows to bucket files WITHIN
+            # each task, so a task holding k distinct bucket ids
+            # writes k files; with all of a bucket's rows in one task
+            # the rewrite lands exactly <= n files total
+            .repartition(
+                self.bucket_count,
+                F.expr(f"pmod(hash({self.key}), {self.bucket_count})"),
+            )
+            .write.bucketBy(self.bucket_count, self.key)
+            .sortBy(self.key)
+            .option("path", tmp_path)
+            .saveAsTable(tmp_table)
+        )
+        # external tables: DROP removes the metastore entry, not files
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table_name}")
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.replace(tmp_path, self.path)
+        self._register_external()
 
     def _zero_bitset(self) -> DataFrame:
         m_words = self.m_bits // 64

@@ -290,3 +290,54 @@ def test_index_update_ingest_is_exactly_once_under_batch_replay(spark):
     assert dups == 20  # ids 40-59 rehash ids 0-19's keys
     ingest(batch(30, 60), 1)  # replay the second batch too
     assert snapshot() == (rows, n_keys)
+
+
+def test_self_updating_index_compact_preserves_answers_and_layout(spark):
+    """compact() must collapse the per-batch small files to ~one per
+    bucket while changing NOTHING observable: row set, epochs (the
+    before= views), bloom behavior, the Exchange-free bucketed probe
+    plan, and the ability to keep appending."""
+    import glob
+    import os
+
+    from datafusion_functions_variant_spark.queries.catalog import _IO_DIR
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    path = _idx_dir(spark, "sui_t_compact")
+    idx = SelfUpdatingHistoryIndex(
+        spark, "sui_t_compact", "k", path=path, expected_keys=500,
+    )
+    for b in range(1, 5):
+        idx.append(_keys(spark, 60, salt=f"c{b}"), batch_id=b)
+
+    def files():
+        return len(glob.glob(os.path.join(path, "part-*.parquet")))
+
+    def state():
+        full = sorted(map(tuple, idx.relation().collect()))
+        asof3 = sorted(map(tuple, idx.relation(before=3).collect()))
+        return full, asof3
+
+    before_files, before_state = files(), state()
+    assert before_files >= 4 * idx.bucket_count  # one file set per append
+    idx.compact()
+    assert files() <= idx.bucket_count
+    assert state() == before_state  # rows AND epochs byte-identical
+
+    # bucketed Exchange-free probe survives the rewrite
+    probe = _keys(spark, 30, salt="c2")
+    joined = probe.hint("merge").join(
+        idx.relation().select(F.col("k").alias("_h")),
+        probe.k == F.col("_h"),
+        "left_semi",
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    assert joined.count() == 30
+    # bloom untouched: every key still a member, appends keep working
+    all_keys = idx.relation().select("k")
+    assert idx.attach_bitset(all_keys).where(~idx.member("k")).count() == 0
+    idx.append(_keys(spark, 20, salt="c9"), batch_id=9)
+    assert idx.relation().count() == 260
