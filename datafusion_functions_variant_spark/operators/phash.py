@@ -32,62 +32,68 @@ N_BANDS = 4
 BITS_PER_BAND = (GRID_W - 1) * GRID_H // N_BANDS  # 16
 
 
-def dhash_bands(assets: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """PNG payloads -> (id, band0..band3) dHash signature, one
-    Arrow-batched stage: decode (operators/png.py), 2x2-average to a
-    9x8 grid, 64 gradient bits packed into four 16-bit band ints.
-    Pixels never leave the stage — only 4 ints per image do."""
+def _dhash_bands_pdf(pdf, id_col: str, payload_col: str):
+    """The per-batch body of :func:`dhash_bands`, module-level so it
+    is directly unit-testable in-process (``mapInPandas`` bodies run
+    in Python worker subprocesses a driver-side tracer or debugger
+    never sees): decode, 2x2-average to a 9x8 grid, pack 64 gradient
+    bits into four 16-bit band ints."""
+    import pandas as pd
+
     from . import png as pngmod
 
-    def run(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
-                d = pngmod.decode_png(bytes(payload))
-                # fail LOUDLY at the decode boundary: the grid
-                # comprehension below silently reads garbage (or
-                # IndexErrors deep inside) on any other geometry
-                if (
-                    d["width"] != 2 * GRID_W
-                    or d["height"] != 2 * GRID_H
-                    or d["channels"] != 1
-                ):
-                    raise ValueError(
-                        f"dhash_bands expects {2 * GRID_W}x{2 * GRID_H}"
-                        f" single-channel gray images; asset {aid} is "
-                        f"{d['width']}x{d['height']} with "
-                        f"{d['channels']} channel(s) — resize/grayscale "
-                        "upstream (operators/multimodal.py resize plan)"
-                    )
-                w, px = d["width"], d["pixels"]
-                grid = [
-                    [
-                        (
-                            px[2 * gy * w + 2 * gx]
-                            + px[2 * gy * w + 2 * gx + 1]
-                            + px[(2 * gy + 1) * w + 2 * gx]
-                            + px[(2 * gy + 1) * w + 2 * gx + 1]
-                        )
-                        // 4
-                        for gx in range(GRID_W)
-                    ]
-                    for gy in range(GRID_H)
-                ]
-                bands = [0] * N_BANDS
-                for gy in range(GRID_H):
-                    for gx in range(GRID_W - 1):
-                        if grid[gy][gx + 1] > grid[gy][gx]:
-                            i = gy * (GRID_W - 1) + gx
-                            bands[i // BITS_PER_BAND] |= 1 << (
-                                i % BITS_PER_BAND
-                            )
-                rows.append((int(aid), *bands))
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col] + [f"band{k}" for k in range(N_BANDS)],
+    rows = []
+    for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+        d = pngmod.decode_png(bytes(payload))
+        # fail LOUDLY at the decode boundary: the grid comprehension
+        # below silently reads garbage (or IndexErrors deep inside)
+        # on any other geometry
+        if (
+            d["width"] != 2 * GRID_W
+            or d["height"] != 2 * GRID_H
+            or d["channels"] != 1
+        ):
+            raise ValueError(
+                f"dhash_bands expects {2 * GRID_W}x{2 * GRID_H}"
+                f" single-channel gray images; asset {aid} is "
+                f"{d['width']}x{d['height']} with "
+                f"{d['channels']} channel(s) — resize/grayscale "
+                "upstream (operators/multimodal.py resize plan)"
             )
+        w, px = d["width"], d["pixels"]
+        grid = [
+            [
+                (
+                    px[2 * gy * w + 2 * gx]
+                    + px[2 * gy * w + 2 * gx + 1]
+                    + px[(2 * gy + 1) * w + 2 * gx]
+                    + px[(2 * gy + 1) * w + 2 * gx + 1]
+                )
+                // 4
+                for gx in range(GRID_W)
+            ]
+            for gy in range(GRID_H)
+        ]
+        bands = [0] * N_BANDS
+        for gy in range(GRID_H):
+            for gx in range(GRID_W - 1):
+                if grid[gy][gx + 1] > grid[gy][gx]:
+                    i = gy * (GRID_W - 1) + gx
+                    bands[i // BITS_PER_BAND] |= 1 << (i % BITS_PER_BAND)
+        rows.append((int(aid), *bands))
+    return pd.DataFrame(
+        rows, columns=[id_col] + [f"band{k}" for k in range(N_BANDS)]
+    )
+
+
+def dhash_bands(assets: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """PNG payloads -> (id, band0..band3) dHash signature, one
+    Arrow-batched stage (body: :func:`_dhash_bands_pdf`). Pixels never
+    leave the stage — only 4 ints per image do."""
+
+    def run(batches):
+        for pdf in batches:
+            yield _dhash_bands_pdf(pdf, id_col, payload_col)
 
     schema = f"{id_col} long, " + ", ".join(
         f"band{k} int" for k in range(N_BANDS)

@@ -1442,3 +1442,48 @@ def test_history_degenerate_attach_and_noop_rebuild(spark):
     assert re.drop_bitset(probe) is probe
     assert probe.where(re.member("k")).count() == 40
     assert re.relation().count() == 40
+
+
+def test_dhash_bands_pdf_matches_distributed_and_guards_geometry(spark):
+    """The in-process batch body must produce byte-identical signatures
+    to the distributed mapInPandas stage on the same payloads, and
+    reject wrong-geometry images loudly. (The body is module-level
+    precisely so this test — and a line tracer — can reach it; worker
+    subprocesses are invisible to both.)"""
+    import pandas as pd
+    import pytest
+
+    from datafusion_functions_variant_spark.operators import png as pngmod
+    from datafusion_functions_variant_spark.operators.phash import (
+        _dhash_bands_pdf,
+        dhash_bands,
+    )
+
+    def gray_png(seed):
+        px = bytes(((seed * 31 + i * 7) % 251) for i in range(18 * 16))
+        return pngmod.encode_png(18, 16, px, 1, 0)
+
+    pdf = pd.DataFrame(
+        {"asset_id": [1, 2, 3], "payload": [gray_png(s) for s in (1, 2, 3)]}
+    )
+    local = _dhash_bands_pdf(pdf, "asset_id", "payload")
+    sdf = spark.createDataFrame(pdf)
+    dist = (
+        dhash_bands(sdf, "asset_id", "payload")
+        .orderBy("asset_id")
+        .toPandas()
+    )
+    # compare VALUES; dtypes legitimately differ (schema int32 vs
+    # pandas int64)
+    assert (
+        local.sort_values("asset_id").astype("int64").values.tolist()
+        == dist.astype("int64").values.tolist()
+    )
+    bad = pd.DataFrame(
+        {
+            "asset_id": [9],
+            "payload": [pngmod.encode_png(10, 10, bytes(100), 1, 0)],
+        }
+    )
+    with pytest.raises(ValueError, match="resize/grayscale"):
+        _dhash_bands_pdf(bad, "asset_id", "payload")
