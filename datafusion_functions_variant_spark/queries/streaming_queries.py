@@ -294,7 +294,7 @@ def _index_update_ingest(spark, idx, out_dir):
             .join(seen_all, F.col("_pk") == F.col("_ih"), "left_anti")
             .select("h")
         )
-        idx.append(novel, batch_id)
+        idx.append(novel, batch_id=batch_id)
 
     return ingest
 
@@ -379,6 +379,7 @@ def stream_dedup_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         path=idx_dir,
         expected_keys=load_table(spark, sf_dir, "documents").count(),
+        overwrite=True,  # create-fresh pipeline; idx_dir rmtree'd above
     )
 
     ingest = _index_update_ingest(spark, idx, out_dir)
@@ -481,7 +482,8 @@ def stream_dedup_index_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, split_dir, batches=(0, 1), with_replicas=True
     )
     idx = SelfUpdatingHistoryIndex(
-        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs
+        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs,
+        overwrite=True,  # phase 1 creates fresh; recovery uses attach()
     )
     q = (
         core.documents_split_stream(spark, split_dir)

@@ -58,8 +58,23 @@ def _write_single_file_split(df: DataFrame, path: str) -> None:
 
     tmp = path + ".tmpdir"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
-    os.replace(part, path)
+    parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    if parts:
+        (part,) = parts  # exactly one by coalesce(1); >1 is a real bug
+        os.replace(part, path)
+    else:
+        # Spark writes NO part file for an empty task (e.g. a split
+        # predicate like doc_id%3==p matching nothing on a tiny
+        # corpus) — materialize an empty, schema-carrying parquet so
+        # the downstream file stream still sees its batch file instead
+        # of the old opaque unpack ValueError (r11 ADVICE).
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        pq.write_table(
+            pa.Table.from_pylist([], schema=to_arrow_schema(df.schema)), path
+        )
     shutil.rmtree(tmp)
 
 

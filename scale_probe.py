@@ -656,13 +656,17 @@ def main() -> None:
         tbl = f"idx_update_probe_k{k}"
         tdir = os.path.join(upd_base, tbl)
         _sh.rmtree(tdir, ignore_errors=True)
+        # compact_after_files=0: this probe measures the PURE per-batch
+        # probe+append cost curve — an auto-compaction firing mid-series
+        # would fold a full index rewrite into one sample
         idx = SelfUpdatingHistoryIndex(
-            spark, tbl, "h", path=tdir, expected_keys=(k + 1) * n_base
+            spark, tbl, "h", path=tdir, expected_keys=(k + 1) * n_base,
+            compact_after_files=0, overwrite=True,
         )
         seed = spark.range(1, k + 1).crossJoin(base_fp).select(
             F.md5(F.concat_ws("#", "h", "id")).alias("h")
         )
-        idx.append(seed.distinct())  # untimed: the accumulated history
+        idx.append(seed.distinct(), batch_id=0)  # untimed: the accumulated history
         samples = []
         for i in range(RUNS + 1):
             t0 = time.perf_counter()
@@ -684,7 +688,8 @@ def main() -> None:
                 idx.attach_bitset(batch_fp.select("h").distinct())
                 .select("h", novel_key.alias("_pk"))
                 .join(seen, F.col("_pk") == F.col("_ih"), "left_anti")
-                .select("h")
+                .select("h"),
+                batch_id=i + 1,
             )
             if i:
                 samples.append(time.perf_counter() - t0)

@@ -1425,10 +1425,10 @@ def test_history_degenerate_attach_and_noop_rebuild(spark):
 
     path = os.path.join(_IO_DIR, "sui_t_degen_attach")
     idx = SelfUpdatingHistoryIndex(
-        spark, "sui_t_degen_attach", "k", path=path, expected_keys=50,
+        spark, "sui_t_degen_attach", "k", path=path, expected_keys=50, overwrite=True,
     )
     keys = spark.range(40).select(F.md5(F.col("id").cast("string")).alias("k"))
-    idx.append(keys)
+    idx.append(keys, batch_id=0)
     spark.sql("DROP TABLE IF EXISTS sui_t_degen_attach")
 
     re = SelfUpdatingHistoryIndex.attach(
