@@ -155,15 +155,18 @@ _WINDOW = 50
 _REVERIFY_SAMPLE = 8
 #: Names force-joined to the re-verify sample regardless of the
 #: rotation offset — for queries whose BENCH numbers moved in the
-#: driver's last run (VERDICT r10 #2: the scaled TPC-H drift) so the
-#: driver re-hashes them in the same round that re-measures them.
-#: Keep this SMALL and transient: each pin consumes a window slot the
-#: rotation would otherwise spend sweeping the verified backlog.
+#: driver's last run so the driver re-hashes them in the same round
+#: that re-measures them. Keep this SMALL and transient: each pin
+#: consumes a window slot the rotation would otherwise spend sweeping
+#: the verified backlog. Round 12: the two r11 scaled movers
+#: adjudicated as weather (BASELINE.md) — one more driver hash on
+#: each closes the loop; q1/q3/q5 pins released (re-verified green in
+#: the r11 window). The compaction-touched index capstones re-front
+#: automatically via their hash_deps on SelfUpdatingHistoryIndex.
 _PINNED_REVERIFY = frozenset(
     {
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
+        "theta_join_late_shipments",
+        "text_quality_classifier",
     }
 )
 _SPEC_LEDGER = "QUERY_SPECS.json"
