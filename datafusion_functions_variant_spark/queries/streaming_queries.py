@@ -481,9 +481,18 @@ def stream_dedup_index_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     core.write_documents_split(
         spark, sf_dir, split_dir, batches=(0, 1), with_replicas=True
     )
+    # compact_after_files=12: LOW threshold so the auto-compaction
+    # policy deterministically fires BETWEEN streamed batches at every
+    # gate SF — each later batch then probes a just-compacted index,
+    # and phase 2's post-crash attach() recovers an index that has
+    # already been through rewrite cycles. Recovery + compaction + the
+    # epoch-filtered replay semantics become ONE exercised story; the
+    # verdicts (and the oracle) are unaffected because compaction
+    # preserves rows and _b stamps exactly.
     idx = SelfUpdatingHistoryIndex(
         spark, idx_table, "h", path=idx_dir, expected_keys=n_docs,
         overwrite=True,  # phase 1 creates fresh; recovery uses attach()
+        compact_after_files=12,
     )
     q = (
         core.documents_split_stream(spark, split_dir)
@@ -503,7 +512,8 @@ def stream_dedup_index_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, split_dir, batches=(2,), with_replicas=True
     )
     recovered = SelfUpdatingHistoryIndex.attach(
-        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs
+        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs,
+        compact_after_files=12,  # same policy as phase 1
     )
     q = (
         core.documents_split_stream(spark, split_dir)
