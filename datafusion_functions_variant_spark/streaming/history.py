@@ -384,6 +384,11 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
         restores it); after the second the compacted set is at the
         registered path. ``attach()`` knows the protocol and finishes
         whichever step death interrupted.
+
+        Cost: one full-index read+rewrite — O(index); measured walls
+        and the amortized-per-append analysis (linear in index size;
+        when an unbounded index should graduate to an LSM-style
+        generational layout instead) are in SCALE.md §round-12.
         """
         import shutil
 
