@@ -1992,3 +1992,136 @@ def stream_rollup_retracting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "live_n")
     )
+
+
+def _tiered_ingest(spark, idx, out_dir):
+    """foreachBatch callback of the TIERED (LSM-generational) ingest
+    dedup — same probe-before-append transaction as
+    ``_index_update_ingest`` but over ``GenerationalHistoryIndex``:
+    verdicts chain one merge-hinted, Exchange-free bucketed join per
+    generation (never a union — a union of bucketed tables forfeits
+    the bucket distribution and would shuffle the whole index per
+    batch), epoch-filtered to ``_b < batch_id`` for replay; the novel
+    append anti-joins the FULL generation set so a replayed append is
+    a no-op; promotions cascade inside ``append`` when generations
+    exceed their geometric budgets."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.localCheckpoint(eager=True)
+        # bloom sentinel routing, same as the single-table capstone:
+        # definite-miss hashes ride the chained joins under a salted
+        # sentinel ('#' + doc_id % 64 — never an md5 hex) and emit
+        # is_dup=0 without any generation lookup
+        probe_key = F.when(idx.member("h"), F.col("h")).otherwise(
+            F.concat(F.lit("#"), (F.col("doc_id") % 64).cast("string"))
+        )
+        verdicts = (
+            idx.flag_members(
+                idx.attach_bitset(b).select("doc_id", probe_key.alias("_pk")),
+                "_pk",
+                "_hit",
+                before=batch_id,
+            )
+            .select("doc_id", F.col("_hit").cast("long").alias("is_dup"))
+        )
+        (
+            verdicts.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_dir)
+        )
+        novel_key = F.when(idx.member("h"), F.col("h")).otherwise(
+            F.concat(F.lit("#"), F.substring("h", 1, 2))
+        )
+        novel = (
+            idx.anti_members(
+                idx.attach_bitset(b.select("h").distinct()).select(
+                    "h", novel_key.alias("_pk")
+                ),
+                "_pk",
+            )
+            .select("h")
+        )
+        idx.append(novel, batch_id=batch_id)
+
+    return ingest
+
+
+@query(
+    "stream_dedup_index_update_tiered",
+    oracle=r"""
+    -- IDENTICAL semantics to stream_dedup_index_update: the tiered
+    -- storage layout is invisible to the verdicts — a doc is a dup
+    -- iff its normalized content hash appeared in a STRICTLY EARLIER
+    -- micro-batch (batch p = doc_id % 3)
+    WITH d AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+             doc_id % 3 AS b
+      FROM documents
+    ),
+    firstb AS (SELECT h, MIN(b) AS fb FROM d GROUP BY h)
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.b > f.fb THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM d JOIN firstb f ON d.h = f.h
+    ORDER BY d.doc_id
+    """,
+    hash_deps=(_history.GenerationalHistoryIndex, _tiered_ingest),
+)
+def stream_dedup_index_update_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-updating ingest dedup over the LSM-STYLE
+    ``GenerationalHistoryIndex`` — the 100 TB answer to the
+    single-table design's compaction bill (SCALE.md round-12: one
+    table means every compaction rewrites the FULL index, amortized
+    per-append cost linear in index size). Appends land in a small
+    gen0; whole generations promote upward on geometric budgets
+    (rename-aside crash-safe, manifest-bracketed, attach()-repairable
+    mid-promote), so each key is rewritten at most ~n_generations
+    times EVER — amortized O(log index) — while verdicts stay
+    byte-identical to the single-table capstone (same oracle).
+
+    Plan shape (pinned in tests/test_history.py): the per-batch probe
+    chains one merge-hinted join per generation, each generation side
+    an in-place Exchange-free bucketed scan, the probe side shuffled
+    ONCE and reused across the chain; a single Bloom bitset spanning
+    all generations routes definite-novel hashes around the chain
+    map-side. ``budget_rows`` is set low here so promotions (and a
+    gen1→gen2 cascade) actually fire inside the gate drive at sf0.01
+    — at production scale the budgets are the LSM dials."""
+    import os as _os
+    import shutil as _sh
+
+    from ..sources.tables import load_table
+    from ..streaming.history import GenerationalHistoryIndex
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "docs_idx_tiered_split")
+    idx_table = "stream_tiered_hash_idx"
+    idx_dir = _os.path.join(_catalog._IO_DIR, idx_table)
+    out_dir = _os.path.join(_catalog._IO_DIR, "stream_tiered_verdicts")
+    ckpt = out_dir + "_ckpt_tmp"
+    for d in (split_dir, idx_dir, out_dir, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    st = core.read_multibatch_documents_stream(spark, sf_dir, split_dir)
+    idx = GenerationalHistoryIndex(
+        spark,
+        idx_table,
+        "h",
+        path=idx_dir,
+        expected_keys=load_table(spark, sf_dir, "documents").count(),
+        budget_rows=120,
+        growth=4,
+        overwrite=True,
+    )
+    q = (
+        st.writeStream.foreachBatch(_tiered_ingest(spark, idx, out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _sh.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
+    )

@@ -85,6 +85,12 @@ class _BloomProbeMixin:
     def drop_bitset(self, df: DataFrame) -> DataFrame:
         return df.drop(self.bits_col) if self.bitset is not None else df
 
+    def _zero_bitset(self) -> DataFrame:
+        m_words = self.m_bits // 64
+        return self.spark.range(1).select(
+            F.expr(f"array_repeat(0L, {m_words})").alias(self.bits_col)
+        ).localCheckpoint(eager=True)
+
 
 @dataclass(frozen=True)
 class HistoryIndex(_BloomProbeMixin):
@@ -423,12 +429,6 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
         self._register_external()
         shutil.rmtree(old_path, ignore_errors=True)
 
-    def _zero_bitset(self) -> DataFrame:
-        m_words = self.m_bits // 64
-        return self.spark.range(1).select(
-            F.expr(f"array_repeat(0L, {m_words})").alias(self.bits_col)
-        ).localCheckpoint(eager=True)
-
     def relation(self, before: int | None = None) -> DataFrame:
         """The index as of the LAST completed ``append`` — refreshed
         so a foreachBatch callback sees the previous batch's files.
@@ -511,3 +511,381 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
             .select(F.col("bits").alias(self.bits_col))
             .localCheckpoint(eager=True)
         )
+
+
+class GenerationalHistoryIndex(_BloomProbeMixin):
+    """LSM-style TIERED twin of :class:`SelfUpdatingHistoryIndex` —
+    the scale evolution SCALE.md's round-12 analysis names: the
+    single-table design's auto-compaction rewrites the FULL index
+    every ~K appends (amortized per-append cost linear in index
+    size), which an unbounded 10^10-key ingest eventually cannot
+    afford. Here the index lives in ``n_generations`` bucketed+sorted
+    tables with geometric row budgets (gen0 smallest, the last
+    unbounded): appends land in gen0; when gen_i exceeds
+    ``budget_rows * growth^i`` it is MERGED into gen_{i+1} (one
+    rewrite of gen_{i+1}, rename-aside crash-safe like ``compact``)
+    and gen_i restarts empty — classic LSM leveling, so each key is
+    rewritten at most ``n_generations``-ish times ever: amortized
+    O(log(index)) instead of O(index) per compaction cycle.
+
+    The price is a wider probe plan — and the critical plan fact this
+    class encodes: a UNION of bucketed tables does NOT inherit their
+    bucket distribution (Spark would shuffle the whole union per
+    micro-batch — the exact O(index) per-batch Exchange this module
+    exists to kill). So the probe path never unions: ``flag_members``
+    / ``anti_members`` CHAIN one merge-hinted join per generation —
+    every generation side stays an in-place, Exchange-free bucketed
+    scan, and because all generations share one bucket spec the probe
+    side is shuffled ONCE and its partitioning is reused across the
+    chained joins.
+
+    Invariants (promotion-safe, replay-safe):
+    * a key lives in EXACTLY ONE generation (appends anti-join all
+      generations; promotion moves whole generations). A crash
+      between "gen_{i+1} rewritten" and "gen_i emptied" can leave an
+      overlap — a tiny manifest stamped around the window lets
+      ``attach`` repair it (anti-join-rewrite gen_i against
+      gen_{i+1}: removes the duplicates if the rewrite had committed,
+      removes nothing if it hadn't — unconditionally correct).
+    * ``_b`` epoch stamps ride through promotions untouched, so
+      ``relations(before=N)`` replay semantics are generation-
+      agnostic.
+    * one Bloom bitset spans all generations (membership is
+      generation-independent); appends OR their bits in, promotions
+      leave it alone, ``attach`` rebuilds it once.
+
+    No reference counterpart (the reference is a variant codec with
+    no storage layer); the LSM shape follows the public literature
+    (O'Neil et al., LSM-tree) re-expressed as Spark bucketed tables.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_name: str,
+        key: str,
+        *,
+        path: str,
+        expected_keys: int,
+        budget_rows: int = 100_000,
+        growth: int = 8,
+        n_generations: int = 3,
+        bucket_count: int = 8,
+        bloom_max_bits: int = DEFAULT_BLOOM_MAX_BITS,
+        bits_col: str = "bits",
+        overwrite: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.table_name = table_name
+        self.key = key
+        self.bucket_count = bucket_count
+        self.bits_col = bits_col
+        self.path = path
+        self.budget_rows = budget_rows
+        self.growth = growth
+        self.n_generations = n_generations
+        import shutil
+
+        if os.path.isdir(path) and os.listdir(path) and not overwrite:
+            raise ValueError(
+                f"GenerationalHistoryIndex: {path} already holds index "
+                "files — use attach() to recover, or overwrite=True"
+            )
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        for g in range(n_generations):
+            spark.sql(f"DROP TABLE IF EXISTS {self._gtable(g)}")
+            shutil.rmtree(self._gpath(g) + "__old", ignore_errors=True)
+            shutil.rmtree(self._gpath(g) + "__compact", ignore_errors=True)
+            self._create_empty(g)
+        self._write_manifest(None)
+        m_bits = min(bloom_m_bits(expected_keys), bloom_max_bits)
+        if m_bits >= 2 * expected_keys:
+            self.m_bits = m_bits
+            self.bitset = self._zero_bitset()
+        else:
+            self.m_bits = None
+            self.bitset = None
+
+    # --- naming / DDL helpers -------------------------------------------
+
+    def _gtable(self, g: int) -> str:
+        return f"{self.table_name}_g{g}"
+
+    def _gpath(self, g: int) -> str:
+        return os.path.join(self.path, f"g{g}")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+    def _write_manifest(self, promoting: int | None) -> None:
+        """Atomically record the promotion window (os.replace of a
+        sidecar json) so attach() knows whether an overlap repair is
+        needed. None = quiescent."""
+        import json as _json
+
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"promoting": promoting}, fh)
+        os.replace(tmp, self._manifest_path())
+
+    def _read_manifest(self) -> int | None:
+        import json as _json
+
+        try:
+            with open(self._manifest_path()) as fh:
+                return _json.load(fh).get("promoting")
+        except (OSError, ValueError):
+            return None
+
+    def _create_empty(self, g: int) -> None:
+        import shutil
+
+        shutil.rmtree(self._gpath(g), ignore_errors=True)
+        (
+            self.spark.createDataFrame([], f"{self.key} string, _b long")
+            .write.bucketBy(self.bucket_count, self.key)
+            .sortBy(self.key)
+            .option("path", self._gpath(g))
+            .saveAsTable(self._gtable(g))
+        )
+
+    def _register_gen(self, g: int) -> None:
+        self.spark.sql(
+            f"""
+            CREATE TABLE {self._gtable(g)}
+            ({self.key} STRING, _b BIGINT)
+            USING parquet
+            CLUSTERED BY ({self.key}) SORTED BY ({self.key})
+            INTO {self.bucket_count} BUCKETS
+            LOCATION '{self._gpath(g)}'
+            """
+        )
+
+    def _rewrite_gen(self, g: int, df: DataFrame) -> None:
+        """Replace generation ``g``'s contents with ``df`` via the
+        same rename-aside swap ``SelfUpdatingHistoryIndex.compact``
+        uses — every crash window leaves a complete directory at the
+        registered path or at ``__old``."""
+        import shutil
+
+        tbl, pth = self._gtable(g), self._gpath(g)
+        tmp_table, tmp_path = tbl + "__compact", pth + "__compact"
+        old_path = pth + "__old"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        shutil.rmtree(old_path, ignore_errors=True)
+        (
+            df.repartition(
+                self.bucket_count,
+                F.expr(f"pmod(hash({self.key}), {self.bucket_count})"),
+            )
+            .write.bucketBy(self.bucket_count, self.key)
+            .sortBy(self.key)
+            .option("path", tmp_path)
+            .saveAsTable(tmp_table)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        os.replace(pth, old_path)
+        os.replace(tmp_path, pth)
+        self._register_gen(g)
+        shutil.rmtree(old_path, ignore_errors=True)
+
+    # --- read paths ------------------------------------------------------
+
+    def relations(self, before: int | None = None) -> list[DataFrame]:
+        """One refreshed DataFrame per generation (gen0 first). The
+        PROBE path — callers chain per-generation joins; never union
+        these for a join (a union forfeits the bucket distribution
+        and shuffles the whole index)."""
+        rels = []
+        for g in range(self.n_generations):
+            self.spark.catalog.refreshTable(self._gtable(g))
+            t = self.spark.table(self._gtable(g))
+            if before is not None:
+                t = t.where(F.col("_b") < before)
+            rels.append(t)
+        return rels
+
+    def relation(self, before: int | None = None) -> DataFrame:
+        """Union of all generations — for COUNTS, tests, and bitset
+        rebuilds only (one scan each); not the per-batch probe path."""
+        rels = self.relations(before)
+        out = rels[0]
+        for r in rels[1:]:
+            out = out.unionByName(r)
+        return out
+
+    def flag_members(
+        self,
+        df: DataFrame,
+        probe_key_col: str,
+        flag_col: str,
+        before: int | None = None,
+    ) -> DataFrame:
+        """``df`` + boolean ``flag_col``: does ``probe_key_col`` exist
+        in ANY generation (epoch-filtered by ``before``)? One merge-
+        hinted left join per generation — each generation side an
+        in-place bucketed scan; the probe side shuffles once and its
+        partitioning is reused by the subsequent joins (same key,
+        same bucket count)."""
+        out = df.withColumn(flag_col, F.lit(False))
+        for g, rel in enumerate(self.relations(before)):
+            gk = f"__gk{g}"
+            out = (
+                out.hint("merge")
+                .join(
+                    rel.select(F.col(self.key).alias(gk)),
+                    F.col(probe_key_col) == F.col(gk),
+                    "left",
+                )
+                .withColumn(flag_col, F.col(flag_col) | F.col(gk).isNotNull())
+                .drop(gk)
+            )
+        return out
+
+    def anti_members(self, df: DataFrame, probe_key_col: str) -> DataFrame:
+        """Rows of ``df`` whose key is in NO generation — chained
+        left_anti joins (same plan properties as ``flag_members``).
+        Used by ``append`` against the FULL table set so replayed
+        appends stay no-ops."""
+        out = df
+        for rel in self.relations():
+            out = out.hint("merge").join(
+                rel.select(F.col(self.key).alias("__ak")),
+                F.col(probe_key_col) == F.col("__ak"),
+                "left_anti",
+            )
+        return out
+
+    # --- write paths -----------------------------------------------------
+
+    def append(self, novel: DataFrame, *, batch_id: int) -> None:
+        """Land ``novel`` (caller guarantees not-already-present, via
+        ``anti_members``) in gen0 with the admitting epoch, O(batch)
+        bitset merge, then cascade promotions while any generation
+        exceeds its geometric budget."""
+        if self.bitset is not None:
+            delta = bloom_build(novel, F.col(self.key), self.m_bits)
+            self.bitset = (
+                self.bitset.crossJoin(delta.select(F.col("bits").alias("_nb")))
+                .select(
+                    F.zip_with(
+                        self.bits_col, "_nb", lambda a, b: a.bitwiseOR(b)
+                    ).alias(self.bits_col)
+                )
+                .localCheckpoint(eager=True)
+            )
+        (
+            novel.withColumn("_b", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .bucketBy(self.bucket_count, self.key)
+            .sortBy(self.key)
+            .saveAsTable(self._gtable(0))
+        )
+        for g in range(self.n_generations - 1):
+            budget = self.budget_rows * (self.growth**g)
+            self.spark.catalog.refreshTable(self._gtable(g))
+            if self.spark.table(self._gtable(g)).count() <= budget:
+                break  # smaller gens fill before larger ones
+            self._promote(g)
+
+    def _promote(self, g: int) -> None:
+        """Merge generation ``g`` into ``g+1`` and restart ``g`` empty.
+        The manifest brackets the non-atomic window (rewrite committed
+        but gen_g not yet emptied) so attach() can repair an overlap."""
+        self._write_manifest(g)
+        up = self.spark.table(self._gtable(g + 1)).unionByName(
+            self.spark.table(self._gtable(g))
+        )
+        self._rewrite_gen(g + 1, up)
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._gtable(g)}")
+        self._create_empty(g)
+        self._write_manifest(None)
+
+    def rebuild_bitset(self) -> None:
+        if self.m_bits is None:
+            return
+        self.bitset = (
+            bloom_build(self.relation(), F.col(self.key), self.m_bits)
+            .select(F.col("bits").alias(self.bits_col))
+            .localCheckpoint(eager=True)
+        )
+
+    @classmethod
+    def attach(
+        cls,
+        spark: SparkSession,
+        table_name: str,
+        key: str,
+        *,
+        path: str,
+        expected_keys: int,
+        budget_rows: int = 100_000,
+        growth: int = 8,
+        n_generations: int = 3,
+        bucket_count: int = 8,
+        bloom_max_bits: int = DEFAULT_BLOOM_MAX_BITS,
+        bits_col: str = "bits",
+    ) -> "GenerationalHistoryIndex":
+        """Restart-and-keep recovery across ALL generations: finish
+        any crashed per-generation swap (``__old`` restore, stale
+        sibling cleanup), re-register the external tables, repair a
+        crashed PROMOTION per the manifest (anti-join-rewrite the
+        source generation against its destination — removes exactly
+        the overlap a committed-but-unemptied promote left, removes
+        nothing otherwise), then rebuild the bitset once."""
+        import shutil
+
+        idx = cls.__new__(cls)
+        idx.spark = spark
+        idx.table_name = table_name
+        idx.key = key
+        idx.bucket_count = bucket_count
+        idx.bits_col = bits_col
+        idx.path = path
+        idx.budget_rows = budget_rows
+        idx.growth = growth
+        idx.n_generations = n_generations
+        for g in range(n_generations):
+            gp = idx._gpath(g)
+            old = gp + "__old"
+            if not os.path.isdir(gp) and os.path.isdir(old):
+                os.replace(old, gp)
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(gp + "__compact", ignore_errors=True)
+            spark.sql(f"DROP TABLE IF EXISTS {idx._gtable(g)}__compact")
+            spark.sql(f"DROP TABLE IF EXISTS {idx._gtable(g)}")
+            if os.path.isdir(gp):
+                idx._register_gen(g)
+            else:  # crash between a promote's empty-rewrite steps
+                idx._create_empty(g)
+        promoting = idx._read_manifest()
+        if promoting is not None:
+            g = int(promoting)
+            dedup = (
+                idx.spark.table(idx._gtable(g))
+                .hint("merge")
+                .join(
+                    idx.spark.table(idx._gtable(g + 1)).select(
+                        F.col(key).alias("__dk")
+                    ),
+                    F.col(key) == F.col("__dk"),
+                    "left_anti",
+                )
+                # pin BEFORE the rewrite drops/replaces the table the
+                # plan reads from (lazy evaluation would re-resolve
+                # against the post-swap state)
+                .localCheckpoint(eager=True)
+            )
+            idx._rewrite_gen(g, dedup)
+            idx._write_manifest(None)
+        m_bits = min(bloom_m_bits(expected_keys), bloom_max_bits)
+        if m_bits >= 2 * expected_keys:
+            idx.m_bits = m_bits
+            idx.rebuild_bitset()
+        else:
+            idx.m_bits = None
+            idx.bitset = None
+        return idx

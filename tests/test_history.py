@@ -535,3 +535,146 @@ def test_write_single_file_split_empty_partition(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 0
     assert back.columns == ["doc_id", "text"]
+
+
+# --- round 12: GenerationalHistoryIndex (LSM-style tiered index) ------------
+
+
+def _gidx(spark, name, **kw):
+    from datafusion_functions_variant_spark.streaming.history import (
+        GenerationalHistoryIndex,
+    )
+
+    kw.setdefault("expected_keys", 2000)
+    kw.setdefault("budget_rows", 100)
+    kw.setdefault("growth", 4)
+    kw.setdefault("overwrite", True)
+    return GenerationalHistoryIndex(
+        spark, name, "k", path=_idx_dir(spark, name), **kw
+    )
+
+
+def test_generational_index_promotes_and_stays_disjoint(spark):
+    """Appends land in gen0; past the geometric budgets whole
+    generations promote upward. Invariants after every batch: total
+    exact, generations pairwise DISJOINT (the no-duplicate-verdict
+    guarantee), membership exact through flag_members/anti_members."""
+    idx = _gidx(spark, "gidx_grow")
+    total = 0
+    appended = []
+    for b in range(6):
+        batch = _keys(spark, 60, salt=f"g{b}")
+        idx.append(batch, batch_id=b)
+        total += 60
+        appended.append(batch)
+        assert idx.relation().count() == total
+        # pairwise disjoint generations
+        rels = idx.relations()
+        counts = [r.count() for r in rels]
+        assert sum(counts) == total
+        for i in range(len(rels)):
+            for j in range(i + 1, len(rels)):
+                assert (
+                    rels[i].join(rels[j], "k", "inner").count() == 0
+                ), f"gen{i} and gen{j} overlap after batch {b}"
+    # promotion actually happened (gen0 alone cannot hold 360 > 100+60)
+    assert idx.relations()[1].count() + idx.relations()[2].count() > 0
+    # membership: every appended key flags true, fresh keys flag false
+    seen = appended[0]
+    flagged = idx.flag_members(seen, "k", "hit")
+    assert flagged.where(~F.col("hit")).count() == 0
+    fresh = _keys(spark, 40, salt="nope")
+    assert idx.flag_members(fresh, "k", "hit").where(F.col("hit")).count() == 0
+    assert idx.anti_members(fresh, "k").count() == 40
+    assert idx.anti_members(seen, "k").count() == 0
+
+
+def test_generational_index_epochs_survive_promotion(spark):
+    """_b stamps ride through promotions: relation(before=N) returns
+    exactly the keys admitted by batches < N regardless of which
+    generation they now live in."""
+    idx = _gidx(spark, "gidx_epoch")
+    for b in range(5):
+        idx.append(_keys(spark, 80, salt=f"e{b}"), batch_id=b)
+    for n in (0, 2, 5):
+        assert idx.relation(before=n).count() == 80 * n
+    # the epoch view also composes with the chained probe
+    old_only = idx.flag_members(
+        _keys(spark, 80, salt="e4"), "k", "hit", before=4
+    )
+    assert old_only.where(F.col("hit")).count() == 0  # batch 4 not < 4
+
+
+def test_generational_index_crash_mid_promote_repaired_by_attach(spark):
+    """Simulated death in the promotion window: gen1 has been
+    rewritten to include gen0's rows but gen0 was never emptied
+    (manifest still says promoting=0). attach() must repair the
+    overlap — total exact, generations disjoint again."""
+    import os as _os
+
+    from datafusion_functions_variant_spark.streaming import history as H
+
+    idx = _gidx(spark, "gidx_crash", budget_rows=100)
+    idx.append(_keys(spark, 90, salt="c0"), batch_id=0)  # 90 <= 100: no promote
+    # the SECOND append crosses the budget (180 > 100) → promotion
+    # fires; make it die AFTER the gen1 rewrite commits but BEFORE
+    # gen0 is emptied
+    orig_create = H.GenerationalHistoryIndex._create_empty
+    died = []
+
+    def dying_create(self, g):
+        died.append(g)
+        raise OSError("simulated crash before gen0 truncate")
+
+    H.GenerationalHistoryIndex._create_empty = dying_create
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            idx.append(_keys(spark, 90, salt="c1"), batch_id=1)
+    finally:
+        H.GenerationalHistoryIndex._create_empty = orig_create
+    assert died  # the crash really happened inside a promotion
+    # manifest still open, and gen0's rows are duplicated into gen1.
+    # Inspect the FILES (a real crash loses the metastore too — the
+    # in-promotion DROP already removed gen0's entry):
+    assert idx._read_manifest() == 0
+    g0 = spark.read.parquet(idx._gpath(0)).select("k")
+    g1 = spark.read.parquet(idx._gpath(1)).select("k")
+    assert g0.join(g1, "k", "inner").count() > 0  # the overlap exists
+
+    from datafusion_functions_variant_spark.streaming.history import (
+        GenerationalHistoryIndex,
+    )
+
+    re = GenerationalHistoryIndex.attach(
+        spark, "gidx_crash", "k", path=_idx_dir(spark, "gidx_crash"),
+        expected_keys=2000, budget_rows=100, growth=4,
+    )
+    assert re._read_manifest() is None
+    rels = re.relations()
+    assert sum(r.count() for r in rels) == 180
+    for i in range(len(rels)):
+        for j in range(i + 1, len(rels)):
+            assert rels[i].join(rels[j], "k", "inner").count() == 0
+    # bitset rebuilt: every key a member; appends keep working
+    allk = re.relation().select("k")
+    assert re.attach_bitset(allk).where(~re.member("k")).count() == 0
+    re.append(_keys(spark, 10, salt="c9"), batch_id=3)
+    assert re.relation().count() == 190
+
+
+def test_generational_index_probe_plan_is_exchange_free_per_generation(spark):
+    """The plan fact the class encodes: every generation side of the
+    chained probe is an in-place bucketed scan (no Exchange, no
+    BroadcastExchange on any index side); the probe side pays ONE
+    Exchange reused across the chained joins."""
+    idx = _gidx(spark, "gidx_plan", budget_rows=100)
+    for b in range(4):
+        idx.append(_keys(spark, 80, salt=f"p{b}"), batch_id=b)
+    probe = _keys(spark, 50, salt="p1")
+    flagged = idx.flag_members(probe, "k", "hit")
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    # one probe-side shuffle, reused by every chained SMJ
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, f"probe must shuffle once, saw {n_exchanges}:\n{plan}"
+    assert "BroadcastExchange" not in plan
