@@ -678,3 +678,20 @@ def test_generational_index_probe_plan_is_exchange_free_per_generation(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 1, f"probe must shuffle once, saw {n_exchanges}:\n{plan}"
     assert "BroadcastExchange" not in plan
+
+
+def test_generational_index_empty_novel_append_is_safe(spark):
+    """An all-duplicate batch appends an EMPTY novel frame: rows
+    unchanged, bitset not corrupted (the empty bloom delta must OR as
+    zeros, not null out the bitset), membership still exact."""
+    idx = _gidx(spark, "gidx_empty")
+    keys = _keys(spark, 50, salt="ea")
+    idx.append(keys, batch_id=0)
+    empty = idx.anti_members(keys, "k")  # everything already present
+    assert empty.count() == 0
+    idx.append(empty, batch_id=1)
+    assert idx.relation().count() == 50
+    assert idx.attach_bitset(keys).where(~idx.member("k")).count() == 0
+    # and a later real append still lands
+    idx.append(_keys(spark, 10, salt="eb"), batch_id=2)
+    assert idx.relation().count() == 60
