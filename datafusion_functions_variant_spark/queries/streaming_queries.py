@@ -2125,3 +2125,112 @@ def stream_dedup_index_update_tiered(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
     )
+
+
+@query(
+    "stream_dedup_index_restart_tiered",
+    oracle=r"""
+    -- IDENTICAL semantics to stream_dedup_index_restart: neither the
+    -- tiered storage layout NOR the driver restart may be visible —
+    -- a doc is a dup iff its normalized content hash appeared in a
+    -- STRICTLY EARLIER micro-batch (batch p = doc_id % 3), over the
+    -- replica-enriched corpus (every 10th doc duplicated into the
+    -- NEXT batch at doc_id + 1e6)
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    d AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+             doc_id % 3 AS b
+      FROM docs
+    ),
+    firstb AS (SELECT h, MIN(b) AS fb FROM d GROUP BY h)
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.b > f.fb THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM d JOIN firstb f ON d.h = f.h
+    ORDER BY d.doc_id
+    """,
+    hash_deps=(
+        _history.GenerationalHistoryIndex,
+        _tiered_ingest,
+        core.write_documents_split,
+    ),
+)
+def stream_dedup_index_restart_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-restart recovery of the TIERED index — completing the
+    capstone triangle (update/restart × single-table/generational):
+    phase 1 streams batches 0-1 against a fresh
+    ``GenerationalHistoryIndex`` (budgets low enough that promotions
+    fire BEFORE the crash, so recovery adopts an index whose keys are
+    already spread across generations); the simulated crash drops
+    every generation's metastore entry and the session-held bitset
+    (files + source checkpoint survive — what a real crash loses);
+    phase 2 ``attach()``es the surviving generation set (finishing any
+    interrupted promotion per the manifest, rebuilding the bitset
+    once) and RESUMES the same checkpoint, so only batch 2 replays,
+    probed by the shared ``_tiered_ingest`` callback. Oracle is the
+    single-table restart twin's: layout and recovery are both
+    invisible to verdicts."""
+    import os as _os
+    import shutil as _sh
+
+    from ..sources.tables import load_table
+    from ..streaming.history import GenerationalHistoryIndex
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "docs_idx_trestart_split")
+    idx_table = "stream_trestart_hash_idx"
+    idx_dir = _os.path.join(_catalog._IO_DIR, idx_table)
+    out_dir = _os.path.join(_catalog._IO_DIR, "stream_trestart_verdicts")
+    ckpt = out_dir + "_ckpt_tmp"
+    for d in (split_dir, idx_dir, out_dir, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+
+    # ---- phase 1: batches 0 and 1, promotions firing pre-crash
+    core.write_documents_split(
+        spark, sf_dir, split_dir, batches=(0, 1), with_replicas=True
+    )
+    idx = GenerationalHistoryIndex(
+        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs,
+        budget_rows=120, growth=4, overwrite=True,
+    )
+    q = (
+        core.documents_split_stream(spark, split_dir)
+        .writeStream.foreachBatch(_tiered_ingest(spark, idx, out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # ---- the crash: per-generation metastore entries and the
+    # in-memory bitset are gone; generation files, the promotion
+    # manifest, and the source checkpoint survive on disk
+    for g in range(idx.n_generations):
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}_g{g}")
+
+    # ---- phase 2: the restarted driver picks up batch 2
+    core.write_documents_split(
+        spark, sf_dir, split_dir, batches=(2,), with_replicas=True
+    )
+    recovered = GenerationalHistoryIndex.attach(
+        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs,
+        budget_rows=120, growth=4,
+    )
+    q = (
+        core.documents_split_stream(spark, split_dir)
+        .writeStream.foreachBatch(_tiered_ingest(spark, recovered, out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _sh.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
+    )
