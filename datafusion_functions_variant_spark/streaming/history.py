@@ -58,6 +58,22 @@ DEFAULT_BROADCAST_THRESHOLD_ROWS = int(
 DEFAULT_BLOOM_MAX_BITS = 1 << 26
 
 
+def _check_key_dtype(df: DataFrame, key: str, cls_name: str) -> None:
+    """The mutable indexes store the key as STRING (the md5-hex /
+    content-hash convention every registered pipeline uses, and the
+    dtype baked into the external-table DDL). A non-string append
+    used to fail later with an opaque bucketed-write cast error
+    (ADVICE r12) — fail at the call site with the contract instead.
+    Driver-only metadata check; no job."""
+    dtype = dict(df.dtypes).get(key)
+    if dtype != "string":
+        raise TypeError(
+            f"{cls_name}: key column {key!r} must be STRING (the index "
+            f"stores md5-hex/content-hash keys; its table DDL declares "
+            f"{key} STRING), got {dtype!r} — cast or hash the key first"
+        )
+
+
 class _BloomProbeMixin:
     """Shared Bloom-prescreen surface: ``member``/``attach_bitset``/
     ``drop_bitset`` over ``self.bitset``/``self.m_bits``/
@@ -199,6 +215,12 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
     in-memory pruning state. A restarted pipeline must rebuild it from
     the table once (``rebuild_bitset``) before probing — resuming with
     a bitset older than the table would reintroduce false negatives.
+
+    Key contract: the key column is STRING — the md5-hex/content-hash
+    convention of every registered pipeline, baked into the external
+    table DDL. ``append`` validates the frame's dtype up front with a
+    clear error (ADVICE r12) instead of failing later inside the
+    bucketed write.
     """
 
     def __init__(
@@ -465,6 +487,7 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
         Compaction preserves rows and ``_b`` stamps, so replay
         semantics are unaffected; the crash-safe swap means a death
         mid-compact costs nothing but the rewrite."""
+        _check_key_dtype(novel, self.key, "SelfUpdatingHistoryIndex")
         if self.bitset is not None:
             # OR the batch's bits in BEFORE the blocking write: both
             # complete before this batch's callback returns, and the
@@ -491,12 +514,28 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
         )
         # auto-compaction policy: one local directory listing per
         # append (the same metadata op the next probe's file index
-        # pays anyway; on a cluster this is the filesystem API call)
+        # pays anyway; on a cluster this is the filesystem API call).
+        # A failed listing (non-POSIX / remote path) must not SILENTLY
+        # disable the policy — the small-file swamp it exists to stop
+        # would quietly return (ADVICE r12) — so warn once and tell
+        # the caller to drive compact() on their own cadence.
         try:
             n_files = sum(
                 1 for f in os.listdir(self.path) if f.endswith(".parquet")
             )
-        except OSError:
+        except OSError as e:
+            if not getattr(self, "_listdir_warned", False):
+                import warnings
+
+                warnings.warn(
+                    f"SelfUpdatingHistoryIndex: cannot list {self.path} "
+                    f"({e}); auto-compaction is inert on this filesystem "
+                    "— call compact() on your own cadence or the "
+                    "per-batch small-file sets will accumulate unbounded",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                self._listdir_warned = True
             n_files = 0
         if self.compact_after_files and n_files > self.compact_after_files:
             self.compact()
@@ -554,6 +593,9 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
       generation-independent); appends OR their bits in, promotions
       leave it alone, ``attach`` rebuilds it once.
 
+    Key contract: STRING keys only (md5-hex/content-hash — the dtype
+    in every generation's DDL); ``append`` validates up front.
+
     No reference counterpart (the reference is a variant codec with
     no storage layer); the LSM shape follows the public literature
     (O'Neil et al., LSM-tree) re-expressed as Spark bucketed tables.
@@ -598,6 +640,15 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
             shutil.rmtree(self._gpath(g) + "__old", ignore_errors=True)
             shutil.rmtree(self._gpath(g) + "__compact", ignore_errors=True)
             self._create_empty(g)
+        #: running per-generation row counts — the budget-check state.
+        #: Maintained on append/promote and persisted in the manifest,
+        #: so the per-batch budget check is pure driver arithmetic
+        #: (r12 verdict #4: the old per-batch ``.count()`` job paid a
+        #: listing+footer scan over gen0's accumulated file groups
+        #: every micro-batch). attach() recomputes them once from the
+        #: tables — the durable truth — so a stale manifest count can
+        #: only ever shift WHEN a promotion fires, never correctness.
+        self._gen_rows = [0] * n_generations
         self._write_manifest(None)
         m_bits = min(bloom_m_bits(expected_keys), bloom_max_bits)
         if m_bits >= 2 * expected_keys:
@@ -619,24 +670,38 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         return os.path.join(self.path, "_manifest.json")
 
     def _write_manifest(self, promoting: int | None) -> None:
-        """Atomically record the promotion window (os.replace of a
-        sidecar json) so attach() knows whether an overlap repair is
-        needed. None = quiescent."""
+        """Atomically record the promotion window plus the running
+        per-generation row counts (os.replace of a sidecar json) so
+        attach() knows whether an overlap repair is needed and append()
+        never has to count a generation table to check its budget.
+        None = quiescent. fsync before the replace (ADVICE r12): a
+        power-loss-truncated manifest must never masquerade as a
+        quiescent one — and if it somehow does end up unparseable,
+        ``_read_manifest`` reports "unknown" and attach() runs the
+        (unconditionally correct) overlap repair on every adjacent
+        generation pair instead of skipping it."""
         import json as _json
 
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
-            _json.dump({"promoting": promoting}, fh)
+            _json.dump({"promoting": promoting, "rows": list(self._gen_rows)}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, self._manifest_path())
 
-    def _read_manifest(self) -> int | None:
+    def _read_manifest(self):
+        """The manifest's ``promoting`` field: an int (a promotion
+        from that generation was in flight), None (quiescent), or the
+        string ``"unknown"`` when the manifest is missing or
+        unparseable — the caller must then assume the worst (repair
+        all adjacent pairs; recompute counts)."""
         import json as _json
 
         try:
             with open(self._manifest_path()) as fh:
                 return _json.load(fh).get("promoting")
         except (OSError, ValueError):
-            return None
+            return "unknown"
 
     def _create_empty(self, g: int) -> None:
         import shutil
@@ -765,7 +830,22 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         """Land ``novel`` (caller guarantees not-already-present, via
         ``anti_members``) in gen0 with the admitting epoch, O(batch)
         bitset merge, then cascade promotions while any generation
-        exceeds its geometric budget."""
+        exceeds its geometric budget.
+
+        ``novel`` is eagerly checkpointed first: the batch plan (a
+        chain of anti-joins over every generation) executes ONCE, and
+        the bitset build, the row count, and the table write all read
+        the checkpointed blocks — previously the plan ran twice
+        (bitset + write). The count feeds the running per-generation
+        totals, so the budget checks below are pure driver arithmetic:
+        no per-batch job ever touches a generation table (r12 verdict
+        #4 — the old ``.count()`` paid a listing+footer scan over
+        gen0's accumulated file groups every micro-batch; at a
+        production gen0 with thousands of file groups that's the
+        per-batch metadata bottleneck)."""
+        _check_key_dtype(novel, self.key, "GenerationalHistoryIndex")
+        novel = novel.localCheckpoint(eager=True)
+        n_new = novel.count()  # O(batch) over checkpointed blocks
         if self.bitset is not None:
             delta = bloom_build(novel, F.col(self.key), self.m_bits)
             self.bitset = (
@@ -784,24 +864,32 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
             .sortBy(self.key)
             .saveAsTable(self._gtable(0))
         )
+        self._gen_rows[0] += n_new
         for g in range(self.n_generations - 1):
             budget = self.budget_rows * (self.growth**g)
-            self.spark.catalog.refreshTable(self._gtable(g))
-            if self.spark.table(self._gtable(g)).count() <= budget:
+            if self._gen_rows[g] <= budget:
                 break  # smaller gens fill before larger ones
             self._promote(g)
+        # persist the counts AFTER any promotion settled: the manifest
+        # stays the single sidecar write per append, and a crash before
+        # it only staled the advisory counts (attach recomputes)
+        self._write_manifest(None)
 
     def _promote(self, g: int) -> None:
         """Merge generation ``g`` into ``g+1`` and restart ``g`` empty.
         The manifest brackets the non-atomic window (rewrite committed
         but gen_g not yet emptied) so attach() can repair an overlap."""
         self._write_manifest(g)
+        self.spark.catalog.refreshTable(self._gtable(g))
+        self.spark.catalog.refreshTable(self._gtable(g + 1))
         up = self.spark.table(self._gtable(g + 1)).unionByName(
             self.spark.table(self._gtable(g))
         )
         self._rewrite_gen(g + 1, up)
         self.spark.sql(f"DROP TABLE IF EXISTS {self._gtable(g)}")
         self._create_empty(g)
+        self._gen_rows[g + 1] += self._gen_rows[g]
+        self._gen_rows[g] = 0
         self._write_manifest(None)
 
     def rebuild_bitset(self) -> None:
@@ -812,6 +900,28 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
             .select(F.col("bits").alias(self.bits_col))
             .localCheckpoint(eager=True)
         )
+
+    def _repair_overlap(self, g: int) -> None:
+        """Remove from generation ``g`` every key also present in
+        ``g+1`` — exactly the overlap a committed-but-unemptied
+        promotion leaves; removes nothing when there is none, so
+        running it unnecessarily is safe (just one gen rewrite)."""
+        dedup = (
+            self.spark.table(self._gtable(g))
+            .hint("merge")
+            .join(
+                self.spark.table(self._gtable(g + 1)).select(
+                    F.col(self.key).alias("__dk")
+                ),
+                F.col(self.key) == F.col("__dk"),
+                "left_anti",
+            )
+            # pin BEFORE the rewrite drops/replaces the table the
+            # plan reads from (lazy evaluation would re-resolve
+            # against the post-swap state)
+            .localCheckpoint(eager=True)
+        )
+        self._rewrite_gen(g, dedup)
 
     @classmethod
     def attach(
@@ -862,25 +972,23 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
             else:  # crash between a promote's empty-rewrite steps
                 idx._create_empty(g)
         promoting = idx._read_manifest()
-        if promoting is not None:
-            g = int(promoting)
-            dedup = (
-                idx.spark.table(idx._gtable(g))
-                .hint("merge")
-                .join(
-                    idx.spark.table(idx._gtable(g + 1)).select(
-                        F.col(key).alias("__dk")
-                    ),
-                    F.col(key) == F.col("__dk"),
-                    "left_anti",
-                )
-                # pin BEFORE the rewrite drops/replaces the table the
-                # plan reads from (lazy evaluation would re-resolve
-                # against the post-swap state)
-                .localCheckpoint(eager=True)
-            )
-            idx._rewrite_gen(g, dedup)
-            idx._write_manifest(None)
+        if promoting == "unknown":
+            # missing or unparseable manifest (power-loss truncation,
+            # manual tampering): assume the worst — a promotion may
+            # have died anywhere. The repair is unconditionally
+            # correct (removes nothing when there is no overlap), so
+            # run it on every adjacent pair, cheapest first.
+            for g in range(n_generations - 1):
+                idx._repair_overlap(g)
+        elif promoting is not None:
+            idx._repair_overlap(int(promoting))
+        # recompute the running per-generation counts ONCE from the
+        # durable tables (the manifest's counts may predate the crash
+        # or the repair above), then persist the quiescent manifest
+        idx._gen_rows = [
+            idx.spark.table(idx._gtable(g)).count() for g in range(n_generations)
+        ]
+        idx._write_manifest(None)
         m_bits = min(bloom_m_bits(expected_keys), bloom_max_bits)
         if m_bits >= 2 * expected_keys:
             idx.m_bits = m_bits

@@ -695,3 +695,174 @@ def test_generational_index_empty_novel_append_is_safe(spark):
     # and a later real append still lands
     idx.append(_keys(spark, 10, salt="eb"), batch_id=2)
     assert idx.relation().count() == 60
+
+
+# --- round 13: O(1) budget checks, sort-reuse pin, manifest hardening -------
+
+
+def test_generational_append_budget_checks_are_driver_arithmetic(
+    spark, monkeypatch
+):
+    """r12 verdict #4: append() must never run a job against a
+    generation TABLE to check budgets (the old per-batch .count() paid
+    a listing+footer scan over gen0's accumulated file groups). The
+    running counts live in _gen_rows / the manifest; a non-promoting
+    append touches no table metadata at all (refreshTable spy), and
+    the counts stay EXACT across promotions."""
+    import json as _json
+
+    idx = _gidx(spark, "gidx_o1")
+    calls = []
+    cat_cls = type(spark.catalog)
+    orig_refresh = cat_cls.refreshTable
+    monkeypatch.setattr(
+        cat_cls,
+        "refreshTable",
+        lambda self, name: (calls.append(name), orig_refresh(self, name))[1],
+    )
+    idx.append(_keys(spark, 50, salt="o1a"), batch_id=0)  # 50 <= 100 budget
+    assert calls == [], f"non-promoting append touched table metadata: {calls}"
+    # promotions DO refresh (they read the tables to merge) — and the
+    # running counts remain exact afterwards
+    for b in range(1, 6):
+        idx.append(_keys(spark, 80, salt=f"o1{b}"), batch_id=b)
+    actual = [r.count() for r in idx.relations()]
+    assert idx._gen_rows == actual, (idx._gen_rows, actual)
+    assert sum(actual) == 50 + 5 * 80
+    # the manifest persists the counts next to the promotion marker
+    with open(idx._manifest_path()) as fh:
+        m = _json.load(fh)
+    assert m == {"promoting": None, "rows": actual}
+
+
+def test_generational_probe_sorts_probe_side_once_at_five_generations(spark):
+    """r12 verdict #3: at a production-depth chain the plan detail
+    that decides O(1)-vs-O(gens) probe cost is whether the chained
+    SMJs re-sort the probe side. Pin: exactly ONE probe-side Sort and
+    at most one Exchange across a 5-generation chain; every generation
+    side stays an in-place bucketed scan (its per-bucket Sort is
+    map-side and carries no Exchange)."""
+    import re as _re
+
+    idx = _gidx(
+        spark, "gidx_deep", n_generations=5, expected_keys=5000
+    )
+    for b in range(8):
+        idx.append(_keys(spark, 80, salt=f"d{b}"), batch_id=b)
+    probe = _keys(spark, 50, salt="d1")
+    flagged = idx.flag_members(probe, "k", "hit")
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, f"probe must shuffle once, saw {n_exchanges}"
+    assert "BroadcastExchange" not in plan
+    probe_sorts = len(_re.findall(r"Sort \[k#", plan))
+    assert probe_sorts == 1, f"probe side re-sorted: {probe_sorts} sorts\n{plan}"
+    gen_sorts = len(_re.findall(r"Sort \[__gk", plan))
+    assert gen_sorts == 5  # one map-side sort per generation scan
+    assert plan.count("SelectedBucketsCount") == 5
+    # and the answers at depth 5 stay exact
+    assert flagged.where(~F.col("hit")).count() == 0
+    assert sum(r.count() for r in idx.relations()) == 8 * 80
+
+
+def test_generational_unparseable_manifest_triggers_full_repair(spark):
+    """ADVICE r12: a power-loss-truncated manifest must read as
+    'unknown', and attach() must then run the overlap repair on EVERY
+    adjacent pair (unconditionally correct) rather than assume
+    quiescence. Simulate: crash mid-promote (real overlap), then
+    truncate the manifest to garbage."""
+    import os as _os
+
+    from datafusion_functions_variant_spark.streaming import history as H
+
+    idx = _gidx(spark, "gidx_unk", budget_rows=100)
+    idx.append(_keys(spark, 90, salt="u0"), batch_id=0)
+    orig_create = H.GenerationalHistoryIndex._create_empty
+
+    def dying_create(self, g):
+        raise OSError("simulated crash before gen0 truncate")
+
+    H.GenerationalHistoryIndex._create_empty = dying_create
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            idx.append(_keys(spark, 90, salt="u1"), batch_id=1)
+    finally:
+        H.GenerationalHistoryIndex._create_empty = orig_create
+    # now ALSO lose the manifest to a torn write
+    with open(idx._manifest_path(), "w") as fh:
+        fh.write('{"promot')  # truncated json
+    assert idx._read_manifest() == "unknown"
+
+    re_idx = H.GenerationalHistoryIndex.attach(
+        spark, "gidx_unk", "k", path=_idx_dir(spark, "gidx_unk"),
+        expected_keys=2000, budget_rows=100, growth=4,
+    )
+    assert re_idx._read_manifest() is None
+    rels = re_idx.relations()
+    assert sum(r.count() for r in rels) == 180
+    for i in range(len(rels)):
+        for j in range(i + 1, len(rels)):
+            assert rels[i].join(rels[j], "k", "inner").count() == 0
+    # counts recomputed from the durable tables
+    assert re_idx._gen_rows == [r.count() for r in rels]
+
+
+def test_index_appends_validate_key_dtype(spark):
+    """ADVICE r12: a non-string key column fails AT THE CALL SITE with
+    the contract, not later inside the bucketed write."""
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    gi = _gidx(spark, "gidx_dtype")
+    bad = spark.range(5).select(F.col("id").alias("k"))  # bigint key
+    with pytest.raises(TypeError, match="must be STRING"):
+        gi.append(bad, batch_id=0)
+    si = SelfUpdatingHistoryIndex(
+        spark, "sui_dtype", "k",
+        path=_idx_dir(spark, "sui_dtype"), expected_keys=100, overwrite=True,
+    )
+    with pytest.raises(TypeError, match="must be STRING"):
+        si.append(bad, batch_id=0)
+
+
+def test_variant_extracted_key_feeds_exchange_free_probe_chain(spark):
+    """Round-13 capability pin (VERDICT r12 #7): a probe whose key is
+    EXTRACTED via the codec surface (parse_json → variant_get → md5)
+    must feed the same Exchange-free chained probe as a precomputed
+    key — the extraction rides map-side before the probe's single
+    shuffle; every generation side stays an in-place bucketed scan."""
+    idx = _gidx(spark, "gidx_vkey")
+    for b in range(3):
+        idx.append(_keys(spark, 80, salt=f"v{b}"), batch_id=b)
+    payloads = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.to_json(
+            F.struct(
+                F.col("id").alias("id"),
+                F.struct(
+                    F.concat_ws(
+                        "#", F.col("id").cast("string"), F.lit("v1")
+                    ).alias("text")
+                ).alias("body"),
+            )
+        ).alias("payload"),
+    )
+    probe = payloads.select(
+        "doc_id",
+        F.md5(
+            F.variant_get(F.parse_json("payload"), "$.body.text", "string")
+        ).alias("k"),
+    )
+    flagged = idx.flag_members(probe, "k", "hit")
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    # the shredded key really is derived in-plan, map-side
+    assert "variant_get" in plan and "parse_json" in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, f"probe must shuffle once, saw {n_exchanges}"
+    assert "BroadcastExchange" not in plan
+    assert plan.count("SelectedBucketsCount") == idx.n_generations
+    # and the extracted keys actually match the indexed generation
+    # (the _keys fixture hashes 'id#v1' — the same text the envelope
+    # carries, so every probe row must flag as a member)
+    assert flagged.where(~F.col("hit")).count() == 0

@@ -846,10 +846,34 @@ def test_preflight_python_exec_raises_on_broken_exec(spark):
     orig = sc.pythonExec
     sc.pythonExec = "/nonexistent/variant-spark-preflight-probe"
     try:
-        with _pytest.raises(RuntimeError, match="not found|cannot import"):
+        with _pytest.raises(RuntimeError, match="cannot be spawned"):
             preflight_python_exec(spark)
     finally:
         sc.pythonExec = orig
+
+
+def test_preflight_python_exec_names_non_executable_wrapper(spark, tmp_path):
+    # ADVICE r12: a PermissionError (mode-0644 wrapper) or a directory
+    # pythonExec used to escape the probe uncaught — every OSError
+    # spawn failure must map to the named RuntimeError
+    import pytest as _pytest
+
+    from datafusion_functions_variant_spark.vendor import preflight_python_exec
+
+    noexec = tmp_path / "wrapper-without-x-bit.sh"
+    noexec.write_text("#!/bin/sh\nexit 0\n")
+    noexec.chmod(0o644)
+    sc = spark.sparkContext
+    orig = sc.pythonExec
+    for bad in (str(noexec), str(tmp_path)):
+        sc.pythonExec = bad
+        try:
+            with _pytest.raises(
+                RuntimeError, match="cannot be spawned \\((Permission|.*Directory)"
+            ):
+                preflight_python_exec(spark)
+        finally:
+            sc.pythonExec = orig
 
 
 def test_preflight_python_exec_raises_on_failing_import(spark, tmp_path):
