@@ -158,15 +158,18 @@ _REVERIFY_SAMPLE = 8
 #: driver's last run so the driver re-hashes them in the same round
 #: that re-measures them. Keep this SMALL and transient: each pin
 #: consumes a window slot the rotation would otherwise spend sweeping
-#: the verified backlog. Round 12: the two r11 scaled movers
-#: adjudicated as weather (BASELINE.md) — one more driver hash on
-#: each closes the loop; q1/q3/q5 pins released (re-verified green in
-#: the r11 window). The compaction-touched index capstones re-front
-#: automatically via their hash_deps on SelfUpdatingHistoryIndex.
+#: the verified backlog. Round 13: r12's pins released (both
+#: hash-green in the r12 window); pinned now are the three scaled
+#: movers the r12 driver artifact left unadjudicated (VERDICT r12
+#: "What's wrong" #3) so the r13 driver re-hashes them in the same
+#: round that re-measures them. The index capstones (incl. both
+#: tiered ones — their second driver hash) re-front automatically via
+#: their hash_deps on the round-13-edited history.py classes.
 _PINNED_REVERIFY = frozenset(
     {
-        "theta_join_late_shipments",
-        "text_quality_classifier",
+        "similarity_knn_graph_canonical",
+        "dataset_curriculum_stages",
+        "snapshot_diff_bucketed",
     }
 )
 _SPEC_LEDGER = "QUERY_SPECS.json"

@@ -538,3 +538,62 @@ def documents_split_stream(spark: SparkSession, split_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(split_dir)
     )
+
+
+def write_documents_json_split(
+    spark: SparkSession,
+    sf_dir: str,
+    split_dir: str,
+    batches: tuple[int, ...] = (0, 1, 2),
+    with_replicas: bool = True,
+) -> None:
+    """Like :func:`write_documents_split` but each batch row carries a
+    raw JSON ENVELOPE instead of a precomputed content hash:
+    ``payload = {"id": doc_id, "body": {"text": ...}}``. The ingest
+    callback must therefore derive its dedup key by variant-path
+    extraction (``parse_json`` → ``variant_get('$.body.text')``) —
+    the shape of a real crawl feed, where documents arrive as
+    semi-structured blobs and the key is buried in the payload.
+    Replica enrichment (every 10th doc duplicated into the NEXT batch
+    at doc_id + 1e6) defaults ON so the dedup verdicts are non-trivial;
+    batch membership (doc_id % 3) and mtime pinning match the hash
+    split so oracles share the strictly-earlier-batch spec."""
+    from ..sources.tables import load_table
+
+    os.makedirs(split_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if with_replicas:
+        docs = docs.unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    full = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("id"),
+                F.struct(F.col("text").alias("text")).alias("body"),
+            )
+        ).alias("payload"),
+        (F.col("doc_id") % 3).alias("b"),
+    )
+    base = 1_700_000_000
+    for p in batches:
+        path = os.path.join(split_dir, f"batch{p}.parquet")
+        _write_single_file_split(
+            full.where(F.col("b") == p).select("doc_id", "payload"), path
+        )
+        os.utime(path, (base + p * 10, base + p * 10))
+
+
+def documents_json_split_stream(spark: SparkSession, split_dir: str) -> DataFrame:
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", StringType())]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(split_dir)
+    )
