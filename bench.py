@@ -156,8 +156,15 @@ HEADLINE_ISOLATED = [
 CALIBRATION_N = 2_000_000_000
 
 
-def calibration_times(spark, cpus: int, runs: int) -> tuple[float, float]:
-    """(median, min) wall-clock of the calibration probe."""
+def calibration_times(spark, cpus: int, runs: int) -> tuple[float, float, float]:
+    """(median, min, spread) wall-clock of the calibration probe.
+
+    ``spread`` = max - min over the timed samples. A quiet box keeps
+    the spread within a few percent of the median; a contended box
+    (host steal — r8, r12 incidents) blows it up. Recorded into
+    BENCH.json so weather adjudications are self-contained: a future
+    reader can tell a tainted run from a clean one without BASELINE.md
+    archaeology (r12 verdict "What's wrong" #1)."""
     from pyspark.sql import functions as F
 
     samples = []
@@ -173,7 +180,22 @@ def calibration_times(spark, cpus: int, runs: int) -> tuple[float, float]:
     return (
         round(sorted(samples)[len(samples) // 2], 3),
         round(min(samples), 3),
+        round(max(samples) - min(samples), 3),
     )
+
+
+def loadavg_now() -> list[float] | None:
+    """1/5/15-minute load averages, or None where unsupported.
+
+    Stamped into BENCH.json before and after each query set: the box
+    state rides in the artifact itself, so when a round's scaled
+    column moves the reader can see whether the run was contended
+    (r12: driver box at guest load 15 with zero guest processes)
+    without cross-referencing prose."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except (OSError, AttributeError):
+        return None
 
 
 #: reported per-query but EXCLUDED from the summed total: the probe is
@@ -241,6 +263,11 @@ def compact_stdout_line(out: dict, limit: int = STDOUT_LINE_LIMIT) -> str:
     # bounded error texts live in BENCH.json's errors/scaled_errors
     errs = sorted(set(out.get("errors", {})) | set(out.get("scaled_errors", {})))
     if errs:
+        # bounded: an errs list long enough to overflow the minimal
+        # form would turn the AssertionError below into the failure
+        # mode it guards against (ADVICE r12)
+        if len(errs) > 12:
+            errs = errs[:12] + [f"+{len(errs) - 12} more"]
         line["errs"] = errs
     for drop in ((), ("scaled_queries",), ("scaled_queries", "queries")):
         cand = {k: v for k, v in line.items() if k not in drop}
@@ -617,16 +644,24 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "5"))
     scale_k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "10"))
     scaled_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
+    def mark_load(label: str) -> None:
+        la = loadavg_now()
+        if la is not None:
+            out.setdefault("loadavg", {})[label] = la
+
     try:
         try:
-            calib, calib_min = calibration_times(sess[0], cpus, runs)
+            mark_load("sf_pre")
+            calib, calib_min, calib_spread = calibration_times(sess[0], cpus, runs)
             # machine-weather divisor measured just before this set;
             # the cross-round gate compares value/calibration, not raw
             out["calibration"] = calib
             out["calibration_min"] = calib_min
+            out["calibration_spread"] = calib_spread
         except Exception as e:  # noqa: BLE001
             out.setdefault("errors", {})["__calibration__"] = _err_text(e)
         merge("", *run_set(sess[0], registry, sf_dir, runs, HEADLINE, consume))
+        mark_load("sf_post")
         flush()
 
         # scaled point (~sf1): same queries over the K×-replicated
@@ -642,18 +677,21 @@ def main() -> None:
             )
             try:
                 ensure_scaled_dir(sess[0], sf_dir, scale_k, scaled_dir)
-                s_calib, s_calib_min = calibration_times(
+                mark_load("scaled_pre")
+                s_calib, s_calib_min, s_calib_spread = calibration_times(
                     sess[0], cpus, scaled_runs
                 )
                 out["scale_k"] = scale_k
                 out["scaled_calibration"] = s_calib
                 out["scaled_calibration_min"] = s_calib_min
+                out["scaled_calibration_spread"] = s_calib_spread
                 merge(
                     "scaled",
                     *run_set(
                         sess[0], registry, scaled_dir, scaled_runs, HEADLINE, consume
                     ),
                 )
+                mark_load("scaled_post")
             except Exception as e:  # noqa: BLE001 — corpus/calibration
                 out.setdefault("scaled_errors", {})["__scaled_set__"] = _err_text(e)
                 scaled_dir = None
@@ -669,9 +707,11 @@ def main() -> None:
         # these keys are Python-state-bound, not scan-bound, so column
         # weather matters less.
         run_isolated(sf_dir, runs, "")
+        mark_load("isolated_sf_post")
         flush()
         if scaled_dir is not None:
             run_isolated(scaled_dir, scaled_runs, "scaled")
+            mark_load("isolated_scaled_post")
             flush()
     finally:
         # Self-contained full-precision artifact: the driver's stdout
@@ -687,7 +727,19 @@ def main() -> None:
             flush()
         except Exception:  # noqa: BLE001 — the print below still runs
             pass
-        print(compact_stdout_line(out))
+        try:
+            print(compact_stdout_line(out))
+        except Exception:  # noqa: BLE001 — never mask the original
+            # exception or skip the session stop below: fall back to a
+            # hand-built minimal line (fixed fields only, hard-sliced)
+            minimal = {
+                "metric": out.get("metric"),
+                "value": round(out.get("value", 0.0), 2),
+                "unit": "sec",
+                "sf": out.get("sf"),
+                "full": "BENCH.json",
+            }
+            print(json.dumps(minimal, separators=(",", ":"))[:STDOUT_LINE_LIMIT])
         try:
             sess[0].stop()
         except Exception:  # noqa: BLE001

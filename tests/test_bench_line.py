@@ -223,3 +223,46 @@ def test_run_isolated_keys_retries_in_fresh_session():
     # both failures stopped-and-replaced the held session
     assert len(stops) == 2 and len(made) == 2
     assert isinstance(sess[0], _FakeSpark)
+
+
+# --- round 13: self-contained weather adjudication (VERDICT r12 #2) ---------
+#
+# BENCH.json must carry the box state (loadavg before/after each set)
+# and the calibration sample spread so a contention-tainted run is
+# identifiable from the artifact alone — the r12 driver run's scaled
+# column (guest load 15) vs the same-day quiet-window run could only
+# be told apart via BASELINE.md archaeology.
+
+
+def test_loadavg_now_shape():
+    la = bench.loadavg_now()
+    # linux container: three non-negative floats (1/5/15 min)
+    assert la is not None and len(la) == 3
+    assert all(isinstance(x, float) and x >= 0 for x in la)
+
+
+def test_committed_bench_artifact_carries_weather_fields():
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH.json")
+    with open(path) as fh:
+        b = json.load(fh)
+    assert "calibration_spread" in b, "re-stamp BENCH.json with round-13 bench.py"
+    assert isinstance(b["calibration_spread"], float)
+    la = b.get("loadavg", {})
+    assert "sf_pre" in la and "sf_post" in la
+    assert all(len(v) == 3 for v in la.values())
+    if "scaled_calibration" in b:
+        assert "scaled_calibration_spread" in b
+        assert "scaled_pre" in la and "scaled_post" in la
+
+
+def test_errs_list_is_bounded_on_the_line():
+    # an irreducibly long errs list must truncate, not trip the hard
+    # byte-cap assert in the finally-print (ADVICE r12)
+    out = _out(0)
+    out["errors"] = {f"some_failing_query_name_{i:03d}": "x" for i in range(50)}
+    d = json.loads(bench.compact_stdout_line(out))
+    assert len(d["errs"]) == 13
+    assert d["errs"][-1] == "+38 more"
+    assert len(json.dumps(d, separators=(",", ":"))) <= bench.STDOUT_LINE_LIMIT
