@@ -512,33 +512,51 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
             .sortBy(self.key)
             .saveAsTable(self.table_name)
         )
-        # auto-compaction policy: one local directory listing per
-        # append (the same metadata op the next probe's file index
-        # pays anyway; on a cluster this is the filesystem API call).
-        # A failed listing (non-POSIX / remote path) must not SILENTLY
-        # disable the policy — the small-file swamp it exists to stop
-        # would quietly return (ADVICE r12) — so warn once and tell
-        # the caller to drive compact() on their own cadence.
-        try:
-            n_files = sum(
-                1 for f in os.listdir(self.path) if f.endswith(".parquet")
-            )
-        except OSError as e:
-            if not getattr(self, "_listdir_warned", False):
-                import warnings
-
-                warnings.warn(
-                    f"SelfUpdatingHistoryIndex: cannot list {self.path} "
-                    f"({e}); auto-compaction is inert on this filesystem "
-                    "— call compact() on your own cadence or the "
-                    "per-batch small-file sets will accumulate unbounded",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
-                self._listdir_warned = True
-            n_files = 0
+        # auto-compaction policy: one directory listing per append
+        # (the same metadata op the next probe's file index pays
+        # anyway). os.listdir first (free on POSIX paths — every test
+        # and local deployment), falling back to the Hadoop FileSystem
+        # API through the JVM gateway for remote paths (hdfs://,
+        # s3a://, ... — the 100 TB deployment, where os.listdir always
+        # fails). Only if BOTH fail does the policy go inert, and then
+        # LOUDLY (warn once) — a silently-disabled policy would bring
+        # back the small-file swamp it exists to stop (ADVICE r12).
+        n_files = self._count_index_files()
         if self.compact_after_files and n_files > self.compact_after_files:
             self.compact()
+
+    def _count_index_files(self) -> int:
+        try:
+            return sum(
+                1 for f in os.listdir(self.path) if f.endswith(".parquet")
+            )
+        except OSError as local_err:
+            try:
+                jvm = self.spark._jvm
+                jsc = self.spark._jsc
+                hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+                fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+                statuses = fs.listStatus(hpath)
+                return sum(
+                    1
+                    for s in statuses
+                    if s.getPath().getName().endswith(".parquet")
+                )
+            except Exception as hadoop_err:  # noqa: BLE001 — warn, don't kill
+                if not getattr(self, "_listdir_warned", False):
+                    import warnings
+
+                    warnings.warn(
+                        f"SelfUpdatingHistoryIndex: cannot list {self.path} "
+                        f"(os: {local_err}; hadoop: {hadoop_err}); "
+                        "auto-compaction is inert on this filesystem — "
+                        "call compact() on your own cadence or the "
+                        "per-batch small-file sets will accumulate unbounded",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    self._listdir_warned = True
+                return 0
 
     def rebuild_bitset(self) -> None:
         """Recovery path: one full index scan re-derives the bitset

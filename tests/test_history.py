@@ -866,3 +866,31 @@ def test_variant_extracted_key_feeds_exchange_free_probe_chain(spark):
     # (the _keys fixture hashes 'id#v1' — the same text the envelope
     # carries, so every probe row must flag as a member)
     assert flagged.where(~F.col("hit")).count() == 0
+
+
+def test_autocompaction_listing_falls_back_to_hadoop_fs(spark, monkeypatch):
+    """The cluster story (ADVICE r12): on a remote path os.listdir
+    always fails — the policy must fall back to the Hadoop FileSystem
+    API (which also serves local paths) and keep counting; only a
+    double failure warns-once and disables."""
+    import os as _os
+
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    idx = SelfUpdatingHistoryIndex(
+        spark, "sui_hfs", "k",
+        path=_idx_dir(spark, "sui_hfs"), expected_keys=200, overwrite=True,
+    )
+    idx.append(_keys(spark, 40, salt="hf"), batch_id=0)
+    direct = idx._count_index_files()
+    assert direct > 0
+
+    def deny(path):
+        raise PermissionError(f"simulated non-POSIX path: {path}")
+
+    monkeypatch.setattr(_os, "listdir", deny)
+    via_hadoop = idx._count_index_files()
+    assert via_hadoop == direct  # the fallback counts the same files
+    assert not getattr(idx, "_listdir_warned", False)
