@@ -107,6 +107,39 @@ class _BloomProbeMixin:
             F.expr(f"array_repeat(0L, {m_words})").alias(self.bits_col)
         ).localCheckpoint(eager=True)
 
+    def bloom_saturation(self) -> dict | None:
+        """Operational dial for a long-running ingest whose key
+        universe outgrew ``expected_keys``: the bitset's fill fraction
+        and the implied false-positive rate. The bitset degrades
+        GRACEFULLY (false positives shed less work; never a false
+        negative), but past ~50% fill it stops paying for itself —
+        a production pipeline alerts on this and schedules a rebuild
+        with a larger ``m_bits`` (new index epoch). One O(m/64 words)
+        aggregation over the 1-row bitset — driver-cheap at any index
+        size. Returns None when no bitset is active.
+
+        ``est_fpr`` is the standard fill-rate estimate fill**k with
+        the build's k = len(DEFAULT_SEEDS) hash probes
+        (operators/bloom.py)."""
+        if self.bitset is None:
+            return None
+        from ..operators.bloom import DEFAULT_SEEDS
+
+        [row] = self.bitset.select(
+            F.aggregate(
+                F.transform(self.bits_col, lambda w: F.bit_count(w)),
+                F.lit(0),
+                lambda acc, c: acc + c,
+            ).alias("set_bits")
+        ).collect()
+        fill = row.set_bits / self.m_bits
+        return {
+            "set_bits": row.set_bits,
+            "m_bits": self.m_bits,
+            "fill": round(fill, 6),
+            "est_fpr": round(fill ** len(DEFAULT_SEEDS), 9),
+        }
+
 
 @dataclass(frozen=True)
 class HistoryIndex(_BloomProbeMixin):

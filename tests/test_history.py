@@ -894,3 +894,31 @@ def test_autocompaction_listing_falls_back_to_hadoop_fs(spark, monkeypatch):
     via_hadoop = idx._count_index_files()
     assert via_hadoop == direct  # the fallback counts the same files
     assert not getattr(idx, "_listdir_warned", False)
+
+
+def test_bloom_saturation_reports_fill_and_tracks_growth(spark):
+    """The operational dial for an outgrown expected_keys: fill and
+    est_fpr are exact functions of the bitset; growing the index
+    raises both; the no-bitset degenerate returns None."""
+    idx = _gidx(spark, "gidx_sat", expected_keys=3000)
+    s0 = idx.bloom_saturation()
+    assert s0 == {"set_bits": 0, "m_bits": idx.m_bits, "fill": 0.0, "est_fpr": 0.0}
+    idx.append(_keys(spark, 200, salt="sa"), batch_id=0)
+    s1 = idx.bloom_saturation()
+    # k=3 probes over 200 keys set at most 600 bits, at least ~200
+    assert 200 <= s1["set_bits"] <= 600
+    assert 0 < s1["fill"] < 0.01 and 0 < s1["est_fpr"] < 1e-5
+    idx.append(_keys(spark, 400, salt="sb"), batch_id=1)
+    s2 = idx.bloom_saturation()
+    assert s2["set_bits"] > s1["set_bits"] and s2["est_fpr"] > s1["est_fpr"]
+    # degenerate: no headroom -> no bitset -> None
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    nob = SelfUpdatingHistoryIndex(
+        spark, "sui_sat_none", "k",
+        path=_idx_dir(spark, "sui_sat_none"),
+        expected_keys=10**12, overwrite=True,  # m capped below 2 bits/key
+    )
+    assert nob.bitset is None and nob.bloom_saturation() is None
