@@ -591,9 +591,22 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
                     self._listdir_warned = True
                 return 0
 
-    def rebuild_bitset(self) -> None:
+    def rebuild_bitset(self, m_bits: int | None = None) -> None:
         """Recovery path: one full index scan re-derives the bitset
-        from the durable table (see class docstring)."""
+        from the durable table (see class docstring).
+
+        ``m_bits`` starts a new BITSET EPOCH at a different size — the
+        remedy when ``bloom_saturation()`` shows the key universe
+        outgrew ``expected_keys`` (bits from different m values never
+        merge, so a resize is definitionally a rebuild; the table is
+        untouched, correctness never depended on the bitset). Must be
+        a positive multiple of 64 (whole words)."""
+        if m_bits is not None:
+            if m_bits <= 0 or m_bits % 64:
+                raise ValueError(
+                    f"m_bits must be a positive multiple of 64, got {m_bits}"
+                )
+            self.m_bits = m_bits
         if self.m_bits is None:
             return
         self.bitset = (
@@ -943,7 +956,16 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         self._gen_rows[g] = 0
         self._write_manifest(None)
 
-    def rebuild_bitset(self) -> None:
+    def rebuild_bitset(self, m_bits: int | None = None) -> None:
+        """One union scan across all generations (membership is
+        generation-independent); ``m_bits`` starts a new bitset epoch
+        at a different size — see the single-table twin's docstring."""
+        if m_bits is not None:
+            if m_bits <= 0 or m_bits % 64:
+                raise ValueError(
+                    f"m_bits must be a positive multiple of 64, got {m_bits}"
+                )
+            self.m_bits = m_bits
         if self.m_bits is None:
             return
         self.bitset = (

@@ -936,3 +936,27 @@ def test_bloom_saturation_reports_fill_and_tracks_growth(spark):
         expected_keys=10**12, overwrite=True,  # m capped below 2 bits/key
     )
     assert nob.bitset is None and nob.bloom_saturation() is None
+
+
+def test_rebuild_bitset_resize_starts_new_epoch(spark):
+    """The saturation dial's remedy: rebuild at a larger m_bits. The
+    resized bitset must keep the zero-false-negative invariant over
+    everything already indexed, report lower fill, and keep working
+    through subsequent appends; bad sizes fail loudly."""
+    idx = _gidx(spark, "gidx_resize", expected_keys=500)
+    idx.append(_keys(spark, 300, salt="rz"), batch_id=0)
+    before = idx.bloom_saturation()
+    old_m = idx.m_bits
+    idx.rebuild_bitset(m_bits=old_m * 4)
+    assert idx.m_bits == old_m * 4
+    after = idx.bloom_saturation()
+    assert after["m_bits"] == old_m * 4 and after["fill"] < before["fill"]
+    # no false negatives across the epoch change
+    allk = idx.relation().select("k")
+    assert idx.attach_bitset(allk).where(~idx.member("k")).count() == 0
+    # appends keep ORing into the NEW epoch
+    idx.append(_keys(spark, 100, salt="rz2"), batch_id=1)
+    allk = idx.relation().select("k")
+    assert idx.attach_bitset(allk).where(~idx.member("k")).count() == 0
+    with pytest.raises(ValueError, match="multiple of 64"):
+        idx.rebuild_bitset(m_bits=100)
