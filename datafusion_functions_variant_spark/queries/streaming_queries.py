@@ -2367,3 +2367,120 @@ def stream_dedup_index_variant_keyed(
     return (
         spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
     )
+
+
+@query(
+    "stream_dedup_index_restart_variant_keyed",
+    oracle=r"""
+    -- IDENTICAL semantics to stream_dedup_index_variant_keyed: the
+    -- driver restart must be invisible — a doc is a dup iff the
+    -- normalized text extracted from its JSON envelope (DuckDB ->>
+    -- mirrors parse_json → variant_get) appeared in a strictly
+    -- earlier micro-batch (batch = doc_id % 3), replica-enriched
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    j AS (
+      SELECT doc_id,
+             to_json(struct_pack(id := doc_id,
+                                 body := struct_pack(text := text))) AS payload
+      FROM docs
+    ),
+    d AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(payload->>'$.body.text')),
+                                '\s+', ' ', 'g')) AS h,
+             doc_id % 3 AS b
+      FROM j
+    ),
+    firstb AS (SELECT h, MIN(b) AS fb FROM d GROUP BY h)
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.b > f.fb THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM d JOIN firstb f ON d.h = f.h
+    ORDER BY d.doc_id
+    """,
+    hash_deps=(
+        _history.GenerationalHistoryIndex,
+        _variant_keyed_ingest,
+        _tiered_ingest,
+        core.write_documents_json_split,
+    ),
+)
+def stream_dedup_index_restart_variant_keyed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-restart recovery of the VARIANT-KEYED tiered index —
+    the sixth cell of the capstone cube (update/restart ×
+    single-table/tiered × precomputed-hash/variant-extracted key):
+    proves that an index whose ingest key is DERIVED through the codec
+    surface per batch recovers exactly like its hash-keyed twin,
+    because the index is key-provenance-agnostic (the extraction lives
+    in the callback, the durable state is the same bucketed generation
+    set + manifest). Phase 1 streams JSON-envelope batches 0-1 with
+    the ``_variant_keyed_ingest`` callback (budgets low enough that
+    promotions fire pre-crash); the simulated crash drops every
+    generation's metastore entry and the session-held bitset; phase 2
+    ``attach()``es the surviving generation set and RESUMES the same
+    checkpoint so only batch 2 replays — its verdicts epoch-filtered
+    to ``_b < 2`` against keys it must re-derive from the payloads.
+    Oracle identical to the update twin: recovery, layout, and codec
+    track all invisible to verdicts."""
+    import os as _os
+    import shutil as _sh
+
+    from ..sources.tables import load_table
+    from ..streaming.history import GenerationalHistoryIndex
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "docs_idx_vkrestart_split")
+    idx_table = "stream_vkrestart_hash_idx"
+    idx_dir = _os.path.join(_catalog._IO_DIR, idx_table)
+    out_dir = _os.path.join(_catalog._IO_DIR, "stream_vkrestart_verdicts")
+    ckpt = out_dir + "_ckpt_tmp"
+    for d in (split_dir, idx_dir, out_dir, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+
+    # ---- phase 1: batches 0 and 1, promotions firing pre-crash
+    core.write_documents_json_split(spark, sf_dir, split_dir, batches=(0, 1))
+    idx = GenerationalHistoryIndex(
+        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs,
+        budget_rows=120, growth=4, overwrite=True,
+    )
+    q = (
+        core.documents_json_split_stream(spark, split_dir)
+        .writeStream.foreachBatch(_variant_keyed_ingest(spark, idx, out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # ---- the crash: metastore entries and the in-memory bitset are
+    # gone; generation files, manifest, and source checkpoint survive
+    for g in range(idx.n_generations):
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}_g{g}")
+
+    # ---- phase 2: the restarted driver picks up batch 2
+    core.write_documents_json_split(spark, sf_dir, split_dir, batches=(2,))
+    recovered = GenerationalHistoryIndex.attach(
+        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs,
+        budget_rows=120, growth=4,
+    )
+    q = (
+        core.documents_json_split_stream(spark, split_dir)
+        .writeStream.foreachBatch(
+            _variant_keyed_ingest(spark, recovered, out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _sh.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
+    )
