@@ -158,18 +158,24 @@ _REVERIFY_SAMPLE = 8
 #: driver's last run so the driver re-hashes them in the same round
 #: that re-measures them. Keep this SMALL and transient: each pin
 #: consumes a window slot the rotation would otherwise spend sweeping
-#: the verified backlog. Round 13: r12's pins released (both
-#: hash-green in the r12 window); pinned now are the three scaled
-#: movers the r12 driver artifact left unadjudicated (VERDICT r12
-#: "What's wrong" #3) so the r13 driver re-hashes them in the same
-#: round that re-measures them. The index capstones (incl. both
-#: tiered ones — their second driver hash) re-front automatically via
-#: their hash_deps on the round-13-edited history.py classes.
+#: the verified backlog. Round 14: r13's pins released (all three
+#: hash-green in the r13 window AND measured flat on the driver's own
+#: box — adjudication closed, VERDICT r13 "Performance"). Pinned now:
+#: the four scaled movers the r13 driver artifact left
+#: adjudicated-pending (VERDICT r13 "What's wrong" #1) so the r14
+#: driver re-hashes them in the same round that re-measures them, plus
+#: the round-13 variant-keyed capstone pair for their second driver
+#: hash (VERDICT r13 "next" #5). The index capstones re-front
+#: automatically via their hash_deps on the round-14-edited
+#: history.py classes.
 _PINNED_REVERIFY = frozenset(
     {
-        "similarity_knn_graph_canonical",
-        "dataset_curriculum_stages",
-        "snapshot_diff_bucketed",
+        "dedup_incremental_index",
+        "theta_join_late_shipments",
+        "text_quality_classifier",
+        "window_lag_lead_events",
+        "stream_dedup_index_variant_keyed",
+        "stream_dedup_index_restart_variant_keyed",
     }
 )
 _SPEC_LEDGER = "QUERY_SPECS.json"
