@@ -156,6 +156,22 @@ HEADLINE_ISOLATED = [
 CALIBRATION_N = 2_000_000_000
 
 
+def calibration_probe_once(spark, cpus: int) -> float:
+    """ONE timed run of the frozen calibration probe. Used untimed+N
+    by ``calibration_times`` at each set's open, and bare by the
+    round-14 MID-SET probes (no warmup there — the codegen for this
+    exact plan is already JIT-warm from the set-opening calibration)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, CALIBRATION_N, 1, numPartitions=cpus)
+        .select(F.expr("bit_xor(xxhash64(xxhash64(id) ^ id))").alias("s"))
+        .collect()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def calibration_times(spark, cpus: int, runs: int) -> tuple[float, float, float]:
     """(median, min, spread) wall-clock of the calibration probe.
 
@@ -165,18 +181,11 @@ def calibration_times(spark, cpus: int, runs: int) -> tuple[float, float, float]
     BENCH.json so weather adjudications are self-contained: a future
     reader can tell a tainted run from a clean one without BASELINE.md
     archaeology (r12 verdict "What's wrong" #1)."""
-    from pyspark.sql import functions as F
-
     samples = []
     for i in range(runs + 1):  # one untimed JIT warmup, like queries
-        t0 = time.perf_counter()
-        [row] = (
-            spark.range(0, CALIBRATION_N, 1, numPartitions=cpus)
-            .select(F.expr("bit_xor(xxhash64(xxhash64(id) ^ id))").alias("s"))
-            .collect()
-        )
+        t = calibration_probe_once(spark, cpus)
         if i:
-            samples.append(time.perf_counter() - t0)
+            samples.append(t)
     return (
         round(sorted(samples)[len(samples) // 2], 3),
         round(min(samples), 3),
@@ -196,6 +205,25 @@ def loadavg_now() -> list[float] | None:
         return [round(x, 2) for x in os.getloadavg()]
     except (OSError, AttributeError):
         return None
+
+
+#: Round 14: weather, localized PER KEY instead of per column. The r13
+#: six-run shakedown proved the set-opening ``calibration_spread``
+#: cannot catch BURSTY host steal that lands mid-set (run 6: pristine
+#: 0.012 spread, worst query column of the day; the r13 driver
+#: artifact: clean scaled spread 0.052 yet three keys at ≥2×). Two
+#: in-artifact signals bracket a burst to the keys it actually hit:
+#: * ``queries_load`` — the 1-minute loadavg stamped as each key
+#:   finishes (free);
+#: * ``mid_calibrations`` — the frozen calibration probe re-timed once
+#:   every ``MID_PROBE_EVERY`` completed keys (~1 s quiet each, ~3 per
+#:   28-key column), keyed by the name of the key just finished. A
+#:   probe reading ≥2× the set-opening calibration marks the
+#:   surrounding window contended; flat probes around an elevated key
+#:   point at the plan instead.
+#: Both ride only in the committed BENCH.json — compact_stdout_line
+#: never prints them, so the driver's 2 KB stdout tail is unaffected.
+MID_PROBE_EVERY = 8
 
 
 #: reported per-query but EXCLUDED from the summed total: the probe is
@@ -433,12 +461,23 @@ def run_set(
     names: list[str],
     consume,
     with_probe: bool = True,
-) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
-    """Returns (median, min, errors) per query. The min-of-N rides
+    cpus: int | None = None,
+) -> tuple[
+    dict[str, float], dict[str, float], dict[str, str],
+    dict[str, float], dict[str, float],
+]:
+    """Returns (median, min, errors, per-key loadavg, mid-set
+    calibration probes) per query. The min-of-N rides
     along as the noise floor: cross-round median comparisons on
     sub-second sf0.1 queries have documented ±30-40% ambient swings
     (BASELINE.md), and the min separates 'the box was busy' from 'the
     plan regressed' — a plan regression moves the min too.
+
+    Round 14: the last two maps localize weather PER KEY (see
+    MID_PROBE_EVERY). ``load`` stamps the 1-min loadavg as each key
+    finishes (errored keys too — a burst can BE the error); ``probes``
+    re-times the frozen calibration query after every
+    ``MID_PROBE_EVERY``-th completed key when ``cpus`` is given.
 
     FAULT-ISOLATED per key (round 12): a key whose build/consume
     raises records ``errors[name]`` and the set continues — the
@@ -449,10 +488,26 @@ def run_set(
     timings: dict[str, float] = {}
     minimums: dict[str, float] = {}
     errors: dict[str, str] = {}
+    load: dict[str, float] = {}
+    probes: dict[str, float] = {}
+    done = 0
 
     def record(name: str, samples: list[float]) -> None:
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         minimums[name] = round(min(samples), 3)
+
+    def weather_mark(name: str) -> None:
+        nonlocal done
+        done += 1
+        la = loadavg_now()
+        if la is not None:
+            load[name] = la[0]
+        if cpus is not None and done % MID_PROBE_EVERY == 0:
+            try:
+                probes[name] = calibration_probe_once(spark, cpus)
+            except Exception as e:  # noqa: BLE001 — probe loss ≠ set loss
+                print(f"bench: mid-set probe failed: {_err_text(e)}",
+                      file=sys.stderr)
 
     for name in names:
         spec = registry.get(name)
@@ -463,8 +518,9 @@ def run_set(
         except Exception as e:  # noqa: BLE001 — isolate, record, continue
             errors[name] = _err_text(e)
             print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+        weather_mark(name)
     if not with_probe:
-        return timings, minimums, errors
+        return timings, minimums, errors, load, probes
     # steady-state probe of the persisted bucketed index: one untimed
     # build, then the probe alone per run — the recurring per-batch
     # cost a continuous pipeline pays (the end-to-end twin above
@@ -489,7 +545,7 @@ def run_set(
             f"bench: dedup_incremental_bucketed_probe failed: {_err_text(e)}",
             file=sys.stderr,
         )
-    return timings, minimums, errors
+    return timings, minimums, errors, load, probes
 
 
 def run_isolated_keys(
@@ -501,7 +557,9 @@ def run_isolated_keys(
     consume,
     new_session,
     retried: dict[str, str],
-) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
+) -> tuple[
+    dict[str, float], dict[str, float], dict[str, str], dict[str, float]
+]:
     """HEADLINE_ISOLATED keys with one RETRY IN A FRESH SESSION on
     failure. The r11 driver box hit 'Python worker failed to connect
     back' (a spawned worker missing the hardcoded 10 s connect-back
@@ -514,6 +572,13 @@ def run_isolated_keys(
     t: dict[str, float] = {}
     m: dict[str, float] = {}
     e: dict[str, str] = {}
+    load: dict[str, float] = {}
+
+    def weather_mark(name: str) -> None:
+        la = loadavg_now()
+        if la is not None:
+            load[name] = la[0]
+
     for name in names:
         spec = registry.get(name)
         if spec is None:
@@ -537,10 +602,12 @@ def run_isolated_keys(
             except Exception as e2:  # noqa: BLE001
                 e[name] = f"{_err_text(e1)} | retry: {_err_text(e2)}"
                 print(f"bench: {name} retry failed: {e[name]}", file=sys.stderr)
+                weather_mark(name)
                 continue
         t[name] = round(sorted(samples)[len(samples) // 2], 3)
         m[name] = round(min(samples), 3)
-    return t, m, e
+        weather_mark(name)
+    return t, m, e, load
 
 
 def main() -> None:
@@ -619,27 +686,34 @@ def main() -> None:
             json.dump(out, fh, indent=1, sort_keys=True)
             fh.write("\n")
 
-    def merge(col_prefix: str, t: dict, m: dict, e: dict) -> None:
-        q, qm = (
-            ("queries", "queries_min")
-            if col_prefix == ""
-            else ("scaled_queries", "scaled_queries_min")
-        )
-        out.setdefault(q, {}).update(t)
-        out.setdefault(qm, {}).update(m)
+    def merge(
+        col_prefix: str,
+        t: dict,
+        m: dict,
+        e: dict,
+        load: dict | None = None,
+        probes: dict | None = None,
+    ) -> None:
+        pre = "" if col_prefix == "" else "scaled_"
+        out.setdefault(f"{pre}queries", {}).update(t)
+        out.setdefault(f"{pre}queries_min", {}).update(m)
         if e:
-            key = "errors" if col_prefix == "" else "scaled_errors"
-            out.setdefault(key, {}).update(e)
+            out.setdefault(f"{pre}errors", {}).update(e)
+        # per-key weather (round 14) — BENCH.json only, never printed
+        if load:
+            out.setdefault(f"{pre}queries_load", {}).update(load)
+        if probes:
+            out.setdefault(f"{pre}mid_calibrations", {}).update(probes)
 
     def run_isolated(dir_: str, runs: int, col: str) -> None:
         retried = out.setdefault("retried", {})
-        t, m, e = run_isolated_keys(
+        t, m, e, load = run_isolated_keys(
             sess, registry, HEADLINE_ISOLATED, dir_, runs, consume,
             new_session, retried,
         )
         if not retried:
             del out["retried"]
-        merge(col, t, m, e)
+        merge(col, t, m, e, load)
 
     runs = int(os.environ.get("BENCH_RUNS", "5"))
     scale_k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "10"))
@@ -660,7 +734,12 @@ def main() -> None:
             out["calibration_spread"] = calib_spread
         except Exception as e:  # noqa: BLE001
             out.setdefault("errors", {})["__calibration__"] = _err_text(e)
-        merge("", *run_set(sess[0], registry, sf_dir, runs, HEADLINE, consume))
+        merge(
+            "",
+            *run_set(
+                sess[0], registry, sf_dir, runs, HEADLINE, consume, cpus=cpus
+            ),
+        )
         mark_load("sf_post")
         flush()
 
@@ -688,7 +767,8 @@ def main() -> None:
                 merge(
                     "scaled",
                     *run_set(
-                        sess[0], registry, scaled_dir, scaled_runs, HEADLINE, consume
+                        sess[0], registry, scaled_dir, scaled_runs, HEADLINE,
+                        consume, cpus=cpus,
                     ),
                 )
                 mark_load("scaled_post")

@@ -121,12 +121,16 @@ def test_run_set_isolates_a_raising_spec(spark):
     def consume(df):
         df.collect()
 
-    t, m, e = bench.run_set(
+    t, m, e, load, probes = bench.run_set(
         spark, registry, "/unused", 2, ["good_a", "boom", "good_b"],
         consume, with_probe=False,
     )
     assert set(t) == {"good_a", "good_b"} and set(m) == set(t)
     assert list(e) == ["boom"]
+    # round 14: the loadavg stamp covers EVERY attempted key (a burst
+    # can BE the error); no cpus → no mid-set probes
+    assert set(load) == {"good_a", "boom", "good_b"}
+    assert probes == {}
     assert e["boom"].startswith("RuntimeError: Python worker failed")
     # and the line built from a partial artifact still prints + parses
     out = {
@@ -151,7 +155,7 @@ def test_run_set_missing_probe_module_is_isolated(spark, monkeypatch):
         raise RuntimeError("index build exploded")
 
     monkeypatch.setattr(ing, "bucketed_index_build", raising_build)
-    t, m, e = bench.run_set(
+    t, m, e, _load, _probes = bench.run_set(
         spark, {}, "/unused", 1, [], lambda df: df.collect(), with_probe=True
     )
     assert "dedup_incremental_bucketed_probe" in e and not t
@@ -212,7 +216,7 @@ def test_run_isolated_keys_retries_in_fresh_session():
         return _FakeSpark()
 
     retried = {}
-    t, m, e = bench.run_isolated_keys(
+    t, m, e, load = bench.run_isolated_keys(
         sess, registry, ["flaky_key", "dead_key"], "/unused", 2,
         lambda df: None, new_session, retried,
     )
@@ -223,6 +227,8 @@ def test_run_isolated_keys_retries_in_fresh_session():
     # both failures stopped-and-replaced the held session
     assert len(stops) == 2 and len(made) == 2
     assert isinstance(sess[0], _FakeSpark)
+    # round 14: per-key loadavg stamped for measured AND dead keys
+    assert set(load) == {"flaky_key", "dead_key"}
 
 
 # --- round 13: self-contained weather adjudication (VERDICT r12 #2) ---------
@@ -266,3 +272,77 @@ def test_errs_list_is_bounded_on_the_line():
     assert len(d["errs"]) == 13
     assert d["errs"][-1] == "+38 more"
     assert len(json.dumps(d, separators=(",", ":"))) <= bench.STDOUT_LINE_LIMIT
+
+
+# --- round 14: per-key weather localization (VERDICT r13 "next" #3) ---------
+#
+# The r13 six-run shakedown proved the set-opening calibration_spread
+# cannot catch BURSTY steal landing mid-set (run 6: pristine 0.012
+# spread, worst column of the day). run_set now stamps the 1-min
+# loadavg per key and re-times the frozen calibration probe every
+# MID_PROBE_EVERY completed keys, so a burst is bracketed to the keys
+# it actually hit — in the committed BENCH.json only, never the line.
+
+
+def test_mid_set_probe_cadence(spark, monkeypatch):
+    fired = []
+
+    def fake_probe(s, cpus):
+        fired.append(cpus)
+        return 0.8
+
+    monkeypatch.setattr(bench, "calibration_probe_once", fake_probe)
+
+    def good(s, d):
+        return s.range(2)
+
+    names = [f"k{i:02d}" for i in range(bench.MID_PROBE_EVERY * 2 + 1)]
+    registry = {n: _Spec(good) for n in names}
+    t, m, e, load, probes = bench.run_set(
+        spark, registry, "/unused", 1, names, lambda df: df.collect(),
+        with_probe=False, cpus=4,
+    )
+    assert not e and set(load) == set(names)
+    # exactly one probe after each MID_PROBE_EVERY-th completed key,
+    # keyed by the name of the key just finished
+    assert fired == [4, 4]
+    assert set(probes) == {
+        names[bench.MID_PROBE_EVERY - 1],
+        names[2 * bench.MID_PROBE_EVERY - 1],
+    }
+    assert all(v == 0.8 for v in probes.values())
+
+
+def test_mid_set_probe_failure_does_not_kill_the_set(spark, monkeypatch):
+    def exploding_probe(s, cpus):
+        raise RuntimeError("probe session died")
+
+    monkeypatch.setattr(bench, "calibration_probe_once", exploding_probe)
+    names = [f"k{i:02d}" for i in range(bench.MID_PROBE_EVERY)]
+    registry = {n: _Spec(lambda s, d: s.range(1)) for n in names}
+    t, m, e, load, probes = bench.run_set(
+        spark, registry, "/unused", 1, names, lambda df: df.collect(),
+        with_probe=False, cpus=4,
+    )
+    assert set(t) == set(names) and not e and probes == {}
+
+
+def test_per_key_weather_maps_never_reach_the_printed_line():
+    out = _out(8)
+    out["queries_load"] = {f"some_headline_query_name_{i:03d}": 1.5 for i in range(8)}
+    out["mid_calibrations"] = {"some_headline_query_name_007": 0.84}
+    out["scaled_queries_load"] = dict(out["queries_load"])
+    out["scaled_mid_calibrations"] = dict(out["mid_calibrations"])
+    d = json.loads(bench.compact_stdout_line(out))
+    for k in d:
+        assert "load" not in k and "mid_calibrations" not in k
+
+
+def test_calibration_probe_once_matches_calibration_times(spark):
+    # the mid-set probe IS the frozen calibration query: same plan,
+    # same constant result-blindness — one run returns a positive sec
+    import os
+
+    cpus = min(8, os.cpu_count() or 8)
+    v = bench.calibration_probe_once(spark, cpus)
+    assert isinstance(v, float) and v > 0
