@@ -554,10 +554,14 @@ def write_documents_json_split(
     extraction (``parse_json`` → ``variant_get('$.body.text')``) —
     the shape of a real crawl feed, where documents arrive as
     semi-structured blobs and the key is buried in the payload.
-    Replica enrichment (every 10th doc duplicated into the NEXT batch
-    at doc_id + 1e6) defaults ON so the dedup verdicts are non-trivial;
-    batch membership (doc_id % 3) and mtime pinning match the hash
-    split so oracles share the strictly-earlier-batch spec."""
+    Replica enrichment (every 10th doc duplicated at doc_id + 1e6,
+    which lands in batch ``(doc_id + 1e6) % 3 == (doc_id + 1) % 3`` —
+    a DIFFERENT batch, wrapping 2→0, so for doc_id % 3 == 2 the
+    replica precedes the original and is itself the non-dup under the
+    min-batch rule both stream and oracle apply) defaults ON so the
+    dedup verdicts are non-trivial; batch membership (doc_id % 3) and
+    mtime pinning match the hash split so oracles share the
+    strictly-earlier-batch spec."""
     from ..sources.tables import load_table
 
     os.makedirs(split_dir, exist_ok=True)

@@ -600,20 +600,29 @@ class SelfUpdatingHistoryIndex(_BloomProbeMixin):
         outgrew ``expected_keys`` (bits from different m values never
         merge, so a resize is definitionally a rebuild; the table is
         untouched, correctness never depended on the bitset). Must be
-        a positive multiple of 64 (whole words)."""
+        a positive multiple of 64 (whole words).
+
+        ``m_bits``/``bitset`` are assigned TOGETHER, only after the
+        build succeeded (ADVICE r13): a mid-build failure must never
+        leave ``member()`` indexing the OLD word array at the NEW
+        size — element_at past the array end reads as definite-miss,
+        i.e. Bloom FALSE NEGATIVES admitting duplicate keys."""
+        target = self.m_bits
         if m_bits is not None:
             if m_bits <= 0 or m_bits % 64:
                 raise ValueError(
                     f"m_bits must be a positive multiple of 64, got {m_bits}"
                 )
-            self.m_bits = m_bits
-        if self.m_bits is None:
+            target = m_bits
+        if target is None:
             return
-        self.bitset = (
-            bloom_build(self.relation(), F.col(self.key), self.m_bits)
+        new_bitset = (
+            bloom_build(self.relation(), F.col(self.key), target)
             .select(F.col("bits").alias(self.bits_col))
             .localCheckpoint(eager=True)
         )
+        self.m_bits = target
+        self.bitset = new_bitset
 
 
 class GenerationalHistoryIndex(_BloomProbeMixin):
@@ -763,9 +772,15 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
 
         try:
             with open(self._manifest_path()) as fh:
-                return _json.load(fh).get("promoting")
+                loaded = _json.load(fh)
         except (OSError, ValueError):
             return "unknown"
+        # a manifest that parses but to a non-dict (tampering, partial
+        # overwrite) is just as unknown — it must trigger the fail-safe
+        # repair-everything path, not an AttributeError (ADVICE r13)
+        if not isinstance(loaded, dict):
+            return "unknown"
+        return loaded.get("promoting")
 
     def _create_empty(self, g: int) -> None:
         import shutil
@@ -959,20 +974,27 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
     def rebuild_bitset(self, m_bits: int | None = None) -> None:
         """One union scan across all generations (membership is
         generation-independent); ``m_bits`` starts a new bitset epoch
-        at a different size — see the single-table twin's docstring."""
+        at a different size — see the single-table twin's docstring,
+        including why (m_bits, bitset) flip together only after the
+        build succeeds (ADVICE r13: a mid-build crash must not leave
+        member() indexing the old words at the new size — silent
+        false negatives)."""
+        target = self.m_bits
         if m_bits is not None:
             if m_bits <= 0 or m_bits % 64:
                 raise ValueError(
                     f"m_bits must be a positive multiple of 64, got {m_bits}"
                 )
-            self.m_bits = m_bits
-        if self.m_bits is None:
+            target = m_bits
+        if target is None:
             return
-        self.bitset = (
-            bloom_build(self.relation(), F.col(self.key), self.m_bits)
+        new_bitset = (
+            bloom_build(self.relation(), F.col(self.key), target)
             .select(F.col("bits").alias(self.bits_col))
             .localCheckpoint(eager=True)
         )
+        self.m_bits = target
+        self.bitset = new_bitset
 
     def _repair_overlap(self, g: int) -> None:
         """Remove from generation ``g`` every key also present in

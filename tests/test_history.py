@@ -960,3 +960,69 @@ def test_rebuild_bitset_resize_starts_new_epoch(spark):
     assert idx.attach_bitset(allk).where(~idx.member("k")).count() == 0
     with pytest.raises(ValueError, match="multiple of 64"):
         idx.rebuild_bitset(m_bits=100)
+
+
+# --- round 14: ADVICE r13 hardening ----------------------------------------
+
+
+def test_rebuild_bitset_failure_leaves_consistent_state(spark, monkeypatch):
+    """ADVICE r13: a mid-rebuild failure (bloom build / checkpoint
+    dies) must leave (m_bits, bitset) CONSISTENT — the old epoch fully
+    intact — or member() would index the old word array at the new
+    size and read past-the-end as definite-miss: Bloom false negatives
+    silently admitting duplicates. Same contract on both index
+    classes."""
+    from datafusion_functions_variant_spark.streaming import history as H
+
+    idx = _gidx(spark, "gidx_rbfail", expected_keys=500)
+    idx.append(_keys(spark, 200, salt="rf"), batch_id=0)
+    old_m, old_bitset = idx.m_bits, idx.bitset
+
+    def dying_build(df, col, m_bits):
+        raise RuntimeError("simulated bloom build crash")
+
+    monkeypatch.setattr(H, "bloom_build", dying_build)
+    with pytest.raises(RuntimeError, match="simulated bloom"):
+        idx.rebuild_bitset(m_bits=old_m * 4)
+    monkeypatch.undo()
+    # the old epoch survives whole: size unchanged, bitset object
+    # unchanged, zero false negatives over everything indexed
+    assert idx.m_bits == old_m and idx.bitset is old_bitset
+    allk = idx.relation().select("k")
+    assert idx.attach_bitset(allk).where(~idx.member("k")).count() == 0
+
+    sui = H.SelfUpdatingHistoryIndex(
+        spark, "sui_rbfail", "k",
+        path=_idx_dir(spark, "sui_rbfail"),
+        expected_keys=500, overwrite=True,
+    )
+    sui.append(_keys(spark, 200, salt="rf2"), batch_id=0)
+    old_m, old_bitset = sui.m_bits, sui.bitset
+    monkeypatch.setattr(H, "bloom_build", dying_build)
+    with pytest.raises(RuntimeError, match="simulated bloom"):
+        sui.rebuild_bitset(m_bits=old_m * 4)
+    monkeypatch.undo()
+    assert sui.m_bits == old_m and sui.bitset is old_bitset
+    allk = sui.relation().select("k")
+    assert sui.attach_bitset(allk).where(~sui.member("k")).count() == 0
+
+
+def test_non_dict_manifest_reads_unknown(spark):
+    """ADVICE r13: a manifest that PARSES but to a non-dict JSON value
+    ('null', a list — tampering/partial overwrite) must read as
+    'unknown' and route attach() into the fail-safe full repair, not
+    crash with AttributeError."""
+    from datafusion_functions_variant_spark.streaming import history as H
+
+    idx = _gidx(spark, "gidx_nondict", budget_rows=100)
+    idx.append(_keys(spark, 60, salt="nd"), batch_id=0)
+    for garbage in ("null", "[1, 2]", '"promoting"'):
+        with open(idx._manifest_path(), "w") as fh:
+            fh.write(garbage)
+        assert idx._read_manifest() == "unknown"
+    re_idx = H.GenerationalHistoryIndex.attach(
+        spark, "gidx_nondict", "k", path=_idx_dir(spark, "gidx_nondict"),
+        expected_keys=2000, budget_rows=100,
+    )
+    assert re_idx._read_manifest() is None
+    assert sum(r.count() for r in re_idx.relations()) == 60
