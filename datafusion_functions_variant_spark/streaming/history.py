@@ -689,6 +689,7 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         bloom_max_bits: int = DEFAULT_BLOOM_MAX_BITS,
         bits_col: str = "bits",
         overwrite: bool = False,
+        auto_rebuild_fill: float | None = None,
     ) -> None:
         self.spark = spark
         self.table_name = table_name
@@ -699,6 +700,7 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         self.budget_rows = budget_rows
         self.growth = growth
         self.n_generations = n_generations
+        self._init_auto_rebuild(auto_rebuild_fill)
         import shutil
 
         if os.path.isdir(path) and os.listdir(path) and not overwrite:
@@ -730,6 +732,68 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         else:
             self.m_bits = None
             self.bitset = None
+
+    # --- bloom auto-rebuild policy (round 14) ---------------------------
+
+    def _init_auto_rebuild(self, auto_rebuild_fill: float | None) -> None:
+        if auto_rebuild_fill is not None and not (0.0 < auto_rebuild_fill < 1.0):
+            raise ValueError(
+                f"auto_rebuild_fill must be in (0, 1), got {auto_rebuild_fill}"
+            )
+        #: opt-in: when the bitset's fill exceeds this fraction,
+        #: append() rebuilds it at the next power-of-two m_bits (r13
+        #: verdict "next" #4 — the bloom_saturation() dial, wired to
+        #: action for ingests that outgrow ``expected_keys``).
+        self.auto_rebuild_fill = auto_rebuild_fill
+        #: audit trail of fired auto-rebuilds ({old/new m_bits,
+        #: measured fill}); also what tests pin.
+        self.bloom_rebuilds: list[dict] = []
+        #: don't re-MEASURE fill until the index has grown past this
+        #: many rows — the analytic gate below re-arms it, keeping the
+        #: steady-state policy pure driver arithmetic (zero jobs).
+        self._next_fill_check = 0
+
+    def _maybe_auto_rebuild(self) -> None:
+        """Fires at most one bitset-epoch resize per append. Gate
+        cascade, cheapest first: (1) analytic fill estimate
+        1 - exp(-k*n/m) from the exactly-maintained ``_gen_rows`` —
+        pure driver arithmetic, no job; (2) only past the threshold
+        AND past ``_next_fill_check`` rows, ONE measured
+        ``bloom_saturation()`` (an O(m/64)-word aggregate over the
+        1-row bitset); (3) rebuild via ``rebuild_bitset`` at the next
+        power of two ≥ 2×m (atomic epoch swap — a failed rebuild
+        leaves the old epoch whole). A measured fill still under the
+        threshold (hash collisions run below the analytic bound)
+        re-arms the measurement at +10% index growth so a hovering
+        estimate cannot re-measure every batch."""
+        if self.auto_rebuild_fill is None or self.bitset is None:
+            return
+        import math
+
+        from ..operators.bloom import DEFAULT_SEEDS
+
+        n = sum(self._gen_rows)
+        est_fill = 1.0 - math.exp(-len(DEFAULT_SEEDS) * n / self.m_bits)
+        if est_fill < self.auto_rebuild_fill or n < self._next_fill_check:
+            return
+        sat = self.bloom_saturation()
+        if sat["fill"] < self.auto_rebuild_fill:
+            self._next_fill_check = int(n * 1.1) + 1
+            return
+        old_m = self.m_bits
+        new_m = 1 << (2 * old_m - 1).bit_length()
+        self.rebuild_bitset(m_bits=new_m)
+        self._next_fill_check = 0
+        self.bloom_rebuilds.append(
+            {"old_m_bits": old_m, "new_m_bits": new_m, "fill": sat["fill"]}
+        )
+        import logging
+
+        logging.getLogger(__name__).info(
+            "GenerationalHistoryIndex %s: bloom fill %.3f >= %.3f — "
+            "bitset epoch resized %d -> %d bits",
+            self.table_name, sat["fill"], self.auto_rebuild_fill, old_m, new_m,
+        )
 
     # --- naming / DDL helpers -------------------------------------------
 
@@ -913,18 +977,22 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
 
         ``novel`` is eagerly checkpointed first: the batch plan (a
         chain of anti-joins over every generation) executes ONCE, and
-        the bitset build, the row count, and the table write all read
-        the checkpointed blocks — previously the plan ran twice
-        (bitset + write). The count feeds the running per-generation
-        totals, so the budget checks below are pure driver arithmetic:
-        no per-batch job ever touches a generation table (r12 verdict
-        #4 — the old ``.count()`` paid a listing+footer scan over
-        gen0's accumulated file groups every micro-batch; at a
+        the bitset build and the table write both read the
+        checkpointed blocks — previously the plan ran twice
+        (bitset + write). The batch row count rides the WRITE job as a
+        ``df.observe`` metric (r13 verdict "next" #6 — the previous
+        dedicated ``novel.count()`` was one extra job submission per
+        micro-batch), feeds the running per-generation totals, and so
+        the budget checks below stay pure driver arithmetic: no
+        per-batch job ever touches a generation table (r12 verdict
+        #4 — the old table ``.count()`` paid a listing+footer scan
+        over gen0's accumulated file groups every micro-batch; at a
         production gen0 with thousands of file groups that's the
         per-batch metadata bottleneck)."""
+        from pyspark.sql import Observation
+
         _check_key_dtype(novel, self.key, "GenerationalHistoryIndex")
         novel = novel.localCheckpoint(eager=True)
-        n_new = novel.count()  # O(batch) over checkpointed blocks
         if self.bitset is not None:
             delta = bloom_build(novel, F.col(self.key), self.m_bits)
             self.bitset = (
@@ -936,14 +1004,18 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
                 )
                 .localCheckpoint(eager=True)
             )
+        obs = Observation()
         (
-            novel.withColumn("_b", F.lit(batch_id).cast("long"))
+            novel.observe(obs, F.count(F.lit(1)).alias("n"))
+            .withColumn("_b", F.lit(batch_id).cast("long"))
             .write.mode("append")
             .bucketBy(self.bucket_count, self.key)
             .sortBy(self.key)
             .saveAsTable(self._gtable(0))
         )
+        n_new = int(obs.get["n"])
         self._gen_rows[0] += n_new
+        self._maybe_auto_rebuild()
         for g in range(self.n_generations - 1):
             budget = self.budget_rows * (self.growth**g)
             if self._gen_rows[g] <= budget:
@@ -1033,6 +1105,7 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         bucket_count: int = 8,
         bloom_max_bits: int = DEFAULT_BLOOM_MAX_BITS,
         bits_col: str = "bits",
+        auto_rebuild_fill: float | None = None,
     ) -> "GenerationalHistoryIndex":
         """Restart-and-keep recovery across ALL generations: finish
         any crashed per-generation swap (``__old`` restore, stale
@@ -1053,6 +1126,7 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         idx.budget_rows = budget_rows
         idx.growth = growth
         idx.n_generations = n_generations
+        idx._init_auto_rebuild(auto_rebuild_fill)
         for g in range(n_generations):
             gp = idx._gpath(g)
             old = gp + "__old"

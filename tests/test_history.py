@@ -1026,3 +1026,84 @@ def test_non_dict_manifest_reads_unknown(spark):
     )
     assert re_idx._read_manifest() is None
     assert sum(r.count() for r in re_idx.relations()) == 60
+
+
+def test_generational_append_count_rides_the_write_job(spark):
+    """r13 verdict "next" #6: the batch row count is a df.observe
+    metric on the WRITE action, not a standalone count() job. Pin the
+    whole per-append job budget: 1 checkpoint of the novel batch + the
+    bitset OR-merge checkpoint + 1 bucketed write — 6 Spark jobs on
+    this build (the r13 shape paid one more for the dedicated count).
+    Counts must remain EXACT — they feed the O(1) budget arithmetic
+    and the manifest."""
+    idx = _gidx(spark, "gidx_njobs", budget_rows=100_000)
+    idx.append(_keys(spark, 50, salt="nj0"), batch_id=0)  # warm
+    sc = spark.sparkContext
+    sc.setJobGroup("gidx-append-spy", "append job spy")
+    try:
+        idx.append(_keys(spark, 60, salt="nj1"), batch_id=1)
+    finally:
+        sc.setJobGroup("gidx-append-done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("gidx-append-spy")
+    assert len(jobs) <= 6, f"append submitted {len(jobs)} jobs"
+    assert idx._gen_rows[0] == 110
+    assert idx._gen_rows == [r.count() for r in idx.relations()]
+
+
+def test_generational_bloom_auto_rebuild_fires_once(spark):
+    """r13 verdict "next" #4: the bloom_saturation() dial wired to
+    action. An ingest that outgrows expected_keys crosses the fill
+    threshold → append() rebuilds the bitset ONCE at the next
+    power-of-two m_bits; fill drops, membership verdicts unchanged
+    (zero false negatives before and after), and the policy's
+    steady-state gate stays driver arithmetic."""
+    idx = _gidx(
+        spark, "gidx_autorb", expected_keys=200, budget_rows=100_000,
+        auto_rebuild_fill=0.5,
+    )
+    m0 = idx.m_bits
+    assert m0 == 4096  # 200 keys * 20 bits/key → floor at 64 words
+    for b in range(5):  # 1500 distinct keys ≈ fill 0.66 on 4096 bits
+        idx.append(_keys(spark, 300, salt=f"rb{b}"), batch_id=b)
+    assert len(idx.bloom_rebuilds) == 1, idx.bloom_rebuilds
+    ev = idx.bloom_rebuilds[0]
+    assert ev["old_m_bits"] == m0 and ev["new_m_bits"] == 2 * m0
+    assert ev["fill"] >= 0.5
+    after = idx.bloom_saturation()
+    assert after["m_bits"] == 2 * m0 and after["fill"] < ev["fill"]
+    # verdicts unchanged: every indexed key still members() true
+    allk = idx.relation().select("k")
+    assert idx.attach_bitset(allk).where(~idx.member("k")).count() == 0
+    # and no second fire below the threshold at the new size
+    idx.append(_keys(spark, 300, salt="rb5"), batch_id=5)
+    assert len(idx.bloom_rebuilds) == 1
+    # novel keys keep ORing into the NEW epoch
+    allk = idx.relation().select("k")
+    assert idx.attach_bitset(allk).where(~idx.member("k")).count() == 0
+
+
+def test_generational_auto_rebuild_threshold_validated(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto_rebuild_fill"):
+        _gidx(spark, "gidx_badfill", auto_rebuild_fill=1.5)
+
+
+def test_generational_attach_carries_auto_rebuild_policy(spark):
+    """attach() restores the policy too — a restarted ingest keeps
+    resizing when it outgrows the bitset."""
+    from datafusion_functions_variant_spark.streaming import history as H
+
+    idx = _gidx(spark, "gidx_rbattach", expected_keys=200,
+                budget_rows=100_000)
+    idx.append(_keys(spark, 400, salt="ra0"), batch_id=0)
+    re_idx = H.GenerationalHistoryIndex.attach(
+        spark, "gidx_rbattach", "k", path=_idx_dir(spark, "gidx_rbattach"),
+        expected_keys=200, budget_rows=100_000, auto_rebuild_fill=0.5,
+    )
+    assert re_idx.auto_rebuild_fill == 0.5 and re_idx.bloom_rebuilds == []
+    for b in range(1, 5):
+        re_idx.append(_keys(spark, 300, salt=f"ra{b}"), batch_id=b)
+    assert len(re_idx.bloom_rebuilds) == 1
+    allk = re_idx.relation().select("k")
+    assert re_idx.attach_bitset(allk).where(~re_idx.member("k")).count() == 0
