@@ -2484,3 +2484,130 @@ def stream_dedup_index_restart_variant_keyed(
     return (
         spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
     )
+
+
+def _shredded_keyed_ingest(spark, idx, out_dir, spec):
+    """foreachBatch callback of the SHREDDED-KEYED tiered ingest
+    dedup (round 14): the feed was landed via ``sources/shredded.py``
+    with the key path ``$.body.text`` already materialized as a typed
+    ``body_text`` parquet column, so key derivation is
+    ``md5(normalize(body_text))`` over a PLAIN column — no
+    ``parse_json``, no variant walk, and the guard filter on the
+    shredded column reaches the parquet scan as a pushed filter while
+    the untouched ``_residual`` (the envelope bytes) is COLUMN-PRUNED
+    out of the read entirely (plan-pinned in tests/test_history.py::
+    test_shredded_key_probe_pushes_filters_and_prunes_payload).
+    Downstream is ``_tiered_ingest`` unchanged. ``shredded_col``
+    resolves the path through the sidecar spec, so the callback is
+    storage-layout independent — re-shredding with different paths
+    only changes which track serves the bytes."""
+    from ..operators.dedup import normalize_text
+    from ..sources.shredded import shredded_col
+
+    inner = _tiered_ingest(spark, idx, out_dir)
+    key_col = shredded_col(spec, "$.body.text", "string")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.where(key_col.isNotNull()).select(
+            "doc_id", F.md5(normalize_text(key_col)).alias("h")
+        )
+        inner(keyed, batch_id)
+
+    return ingest
+
+
+@query(
+    "stream_dedup_index_shredded_keyed",
+    oracle=r"""
+    -- IDENTICAL semantics to stream_dedup_index_variant_keyed: the
+    -- storage-side shredding of $.body.text into a typed column is
+    -- invisible to verdicts — a doc is a dup iff its normalized body
+    -- text appeared in a strictly earlier micro-batch
+    -- (batch = doc_id % 3), over the replica-enriched corpus
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    d AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+             doc_id % 3 AS b
+      FROM docs
+    ),
+    firstb AS (SELECT h, MIN(b) AS fb FROM d GROUP BY h)
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.b > f.fb THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM d JOIN firstb f ON d.h = f.h
+    ORDER BY d.doc_id
+    """,
+    hash_deps=(
+        _history.GenerationalHistoryIndex,
+        _shredded_keyed_ingest,
+        _tiered_ingest,
+        core.write_documents_shredded_split,
+    ),
+)
+def stream_dedup_index_shredded_keyed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shredded STORAGE meets the 100 TB ingest index (round 14, the
+    r13 verdict's optional #7): the variant-keyed capstone's natural
+    scale twin. Where ``stream_dedup_index_variant_keyed`` re-derives
+    the dedup key per batch from raw JSON (``parse_json`` →
+    ``variant_get``), here the incoming feed is LANDED via
+    ``sources/shredded.py`` with ``$.body.text`` shredded to a typed
+    ``body_text`` column at write time — so every probe, replay, and
+    restart reads a plain parquet column with native predicate
+    pushdown and column pruning, and the envelope bytes (kept whole in
+    the residual, VariantShredding.md semantics) are never scanned
+    again. At 100 TB the parse cost moves from per-replay to
+    once-at-ingest, and the probe's input scan shrinks from payload
+    bytes to one string column. Downstream is the tiered capstone
+    unchanged: bloom sentinel routing, chained Exchange-free bucketed
+    probes (probe side shuffled+sorted once), epoch-filtered verdicts,
+    geometric promotions, O(1) budget arithmetic.
+
+    Oracle: DuckDB replays the strictly-earlier-batch spec straight
+    off the text column — shredding, codec track, and storage tiers
+    all invisible to verdicts."""
+    import os as _os
+    import shutil as _sh
+
+    from ..sources.tables import load_table
+    from ..streaming.history import GenerationalHistoryIndex
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "docs_idx_skey_split")
+    idx_table = "stream_skey_hash_idx"
+    idx_dir = _os.path.join(_catalog._IO_DIR, idx_table)
+    out_dir = _os.path.join(_catalog._IO_DIR, "stream_skey_verdicts")
+    ckpt = out_dir + "_ckpt_tmp"
+    for d in (split_dir, idx_dir, out_dir, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    spec = core.write_documents_shredded_split(spark, sf_dir, split_dir)
+    idx = GenerationalHistoryIndex(
+        spark,
+        idx_table,
+        "h",
+        path=idx_dir,
+        expected_keys=load_table(spark, sf_dir, "documents").count(),
+        budget_rows=120,
+        growth=4,
+        overwrite=True,
+    )
+    q = (
+        core.documents_shredded_split_stream(spark, split_dir)
+        .writeStream.foreachBatch(
+            _shredded_keyed_ingest(spark, idx, out_dir, spec)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _sh.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
+    )

@@ -601,3 +601,103 @@ def documents_json_split_stream(spark: SparkSession, split_dir: str) -> DataFram
         .option("maxFilesPerTrigger", "1")
         .load(split_dir)
     )
+
+
+def write_documents_shredded_split(
+    spark: SparkSession,
+    sf_dir: str,
+    split_dir: str,
+    batches: tuple[int, ...] = (0, 1, 2),
+    with_replicas: bool = True,
+) -> dict:
+    """Round 14: the SHREDDED landing of the JSON-envelope feed — same
+    corpus, batch membership (doc_id % 3), replica enrichment, and
+    mtime pinning as :func:`write_documents_json_split`, but each
+    batch is stored via ``sources/shredded.py`` with the dedup key
+    path ``$.body.text`` materialized as a typed ``body_text`` column
+    AT WRITE TIME (plus the residual of the remaining envelope
+    fields). Downstream probes and replays then read a plain typed
+    parquet column — parquet-native predicate pushdown and column
+    pruning, zero per-row variant walks — instead of re-running
+    ``parse_json`` over payload bytes every restart. Returns the shred
+    spec (also persisted as the sidecar for spec-blind readers)."""
+    import shutil
+
+    from ..sources.shredded import SPEC_FILE, write_shredded
+    from ..sources.tables import load_table
+
+    os.makedirs(split_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if with_replicas:
+        docs = docs.unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    full = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("id"),
+                F.struct(F.col("text").alias("text")).alias("body"),
+            )
+        ).alias("payload"),
+        (F.col("doc_id") % 3).alias("b"),
+    )
+    spec = {"body_text": ("$.body.text", "string")}
+    base = 1_700_000_000
+    for p in batches:
+        tmp = os.path.join(split_dir, f"_tmp_b{p}")
+        write_shredded(
+            full.where(F.col("b") == p)
+            .select("doc_id", "payload")
+            .coalesce(1),
+            "payload",
+            spec,
+            tmp,
+        )
+        import glob as _glob
+
+        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        path = os.path.join(split_dir, f"batch{p}.parquet")
+        if parts:
+            (part,) = parts  # exactly one by coalesce(1)
+            os.replace(part, path)
+        else:  # empty batch: schema-carrying empty file (see
+            # _write_single_file_split's rationale)
+            _write_single_file_split(
+                spark.createDataFrame(
+                    [], "doc_id long, body_text string, _residual string"
+                ),
+                path,
+            )
+        if p == batches[0]:
+            os.replace(
+                os.path.join(tmp, SPEC_FILE),
+                os.path.join(split_dir, SPEC_FILE),
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(path, (base + p * 10, base + p * 10))
+    return spec
+
+
+def documents_shredded_split_stream(
+    spark: SparkSession, split_dir: str
+) -> DataFrame:
+    """Stream the shredded landing one batch-file per trigger. The
+    schema is the shredded layout — the key path is already a typed
+    column; ``_shred_spec.json`` is invisible to the file source
+    (underscore-prefixed files are ignored by Spark's listing)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("body_text", StringType()),
+            StructField("_residual", StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(split_dir)
+    )
