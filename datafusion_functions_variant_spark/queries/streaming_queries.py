@@ -2598,7 +2598,11 @@ def stream_dedup_index_shredded_keyed(
         overwrite=True,
     )
     q = (
-        core.documents_shredded_split_stream(spark, split_dir)
+        # with_residual=False: the ingest needs only (doc_id,
+        # body_text) — the source scan never reads the envelope bytes
+        core.documents_shredded_split_stream(
+            spark, split_dir, with_residual=False
+        )
         .writeStream.foreachBatch(
             _shredded_keyed_ingest(spark, idx, out_dir, spec)
         )

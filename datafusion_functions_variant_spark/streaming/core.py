@@ -682,21 +682,29 @@ def write_documents_shredded_split(
 
 
 def documents_shredded_split_stream(
-    spark: SparkSession, split_dir: str
+    spark: SparkSession, split_dir: str, with_residual: bool = True
 ) -> DataFrame:
     """Stream the shredded landing one batch-file per trigger. The
     schema is the shredded layout — the key path is already a typed
     column; ``_shred_spec.json`` is invisible to the file source
-    (underscore-prefixed files are ignored by Spark's listing)."""
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("body_text", StringType()),
-            StructField("_residual", StringType()),
-        ]
-    )
+    (underscore-prefixed files are ignored by Spark's listing).
+
+    ``with_residual=False`` drops the residual from the DECLARED
+    schema — the round-14 scale point: a FileStreamSource materializes
+    every declared column into each micro-batch (the foreachBatch
+    frame is a ``Scan ExistingRDD``, so pruning can't happen after
+    the fact), and the residual is payload-sized. A consumer that only
+    needs shredded columns declares them alone and the source's
+    parquet read skips the envelope bytes entirely — the streaming
+    counterpart of the batch-read path's column pruning."""
+    fields = [
+        StructField("doc_id", LongType()),
+        StructField("body_text", StringType()),
+    ]
+    if with_residual:
+        fields.append(StructField("_residual", StringType()))
     return (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(StructType(fields))
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(split_dir)

@@ -1181,3 +1181,51 @@ def test_shredded_key_probe_pushes_filters_and_prunes_payload(spark, tmp_path):
     skeys = batch.select("doc_id", F.md5(normalize_text(key_col)).alias("k"))
     assert skeys.exceptAll(jkeys).count() == 0
     assert jkeys.exceptAll(skeys).count() == 0
+
+
+def test_shredded_stream_microbatch_reads_only_shredded_columns(
+    spark, tmp_path
+):
+    """Round-14 streaming-side twin of the pushdown pin: a
+    FileStreamSource materializes every DECLARED column into the
+    micro-batch (the foreachBatch frame is a Scan ExistingRDD —
+    post-hoc pruning is impossible), so the shredded consumer declares
+    (doc_id, body_text) alone and the source's parquet read skips the
+    payload-sized residual entirely. Pin the REAL micro-batch plans:
+    two columns, no _residual, no parse anywhere."""
+    from datafusion_functions_variant_spark.operators.dedup import (
+        normalize_text,
+    )
+    from datafusion_functions_variant_spark.sources.shredded import (
+        shredded_col,
+    )
+    from datafusion_functions_variant_spark.streaming import core as score
+
+    split_dir = str(tmp_path / "shred_split_mb")
+    spec = score.write_documents_shredded_split(
+        spark, "/root/testdata/sf0.001", split_dir
+    )
+    plans = []
+    key_col = shredded_col(spec, "$.body.text", "string")
+
+    def capture(batch_df, batch_id):
+        probe = batch_df.where(key_col.isNotNull()).select(
+            "doc_id", F.md5(normalize_text(key_col)).alias("h")
+        )
+        plans.append(probe._jdf.queryExecution().executedPlan().toString())
+
+    q = (
+        score.documents_shredded_split_stream(
+            spark, split_dir, with_residual=False
+        )
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(plans) == 3  # one per landed batch file
+    for p in plans:
+        assert "_residual" not in p, p
+        assert "parse_json" not in p and "parseJson" not in p, p
+        assert "body_text" in p
