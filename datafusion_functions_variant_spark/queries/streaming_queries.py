@@ -2615,3 +2615,125 @@ def stream_dedup_index_shredded_keyed(
     return (
         spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
     )
+
+
+@query(
+    "stream_dedup_index_restart_shredded_keyed",
+    oracle=r"""
+    -- IDENTICAL semantics to stream_dedup_index_shredded_keyed: the
+    -- driver restart AND the shredded storage layout are both
+    -- invisible — a doc is a dup iff its normalized body text
+    -- appeared in a strictly earlier micro-batch (batch = doc_id % 3),
+    -- over the replica-enriched corpus
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    d AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+             doc_id % 3 AS b
+      FROM docs
+    ),
+    firstb AS (SELECT h, MIN(b) AS fb FROM d GROUP BY h)
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.b > f.fb THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM d JOIN firstb f ON d.h = f.h
+    ORDER BY d.doc_id
+    """,
+    hash_deps=(
+        _history.GenerationalHistoryIndex,
+        _shredded_keyed_ingest,
+        _tiered_ingest,
+        core.write_documents_shredded_split,
+    ),
+)
+def stream_dedup_index_restart_shredded_keyed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-restart recovery of the SHREDDED-KEYED tiered index
+    (round 14) — the restart is exactly where the shredded landing
+    pays: the variant-keyed restart twin must RE-PARSE every replayed
+    payload to re-derive its keys, while here the replayed batch
+    re-reads the typed ``body_text`` column from the durable shredded
+    store (declared-schema-pruned — the source never touches the
+    residual), so recovery cost is a column scan, not a parse. The
+    index side is provenance-agnostic as ever: phase 1 streams
+    shredded batches 0-1 (promotions firing pre-crash), the simulated
+    crash drops every generation's metastore entry and the
+    session-held bitset, phase 2 ``attach()``es the surviving
+    generation set and RESUMES the same checkpoint so only batch 2
+    replays — verdicts epoch-filtered to ``_b < 2``.
+
+    Oracle identical to the update twin: recovery, storage layout,
+    and key-derivation track all invisible to verdicts."""
+    import os as _os
+    import shutil as _sh
+
+    from ..sources.tables import load_table
+    from ..streaming.history import GenerationalHistoryIndex
+    from . import catalog as _catalog
+
+    split_dir = _os.path.join(_catalog._IO_DIR, "docs_idx_skrestart_split")
+    idx_table = "stream_skrestart_hash_idx"
+    idx_dir = _os.path.join(_catalog._IO_DIR, idx_table)
+    out_dir = _os.path.join(_catalog._IO_DIR, "stream_skrestart_verdicts")
+    ckpt = out_dir + "_ckpt_tmp"
+    for d in (split_dir, idx_dir, out_dir, ckpt):
+        _sh.rmtree(d, ignore_errors=True)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+
+    # ---- phase 1: shredded batches 0 and 1, promotions pre-crash
+    spec = core.write_documents_shredded_split(
+        spark, sf_dir, split_dir, batches=(0, 1)
+    )
+    idx = GenerationalHistoryIndex(
+        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs,
+        budget_rows=120, growth=4, overwrite=True,
+    )
+    q = (
+        core.documents_shredded_split_stream(
+            spark, split_dir, with_residual=False
+        )
+        .writeStream.foreachBatch(
+            _shredded_keyed_ingest(spark, idx, out_dir, spec)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # ---- the crash: metastore entries and the in-memory bitset are
+    # gone; generation files, manifest, shredded store (typed key
+    # column + sidecar), and source checkpoint all survive
+    for g in range(idx.n_generations):
+        spark.sql(f"DROP TABLE IF EXISTS {idx_table}_g{g}")
+
+    # ---- phase 2: the restarted driver lands batch 2 shredded and
+    # resumes — the replay reads the typed column, no parse anywhere
+    core.write_documents_shredded_split(
+        spark, sf_dir, split_dir, batches=(2,)
+    )
+    recovered = GenerationalHistoryIndex.attach(
+        spark, idx_table, "h", path=idx_dir, expected_keys=n_docs,
+        budget_rows=120, growth=4,
+    )
+    q = (
+        core.documents_shredded_split_stream(
+            spark, split_dir, with_residual=False
+        )
+        .writeStream.foreachBatch(
+            _shredded_keyed_ingest(spark, recovered, out_dir, spec)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _sh.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir).select("doc_id", "is_dup").orderBy("doc_id")
+    )
