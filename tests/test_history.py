@@ -1229,3 +1229,129 @@ def test_shredded_stream_microbatch_reads_only_shredded_columns(
         assert "_residual" not in p, p
         assert "parse_json" not in p and "parseJson" not in p, p
         assert "body_text" in p
+
+
+def test_auto_rebuild_rearm_when_measured_fill_below_threshold(
+    spark, monkeypatch
+):
+    """The analytic gate OVER-estimates fill (it ignores hash
+    collisions), so a crossing estimate with a measured fill still
+    under threshold must NOT rebuild — it re-arms the measurement at
+    +10% index growth so a hovering estimate cannot re-measure every
+    batch (the steady state stays zero-job)."""
+    from datafusion_functions_variant_spark.streaming.history import (
+        GenerationalHistoryIndex,
+    )
+
+    idx = _gidx(spark, "gidx_rearm", expected_keys=200, budget_rows=100_000,
+                auto_rebuild_fill=0.5)
+    calls = []
+    real_sat = GenerationalHistoryIndex.bloom_saturation
+
+    def low_sat(self):
+        calls.append(1)
+        s = real_sat(self)
+        return {**s, "fill": 0.1}  # pretend collisions ran far below
+
+    monkeypatch.setattr(GenerationalHistoryIndex, "bloom_saturation", low_sat)
+    for b in range(5):  # estimate crosses 0.5 around 1200-1500 keys
+        idx.append(_keys(spark, 300, salt=f"ra{b}"), batch_id=b)
+    assert idx.bloom_rebuilds == []  # never fired
+    assert len(calls) >= 1  # measured at least once...
+    assert idx._next_fill_check > 1500  # ...and re-armed past current n
+    n_calls = len(calls)
+    # appends below the re-arm point skip the measurement entirely
+    idx.append(_keys(spark, 10, salt="ra5"), batch_id=5)
+    assert len(calls) == n_calls
+
+
+def test_autocompaction_listing_double_failure_warns_once(spark, monkeypatch):
+    """When BOTH os.listdir and the Hadoop FileSystem API fail, the
+    policy warns ONCE (auto-compaction inert on this filesystem) and
+    keeps returning 0 — never raises into the ingest path."""
+    import os as _os
+    import warnings as _w
+
+    from datafusion_functions_variant_spark.streaming.history import (
+        SelfUpdatingHistoryIndex,
+    )
+
+    idx = SelfUpdatingHistoryIndex(
+        spark, "sui_dblfail", "k",
+        path=_idx_dir(spark, "sui_dblfail"), expected_keys=200,
+        overwrite=True,
+    )
+    idx.append(_keys(spark, 20, salt="df"), batch_id=0)
+
+    class _NoJvm:
+        def __getattr__(self, name):
+            raise RuntimeError("simulated: no gateway on this session")
+
+    monkeypatch.setattr(
+        _os, "listdir",
+        lambda p: (_ for _ in ()).throw(PermissionError("non-POSIX")),
+    )
+    monkeypatch.setattr(type(idx), "spark", property(lambda self: _NoJvm()),
+                        raising=False)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assert idx._count_index_files() == 0
+        assert idx._count_index_files() == 0  # second call: silent
+    texts = [str(r.message) for r in rec if "auto-compaction is inert" in str(r.message)]
+    assert len(texts) == 1 and idx._listdir_warned
+
+
+def test_generational_degenerate_arms(spark):
+    """Sweep the small guard arms: no-bloom configuration (m under 2
+    bits/key → prescreen off, rebuild a no-op), double-create without
+    overwrite refused, single-table bad/None rebuild sizes, and the
+    attach() crash arms (__old restore, vanished generation dir)."""
+    import os as _os
+    import shutil as _sh
+
+    import pytest as _pytest
+
+    from datafusion_functions_variant_spark.streaming.history import (
+        GenerationalHistoryIndex,
+        SelfUpdatingHistoryIndex,
+    )
+
+    # no-bloom arm: absurd expected_keys cap m below 2 bits/key
+    idx = _gidx(spark, "gidx_nobloom", expected_keys=10**12)
+    assert idx.bitset is None and idx.m_bits is None
+    idx.append(_keys(spark, 30, salt="nb"), batch_id=0)
+    idx.rebuild_bitset()  # no-op return, not a crash
+    assert idx.bitset is None
+    # member() degrades to literal True — probes just skip the prescreen
+    assert idx.attach_bitset(idx.relation()).where(~idx.member("k")).count() == 0
+
+    # double-create without overwrite refused at the call site
+    with _pytest.raises(ValueError, match="already holds index"):
+        GenerationalHistoryIndex(
+            spark, "gidx_nobloom", "k",
+            path=_idx_dir(spark, "gidx_nobloom"), expected_keys=100,
+        )
+
+    # single-table size validation + None no-op
+    sui = SelfUpdatingHistoryIndex(
+        spark, "sui_degen", "k", path=_idx_dir(spark, "sui_degen"),
+        expected_keys=10**12, overwrite=True,
+    )
+    assert sui.m_bits is None
+    sui.rebuild_bitset()  # None target → return
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        sui.rebuild_bitset(m_bits=100)
+
+    # attach crash arms: g0 left at __old (rename-aside crash window),
+    # g1 vanished entirely (crash between a promote's empty-rewrite
+    # steps) — attach restores the one and re-creates the other
+    p = _idx_dir(spark, "gidx_nobloom")
+    _os.replace(_os.path.join(p, "g0"), _os.path.join(p, "g0__old"))
+    _sh.rmtree(_os.path.join(p, "g1"), ignore_errors=True)
+    re_idx = GenerationalHistoryIndex.attach(
+        spark, "gidx_nobloom", "k", path=p, expected_keys=10**12,
+        budget_rows=100, growth=4,
+    )
+    assert re_idx.bitset is None  # no-bloom attach arm
+    rels = re_idx.relations()
+    assert sum(r.count() for r in rels) == 30  # g0 restored, g1 empty
