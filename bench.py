@@ -224,6 +224,16 @@ def loadavg_now() -> list[float] | None:
 #: Both ride only in the committed BENCH.json — compact_stdout_line
 #: never prints them, so the driver's 2 KB stdout tail is unaffected.
 MID_PROBE_EVERY = 8
+#: Round 15: tighter cadence for the sf0.1 column ONLY. Both r14
+#: bursts landed BETWEEN probes (run 1 keys 9–13, run 3 keys 7–9,
+#: BASELINE.md) — exactly the 7-key blind window every-8 leaves open,
+#: and the sf0.1 keys are sub-second so a short burst can double
+#: several of them before the 1-min loadavg smoothing catches up.
+#: Every-4 costs ~6 probes × ~1 s quiet on the ~30-key set and
+#: brackets any burst to ≤3 keys. The scaled column keeps every-8:
+#: its keys run 1–13 s each, so the loadavg stamp alone already
+#: localizes well there.
+MID_PROBE_EVERY_SF01 = 4
 
 
 #: reported per-query but EXCLUDED from the summed total: the probe is
@@ -462,6 +472,7 @@ def run_set(
     consume,
     with_probe: bool = True,
     cpus: int | None = None,
+    probe_every: int = MID_PROBE_EVERY,
 ) -> tuple[
     dict[str, float], dict[str, float], dict[str, str],
     dict[str, float], dict[str, float],
@@ -477,7 +488,9 @@ def run_set(
     MID_PROBE_EVERY). ``load`` stamps the 1-min loadavg as each key
     finishes (errored keys too — a burst can BE the error); ``probes``
     re-times the frozen calibration query after every
-    ``MID_PROBE_EVERY``-th completed key when ``cpus`` is given.
+    ``probe_every``-th completed key when ``cpus`` is given (round
+    15: the sf0.1 column passes MID_PROBE_EVERY_SF01=4 — both r14
+    bursts landed inside every-8's 7-key blind window).
 
     FAULT-ISOLATED per key (round 12): a key whose build/consume
     raises records ``errors[name]`` and the set continues — the
@@ -502,7 +515,7 @@ def run_set(
         la = loadavg_now()
         if la is not None:
             load[name] = la[0]
-        if cpus is not None and done % MID_PROBE_EVERY == 0:
+        if cpus is not None and done % probe_every == 0:
             try:
                 probes[name] = calibration_probe_once(spark, cpus)
             except Exception as e:  # noqa: BLE001 — probe loss ≠ set loss
@@ -737,7 +750,8 @@ def main() -> None:
         merge(
             "",
             *run_set(
-                sess[0], registry, sf_dir, runs, HEADLINE, consume, cpus=cpus
+                sess[0], registry, sf_dir, runs, HEADLINE, consume, cpus=cpus,
+                probe_every=MID_PROBE_EVERY_SF01,
             ),
         )
         mark_load("sf_post")

@@ -158,24 +158,27 @@ _REVERIFY_SAMPLE = 8
 #: driver's last run so the driver re-hashes them in the same round
 #: that re-measures them. Keep this SMALL and transient: each pin
 #: consumes a window slot the rotation would otherwise spend sweeping
-#: the verified backlog. Round 14: r13's pins released (all three
-#: hash-green in the r13 window AND measured flat on the driver's own
-#: box — adjudication closed, VERDICT r13 "Performance"). Pinned now:
-#: the four scaled movers the r13 driver artifact left
-#: adjudicated-pending (VERDICT r13 "What's wrong" #1) so the r14
-#: driver re-hashes them in the same round that re-measures them, plus
-#: the round-13 variant-keyed capstone pair for their second driver
-#: hash (VERDICT r13 "next" #5). The index capstones re-front
-#: automatically via their hash_deps on the round-14-edited
+#: the verified backlog. Round 15: r14's pins released — all four r13
+#: movers measured at-or-below quiet levels ON THE DRIVER'S OWN r14
+#: box and re-hashed green (VERDICT r14 "Performance": adjudication
+#: closed by the official instrument), and the variant-keyed pair got
+#: its second driver hash. Pinned now: the four r14-driver scaled/
+#: sf0.1 movers left adjudicated-pending (VERDICT r14 "What's wrong"
+#: #1/#2 — all weather-stamped at per-key loadavg 7.1–18.8 by the new
+#: instrumentation, none driver-adjudicated yet) so the r15 driver
+#: re-hashes them in the same round that re-measures them, plus the
+#: round-14 shredded-keyed capstone pair for their second driver hash
+#: (VERDICT r14 "next" #5). The index capstones re-front
+#: automatically via their hash_deps on the round-15-edited
 #: history.py classes.
 _PINNED_REVERIFY = frozenset(
     {
-        "dedup_incremental_index",
-        "theta_join_late_shipments",
-        "text_quality_classifier",
-        "window_lag_lead_events",
-        "stream_dedup_index_variant_keyed",
-        "stream_dedup_index_restart_variant_keyed",
+        "stream_transform_with_state",
+        "dedup_embedding_cosine_canonical",
+        "similarity_knn_graph_canonical",
+        "dataset_curriculum_stages",
+        "stream_dedup_index_shredded_keyed",
+        "stream_dedup_index_restart_shredded_keyed",
     }
 )
 _SPEC_LEDGER = "QUERY_SPECS.json"

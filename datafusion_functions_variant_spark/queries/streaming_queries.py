@@ -2247,21 +2247,32 @@ def _variant_keyed_ingest(spark, idx, out_dir):
     The extraction is per-row, map-side, before the probe's single
     Exchange; the chained Exchange-free generation joins are identical
     to the hash-keyed capstone (plan-pinned in tests/test_history.py::
-    test_variant_extracted_key_feeds_exchange_free_probe_chain)."""
+    test_variant_extracted_key_feeds_exchange_free_probe_chain).
+
+    Rows whose envelope lacks ``$.body.text`` (extraction → NULL) are
+    dropped BEFORE the probe — the same ``isNotNull`` guard the
+    shredded twin applies to its typed column, so the two tracks have
+    identical semantics on null/missing payloads too (ADVICE r14:
+    previously only the generated corpus' lack of null bodies kept
+    them aligned), and both match the oracle's inner join on ``h``
+    (which drops null keys)."""
     from ..operators.dedup import normalize_text
 
     inner = _tiered_ingest(spark, idx, out_dir)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        keyed = batch_df.select(
-            "doc_id",
-            F.md5(
-                normalize_text(
-                    F.variant_get(
-                        F.parse_json("payload"), "$.body.text", "string"
+        keyed = (
+            batch_df.select(
+                "doc_id",
+                F.md5(
+                    normalize_text(
+                        F.variant_get(
+                            F.parse_json("payload"), "$.body.text", "string"
+                        )
                     )
-                )
-            ).alias("h"),
+                ).alias("h"),
+            )
+            .where(F.col("h").isNotNull())
         )
         inner(keyed, batch_id)
 

@@ -700,6 +700,7 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         self.budget_rows = budget_rows
         self.growth = growth
         self.n_generations = n_generations
+        self.bloom_max_bits = bloom_max_bits
         self._init_auto_rebuild(auto_rebuild_fill)
         import shutil
 
@@ -752,6 +753,11 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         #: many rows — the analytic gate below re-arms it, keeping the
         #: steady-state policy pure driver arithmetic (zero jobs).
         self._next_fill_check = 0
+        #: warn-once latch for an ingest that saturates the bitset at
+        #: the ``bloom_max_bits`` cap (ADVICE r14: doubling must stop
+        #: there — the cap bounds driver/broadcast state AND every
+        #: probe's crossJoin payload).
+        self._bloom_cap_warned = False
 
     def _maybe_auto_rebuild(self) -> None:
         """Fires at most one bitset-epoch resize per append. Gate
@@ -781,7 +787,29 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
             self._next_fill_check = int(n * 1.1) + 1
             return
         old_m = self.m_bits
-        new_m = 1 << (2 * old_m - 1).bit_length()
+        # honor the same cap both constructors apply at initial sizing
+        # (ADVICE r14): resize to the next power of two, clamped to
+        # bloom_max_bits; at the cap there is nothing left to do —
+        # warn ONCE and disarm further measurements (the prescreen
+        # degrades gracefully, it just sheds fewer rows).
+        cap = (self.bloom_max_bits // 64) * 64
+        new_m = min(1 << (2 * old_m - 1).bit_length(), cap)
+        if new_m <= old_m:
+            if not self._bloom_cap_warned:
+                self._bloom_cap_warned = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "GenerationalHistoryIndex %s: bloom fill %.3f >= %.3f "
+                    "but bitset already at bloom_max_bits=%d — auto-"
+                    "rebuild disarmed; prescreen selectivity will degrade",
+                    self.table_name, sat["fill"], self.auto_rebuild_fill,
+                    self.bloom_max_bits,
+                )
+            import math as _math
+
+            self._next_fill_check = _math.inf
+            return
         self.rebuild_bitset(m_bits=new_m)
         self._next_fill_check = 0
         self.bloom_rebuilds.append(
@@ -870,12 +898,18 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
             """
         )
 
-    def _rewrite_gen(self, g: int, df: DataFrame) -> None:
+    def _rewrite_gen(self, g: int, df: DataFrame) -> int:
         """Replace generation ``g``'s contents with ``df`` via the
         same rename-aside swap ``SelfUpdatingHistoryIndex.compact``
         uses — every crash window leaves a complete directory at the
-        registered path or at ``__old``."""
+        registered path or at ``__old``. Returns the rewritten row
+        count (rides the write as a ``df.observe`` metric — no extra
+        job) so callers can RESET their running counts to it: a fresh
+        single-write observation can't inherit whatever drift the
+        per-append accumulators may have collected (ADVICE r14)."""
         import shutil
+
+        from pyspark.sql import Observation
 
         tbl, pth = self._gtable(g), self._gpath(g)
         tmp_table, tmp_path = tbl + "__compact", pth + "__compact"
@@ -883,8 +917,10 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
         shutil.rmtree(tmp_path, ignore_errors=True)
         shutil.rmtree(old_path, ignore_errors=True)
+        obs = Observation()
         (
-            df.repartition(
+            df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition(
                 self.bucket_count,
                 F.expr(f"pmod(hash({self.key}), {self.bucket_count})"),
             )
@@ -899,6 +935,7 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         os.replace(tmp_path, pth)
         self._register_gen(g)
         shutil.rmtree(old_path, ignore_errors=True)
+        return int(obs.get["n"])
 
     # --- read paths ------------------------------------------------------
 
@@ -988,7 +1025,19 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         #4 — the old table ``.count()`` paid a listing+footer scan
         over gen0's accumulated file groups every micro-batch; at a
         production gen0 with thousands of file groups that's the
-        per-batch metadata bottleneck)."""
+        per-batch metadata bottleneck).
+
+        Count fidelity (ADVICE r14): ``df.observe`` metrics are
+        accumulator-backed, and accumulators can over-count when tasks
+        re-execute (stage retry after a fetch failure, speculative
+        execution) — on a real cluster the running counts are
+        therefore *near*-exact, not guaranteed exact. The design
+        bounds the blast radius three ways: drift can only shift WHEN
+        a promotion or fill-check fires (never membership
+        correctness); every promotion re-bases the destination count
+        on a fresh single-write observation (``_promote``), so drift
+        cannot accumulate across generations; and ``attach`` recounts
+        from the durable tables."""
         from pyspark.sql import Observation
 
         _check_key_dtype(novel, self.key, "GenerationalHistoryIndex")
@@ -1036,10 +1085,16 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         up = self.spark.table(self._gtable(g + 1)).unionByName(
             self.spark.table(self._gtable(g))
         )
-        self._rewrite_gen(g + 1, up)
+        merged_n = self._rewrite_gen(g + 1, up)
         self.spark.sql(f"DROP TABLE IF EXISTS {self._gtable(g)}")
         self._create_empty(g)
-        self._gen_rows[g + 1] += self._gen_rows[g]
+        # RESET to the rewrite-observed count rather than summing the
+        # running totals: the per-append observe metrics are accumulator
+        # -backed and can in principle over-count under stage retry /
+        # speculation, so every promotion re-bases the destination's
+        # count on one fresh single-write observation — drift cannot
+        # accumulate across promotions (ADVICE r14).
+        self._gen_rows[g + 1] = merged_n
         self._gen_rows[g] = 0
         self._write_manifest(None)
 
@@ -1126,6 +1181,7 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         idx.budget_rows = budget_rows
         idx.growth = growth
         idx.n_generations = n_generations
+        idx.bloom_max_bits = bloom_max_bits
         idx._init_auto_rebuild(auto_rebuild_fill)
         for g in range(n_generations):
             gp = idx._gpath(g)

@@ -313,6 +313,34 @@ def test_mid_set_probe_cadence(spark, monkeypatch):
     assert all(v == 0.8 for v in probes.values())
 
 
+def test_sf01_probe_cadence_is_tightened_to_every_4(spark, monkeypatch):
+    """Round 15: both r14 bursts landed between every-8 probes (keys
+    9–13 and 7–9 — inside the 7-key blind window). The sf0.1 column
+    now probes every MID_PROBE_EVERY_SF01=4 completed keys so a burst
+    brackets to ≤3 keys; main() passes it for the sf set only."""
+    import inspect
+
+    fired = []
+
+    def fake_probe(s, cpus):
+        fired.append(cpus)
+        return 0.8
+
+    monkeypatch.setattr(bench, "calibration_probe_once", fake_probe)
+    assert bench.MID_PROBE_EVERY_SF01 == 4
+    names = [f"k{i:02d}" for i in range(9)]
+    registry = {n: _Spec(lambda s, d: s.range(1)) for n in names}
+    t, m, e, load, probes = bench.run_set(
+        spark, registry, "/unused", 1, names, lambda df: df.collect(),
+        with_probe=False, cpus=4, probe_every=bench.MID_PROBE_EVERY_SF01,
+    )
+    assert not e and len(fired) == 2
+    assert set(probes) == {names[3], names[7]}
+    # and main() actually wires the tight cadence to the sf column
+    src = inspect.getsource(bench.main)
+    assert "probe_every=MID_PROBE_EVERY_SF01" in src
+
+
 def test_mid_set_probe_failure_does_not_kill_the_set(spark, monkeypatch):
     def exploding_probe(s, cpus):
         raise RuntimeError("probe session died")

@@ -1034,8 +1034,11 @@ def test_generational_append_count_rides_the_write_job(spark):
     whole per-append job budget: 1 checkpoint of the novel batch + the
     bitset OR-merge checkpoint + 1 bucketed write — 6 Spark jobs on
     this build (the r13 shape paid one more for the dedicated count).
-    Counts must remain EXACT — they feed the O(1) budget arithmetic
-    and the manifest."""
+    On local[*] with no task retries the counts come out exact and
+    feed the O(1) budget arithmetic and the manifest; on a real
+    cluster they are near-exact (accumulator retry caveat, ADVICE
+    r14) with promotion re-basing + attach() recount as the guards —
+    see append()'s docstring."""
     idx = _gidx(spark, "gidx_njobs", budget_rows=100_000)
     idx.append(_keys(spark, 50, salt="nj0"), batch_id=0)  # warm
     sc = spark.sparkContext
@@ -1080,6 +1083,63 @@ def test_generational_bloom_auto_rebuild_fires_once(spark):
     # novel keys keep ORing into the NEW epoch
     allk = idx.relation().select("k")
     assert idx.attach_bitset(allk).where(~idx.member("k")).count() == 0
+
+
+def test_generational_auto_rebuild_honors_bloom_max_bits_cap(spark, caplog):
+    """ADVICE r14 (medium): the doubling policy must honor the same
+    bloom_max_bits cap both constructors apply at initial sizing —
+    the cap bounds driver/broadcast state and every probe's crossJoin
+    payload. Doubling clamps to the cap; once AT the cap the policy
+    warns ONCE, disarms further measurements, and never rebuilds
+    again — membership verdicts stay correct (prescreen merely sheds
+    fewer rows)."""
+    import logging
+    import math
+
+    idx = _gidx(
+        spark, "gidx_rbcap", expected_keys=200, budget_rows=100_000,
+        auto_rebuild_fill=0.5, bloom_max_bits=8192,
+    )
+    assert idx.bloom_max_bits == 8192 and idx.m_bits == 4096
+    # first crossing: next power of two (8192) == cap → clamp is a
+    # no-op here, rebuild lands exactly at the cap
+    for b in range(5):
+        idx.append(_keys(spark, 300, salt=f"cap{b}"), batch_id=b)
+    assert len(idx.bloom_rebuilds) == 1
+    assert idx.bloom_rebuilds[0]["new_m_bits"] == 8192 == idx.m_bits
+    # second crossing (≥ 1900 keys on 8192 bits): doubling would want
+    # 16384 — past the cap → no rebuild, one warning, policy disarmed
+    with caplog.at_level(logging.WARNING):
+        for b in range(5, 9):
+            idx.append(_keys(spark, 300, salt=f"cap{b}"), batch_id=b)
+    assert len(idx.bloom_rebuilds) == 1  # never fired again
+    assert idx.m_bits == 8192
+    assert idx._bloom_cap_warned is True
+    assert idx._next_fill_check == math.inf  # measurement disarmed
+    warns = [r for r in caplog.records
+             if "bloom_max_bits" in r.getMessage()]
+    assert len(warns) == 1, [r.getMessage() for r in warns]
+    # verdicts unchanged at the cap: every indexed key members() true
+    allk = idx.relation().select("k")
+    assert idx.attach_bitset(allk).where(~idx.member("k")).count() == 0
+
+
+def test_generational_attach_restores_bloom_max_bits(spark):
+    """attach() must carry the cap too (ADVICE r14) — a restarted
+    ingest keeps honoring it."""
+    from datafusion_functions_variant_spark.streaming import history as H
+
+    idx = _gidx(spark, "gidx_capattach", expected_keys=200,
+                budget_rows=100_000, bloom_max_bits=8192)
+    idx.append(_keys(spark, 50, salt="ca0"), batch_id=0)
+    re_idx = H.GenerationalHistoryIndex.attach(
+        spark, "gidx_capattach", "k",
+        path=_idx_dir(spark, "gidx_capattach"),
+        expected_keys=200, budget_rows=100_000, bloom_max_bits=8192,
+        auto_rebuild_fill=0.5,
+    )
+    assert re_idx.bloom_max_bits == 8192
+    assert re_idx._bloom_cap_warned is False
 
 
 def test_generational_auto_rebuild_threshold_validated(spark):
