@@ -556,6 +556,7 @@ def write_documents_json_split(
     split_dir: str,
     batches: tuple[int, ...] = (0, 1, 2),
     with_replicas: bool = True,
+    bulk_factor: int = 0,
 ) -> None:
     """Like :func:`write_documents_split` but each batch row carries a
     raw JSON ENVELOPE instead of a precomputed content hash:
@@ -571,7 +572,15 @@ def write_documents_json_split(
     min-batch rule both stream and oracle apply) defaults ON so the
     dedup verdicts are non-trivial; batch membership (doc_id % 3) and
     mtime pinning match the hash split so oracles share the
-    strictly-earlier-batch spec."""
+    strictly-earlier-batch spec.
+
+    ``bulk_factor > 0`` adds a ``bulk`` field of ``bulk_factor``
+    repetitions of the text to every envelope — a FAT-envelope feed
+    where payload bytes ≫ the key path's bytes (the 100 TB crawl
+    shape: headers, markup, outlinks dwarfing the body). The dedup
+    semantics are unchanged (the key path stays ``$.body.text``);
+    only the bytes a parse-per-batch consumer must chew through
+    grow. Used by the round-15 payload-skew A/B (SCALE.md)."""
     from ..sources.tables import load_table
 
     os.makedirs(split_dir, exist_ok=True)
@@ -588,6 +597,11 @@ def write_documents_json_split(
             F.struct(
                 F.col("doc_id").alias("id"),
                 F.struct(F.col("text").alias("text")).alias("body"),
+                *(
+                    [F.repeat(F.col("text"), bulk_factor).alias("bulk")]
+                    if bulk_factor
+                    else []
+                ),
             )
         ).alias("payload"),
         (F.col("doc_id") % 3).alias("b"),
@@ -619,6 +633,7 @@ def write_documents_shredded_split(
     split_dir: str,
     batches: tuple[int, ...] = (0, 1, 2),
     with_replicas: bool = True,
+    bulk_factor: int = 0,
 ) -> dict:
     """Round 14: the SHREDDED landing of the JSON-envelope feed — same
     corpus, batch membership (doc_id % 3), replica enrichment, and
@@ -630,7 +645,12 @@ def write_documents_shredded_split(
     parquet column — parquet-native predicate pushdown and column
     pruning, zero per-row variant walks — instead of re-running
     ``parse_json`` over payload bytes every restart. Returns the shred
-    spec (also persisted as the sidecar for spec-blind readers)."""
+    spec (also persisted as the sidecar for spec-blind readers).
+
+    ``bulk_factor`` mirrors :func:`write_documents_json_split`'s fat
+    envelope — here the bulk lands in the RESIDUAL at write time, so
+    every later probe/replay column-prunes it away (the payload-skew
+    A/B's whole point)."""
     import shutil
 
     from ..sources.shredded import SPEC_FILE, write_shredded
@@ -650,6 +670,11 @@ def write_documents_shredded_split(
             F.struct(
                 F.col("doc_id").alias("id"),
                 F.struct(F.col("text").alias("text")).alias("body"),
+                *(
+                    [F.repeat(F.col("text"), bulk_factor).alias("bulk")]
+                    if bulk_factor
+                    else []
+                ),
             )
         ).alias("payload"),
         (F.col("doc_id") % 3).alias("b"),
