@@ -935,7 +935,18 @@ class GenerationalHistoryIndex(_BloomProbeMixin):
         os.replace(tmp_path, pth)
         self._register_gen(g)
         shutil.rmtree(old_path, ignore_errors=True)
-        return int(obs.get["n"])
+        try:
+            return int(obs.get["n"])
+        except Exception:
+            # An EMPTY ``df`` runs the write with zero tasks, so the
+            # CollectMetrics row is never produced and Observation.get
+            # dies in the JVM row conversion (reproduced: observe +
+            # empty anti-join + bucketed saveAsTable). Exactly the
+            # repair path's case when a crashed promotion had fully
+            # committed — fall back to counting the (tiny, just
+            # written) table; for the common non-empty path the
+            # observe metric stands and no extra job runs.
+            return int(self.spark.table(tbl).count())
 
     # --- read paths ------------------------------------------------------
 

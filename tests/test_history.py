@@ -605,6 +605,23 @@ def test_generational_index_epochs_survive_promotion(spark):
     assert old_only.where(F.col("hit")).count() == 0  # batch 4 not < 4
 
 
+def test_generational_rewrite_gen_empty_frame_returns_zero(spark):
+    """``_rewrite_gen`` with an EMPTY frame: the observed write runs
+    zero tasks, so the CollectMetrics row never materializes and
+    ``Observation.get`` dies in the JVM row conversion — the count
+    must come from the fallback table count instead (the exact shape
+    ``_repair_overlap`` hits when a crashed promotion had fully
+    committed: gen0 anti gen1 is empty)."""
+    idx = _gidx(spark, "gidx_rw_empty")
+    idx.append(_keys(spark, 10, salt="rw0"), batch_id=0)
+    empty = (
+        spark.createDataFrame([], "k string, _b long")
+        .localCheckpoint(eager=True)
+    )
+    assert idx._rewrite_gen(0, empty) == 0
+    assert spark.table(idx._gtable(0)).count() == 0
+
+
 def test_generational_index_crash_mid_promote_repaired_by_attach(spark):
     """Simulated death in the promotion window: gen1 has been
     rewritten to include gen0's rows but gen0 was never emptied
