@@ -689,46 +689,116 @@ def knn_graph(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                bucket(b * bits_per_band).alias("bkt"),
+                F.col(f"_bkt{b}").alias("bkt"),
             )
             for b in range(bands)
         ]
     )
-    sides = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        norm.alias("_nrm"),
-        F.explode(band_structs).alias("_bb"),
-    ).select("_id", "_v", "_nrm", "_bb.band_id", "_bb.bkt")
+    # The exploded side relation is MATERIALIZED once (localCheckpoint)
+    # before the self-join: a self-join duplicates its input lineage
+    # per side, so without this the source scan AND the decimal norm
+    # fold run twice (2 FileScans in the executed plan, measured).
+    # The checkpointed frame is narrow — (id, vec, norm, 2 ints) ×
+    # bands rows — i.e. exactly the payload both join sides need
+    # anyway; at cluster scale this is the per-stage artifact a real
+    # pipeline persists (guide §3.3: materialise an intermediate to
+    # stop a self-join re-executing it).
+    sides = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            norm.alias("_nrm"),
+            *[
+                bucket(b * bits_per_band).alias(f"_bkt{b}")
+                for b in range(bands)
+            ],
+        )
+        .select(
+            "_id",
+            "_v",
+            "_nrm",
+            # earlier bands' buckets ride along so a multi-band
+            # collision can be attributed to its FIRST colliding band
+            # below (bands-1 extra ints per row)
+            *[f"_bkt{b}" for b in range(bands - 1)],
+            F.explode(band_structs).alias("_bb"),
+        )
+        .select(
+            "_id", "_v", "_nrm",
+            *[f"_bkt{b}" for b in range(bands - 1)],
+            "_bb.band_id", "_bb.bkt",
+        )
+        .localCheckpoint(eager=True)
+    )
     a = sides.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("va"),
-        F.col("_nrm").alias("na"), "band_id", "bkt",
+        F.col("_nrm").alias("na"),
+        *[F.col(f"_bkt{b}").alias(f"_bkta{b}") for b in range(bands - 1)],
+        "band_id", "bkt",
     )
     b_side = sides.select(
         F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
-        F.col("_nrm").alias("nb"), "band_id", "bkt",
+        F.col("_nrm").alias("nb"),
+        *[F.col(f"_bkt{b}").alias(f"_bktb{b}") for b in range(bands - 1)],
+        "band_id", "bkt",
     )
     raw_cos = (
         _dot_decimal("va", "vb") if exact else _dot_double("va", "vb")
     ) / (F.col("na") * F.col("nb"))
     cos = F.round(raw_cos, 9).alias("cosine")
 
+    # Count each candidate pair exactly once WITHOUT a pair-level
+    # dropDuplicates: a pair is kept only at its FIRST colliding band
+    # (band b keeps it iff no earlier band j < b also collided). This
+    # removes the (id_a, id_b) dedup exchange outright AND evaluates
+    # the exact decimal cosine once per unique pair instead of once
+    # per collision — exact duplicates collide in EVERY band, so the
+    # all-dup scaled corpus previously paid the decimal fold ``bands``
+    # times for precisely its hottest pairs.
+    first_band = F.when(F.col("band_id") == 0, F.lit(True))
+    for b in range(1, bands):
+        no_earlier = F.lit(True)
+        for j in range(b):
+            no_earlier = no_earlier & (
+                F.col(f"_bkta{j}") != F.col(f"_bktb{j}")
+            )
+        first_band = first_band.when(F.col("band_id") == b, no_earlier)
+
     cand = (
         a.join(b_side, ["band_id", "bkt"])
-        .where(F.col("id_a") != F.col("id_b"))
+        .where((F.col("id_a") != F.col("id_b")) & first_band)
         .select("id_a", "id_b", cos)
-        .dropDuplicates(["id_a", "id_b"])
     )
+
+    if k == 1:
+        # top-1 per vector as a partial-aggregating groupBy instead of
+        # a sort + ranking window: the max over (cosine DESC, id_b
+        # ASC) — encoded as max(struct(cosine, -id_b)) — combines
+        # map-side, so the id_a exchange carries ONE candidate per
+        # vector per map partition rather than the whole pair stream.
+        best = F.max(
+            F.struct(
+                F.col("cosine"),
+                (-F.col("id_b")).alias("_neg_id"),
+            )
+        ).alias("_best")
+        return (
+            cand.groupBy("id_a")
+            .agg(best)
+            .select(
+                F.col("id_a").alias(id_col),
+                (-F.col("_best._neg_id")).alias("neighbor_id"),
+                F.col("_best.cosine").alias("cosine"),
+            )
+        )
 
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     out = cand.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= k
     )
-    cols = [
+    return out.select(
         F.col("id_a").alias(id_col),
         F.col("id_b").alias("neighbor_id"),
         "cosine",
-    ]
-    if k > 1:
-        cols.append(F.col("rn").cast("long").alias("rank"))
-    return out.select(*cols)
+        F.col("rn").cast("long").alias("rank"),
+    )

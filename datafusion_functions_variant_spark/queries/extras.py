@@ -83,12 +83,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(0))
         for i in range(6)
     ).cast("int")
+    # materialize the (id, vec, norm, bucket) side relation ONCE: the
+    # self-join otherwise duplicates the whole upstream per side — two
+    # parquet scans and two decimal norm passes in the executed plan
+    # (guide §3.3: checkpoint an intermediate a self-join re-executes)
     sides = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
         F.sqrt(_dot_decimal("embedding", "embedding")).alias("nrm"),
         bucket.alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     a = sides.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "bucket",
@@ -193,13 +197,17 @@ def dedup_embedding_cosine_canonical(
         (F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(0))
         for i in range(6)
     ).cast("int")
+    # materialize (id, n_dups, vec, norm, bucket) ONCE: without the
+    # checkpoint the self-join re-executes the scan + groupBy(embedding)
+    # + norm chain per side (two FileScans and two aggregate chains in
+    # the executed plan — measured; same fix as knn_graph_canonical)
     sides = canon.select(
         "vec_id",
         "n_dups",
         F.col("embedding").alias("v"),
         F.sqrt(_dot_decimal("embedding", "embedding")).alias("nrm"),
         bucket.alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     a = sides.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), F.col("n_dups").alias("da"), "bucket",

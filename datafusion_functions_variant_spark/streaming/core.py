@@ -313,19 +313,36 @@ def transform_with_state_profile(stream: DataFrame) -> DataFrame:
         def handleInputRows(self, key, rows, timer_values):
             import pandas as pd
 
-            n, cents = self.totals.get() if self.totals.exists() else (0, 0)
+            # Every state call is one synchronous round-trip to the
+            # JVM state server (request + blocking response through
+            # the protobuf wire codec) — with ~users × types calls per
+            # batch the round-trips ARE the operator's cost, so the
+            # batch is folded locally first and the state is touched
+            # the minimum number of times: one ValueState.get (returns
+            # None when absent — no separate exists() probe), ONE map
+            # iterator pass replacing a getValue per event type, one
+            # updateValue per type actually seen, one totals.update.
+            # Emission is built from the locally-merged dict, dropping
+            # the second full-map iterator read. 14 → 8 round-trips
+            # per user at 5 event types; same state contents, same
+            # emitted rows (guide §4: shrink the Python<->JVM chatter,
+            # not just the bytes).
+            got = self.totals.get()
+            n, cents = got if got is not None else (0, 0)
+            inc: dict = {}
             for pdf in rows:
                 n += len(pdf)
                 cents += int(
                     pdf["value"].mul(100).round().astype("int64").sum()
                 )
                 for et, c in pdf.groupby("event_type").size().items():
-                    prev = self.by_type.getValue((et,))
-                    self.by_type.updateValue(
-                        (et,), ((prev[0] if prev else 0) + int(c),)
-                    )
+                    inc[et] = inc.get(et, 0) + int(c)
+            counts = {k[0]: v[0] for k, v in self.by_type.iterator()}
+            for et, c in inc.items():
+                counts[et] = counts.get(et, 0) + c
+                self.by_type.updateValue((et,), (counts[et],))
             self.totals.update((n, cents))
-            ets = sorted((k[0], v[0]) for k, v in self.by_type.iterator())
+            ets = sorted(counts.items())
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(ets),
