@@ -998,7 +998,22 @@ def crawl_to_shards_report(docs: DataFrame) -> DataFrame:
             == 0
         ),
     )
-    survivors = u.where("uniq").select("doc_id", "lang", "n_tok", "text")
+    survivors = (
+        u.where("uniq")
+        .select("doc_id", "lang", "n_tok", "text")
+        # AQE coalesces the post-window shuffle of this small survivor
+        # frame toward ONE partition (it is only a few MB), and the
+        # md5-per-gram signature projection below — the pipeline's
+        # dominant compute — then runs nearly single-threaded: measured
+        # 4.5-5.7 s at sf0.1 vs 1.9-2.2 s at 10x THE SAME code (more
+        # data → more post-AQE partitions → more cores). An explicit
+        # round-robin respread of the narrow rows costs one tiny
+        # exchange and buys full-width parallelism for the signature
+        # stage (guide §2.5: input skew — repartition after the choke).
+        # fan_out can't help here: it reads the STATIC partition count
+        # (32), blind to AQE's runtime coalescing.
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
     # checkpoint the NARROW signature frame (doc_id, lang, n_tok, mh*)
     # — the stage artifact a real pipeline persists. Without it every
     # downstream aggregate branch (bands, bucket_min, canon, packing)
@@ -2282,6 +2297,12 @@ def _register_embeddings_capstone() -> None:
                 F.count(F.lit(1)).cast("long").alias("n_dups"),
             )
             .transform(dedup.fan_out)
+            # FOUR consumers read canon (per-label count, both near-dup
+            # join sides, the flagged-count semi-join) — without the
+            # checkpoint each re-executes the gated scan +
+            # groupBy(embedding) chain (guide §3.3 / §5: materialise an
+            # intermediate that a self-join or multi-branch re-executes)
+            .localCheckpoint(eager=True)
         )
         ccnt = canon.groupBy("label").agg(
             F.count(F.lit(1)).cast("long").alias("n_canon")
