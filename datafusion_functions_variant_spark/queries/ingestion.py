@@ -1067,7 +1067,14 @@ def crawl_to_shards_report(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("pipeline_crawl_to_shards", oracle=_pipeline_oracle())
+@query(
+    "pipeline_crawl_to_shards",
+    oracle=_pipeline_oracle(),
+    # thin wrapper: the pipeline's whole logic lives in the helper —
+    # declare it so edits there re-front the query for driver
+    # re-verification (round 15 edited the survivor respread)
+    hash_deps=(crawl_to_shards_report,),
+)
 def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation pipeline as ONE declarative query — the
     demonstration that a crawl→training-shards run needs no

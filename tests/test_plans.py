@@ -1039,8 +1039,14 @@ def test_embeddings_capstone_flags_without_pair_dump(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # canonicalize is a real map-side-combined aggregate on the vector
-    assert "partial_min" in plan
+    # the canonicalize groupBy(embedding) is materialized ONCE as a
+    # checkpoint (round 15: four consumers read canon — per-label
+    # count, both near-dup join sides, the flagged semi-join; without
+    # the checkpoint each re-executed the gated scan + aggregate
+    # chain). The final plan must read the checkpoint artifact and
+    # must NOT re-run the embedding aggregate inside it.
+    assert "Scan ExistingRDD" in plan
+    assert "HashAggregate(keys=[embedding" not in plan
 
 
 def test_spatial_neighbor_join_is_equi_not_cross(spark):
