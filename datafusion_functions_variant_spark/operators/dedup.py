@@ -200,6 +200,52 @@ def minhash_signatures_text(
     return pre.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_text_canonical(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """``minhash_signatures_text`` with exact-duplicate texts
+    collapsed FIRST: the signature is a pure function of the text, so
+    each DISTINCT text is signed once and the signatures are joined
+    back to ids by the 128-bit content hash — identical (id, mh*)
+    rows, the gram-hash stage (the dominant cost: ~len(text) md5s per
+    text) paid once per distinct text instead of once per copy.
+
+    Trade-off (guide §2.3 shuffle-fewer-bytes vs compute): this adds
+    one exchange of the text bytes (the content-hash distinct) and a
+    signatures join-back (8 longs + ids). On a corpus with duplicate
+    mass — the regime every dedup pipeline here exists for, and
+    bench.py's K×-replica scaled corpus by construction — the saved
+    gram hashing dwarfs both (measured: see OPTIMIZATION_r15.md). On
+    an already-unique corpus it wastes one text shuffle; callers that
+    KNOW their input is unique should keep ``minhash_signatures_text``.
+    """
+    th = F.md5(F.col(text_col)).alias("_th")
+    keyed = df.select(F.col(id_col), th)
+    # ONE pinned-width exchange does both dedup and spread: an
+    # explicit hash repartition on the content hash is not coalesced
+    # by AQE (unlike the ENSURE_REQUIREMENTS exchange a bare
+    # dropDuplicates gets, which AQE shrinks toward one partition on
+    # small inputs — single-threading the gram-hash stage, the same
+    # choke the crawl pipeline hit), and the dropDuplicates groupBy
+    # reuses the partitioning (same key) without a second shuffle.
+    texts = (
+        df.select(th, F.col(text_col))
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col("_th")
+        )
+        .dropDuplicates(["_th"])
+    )
+    sigs_t = minhash_signatures_text(
+        texts, text_col, "_th", n=n, num_hashes=num_hashes, hash_fn=hash_fn
+    )
+    return keyed.join(sigs_t, "_th").drop("_th")
+
+
 def minhash_signatures_inrow(
     df: DataFrame,
     text_col: str,

@@ -118,10 +118,23 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
 
-    sigs_c = dedup.minhash_signatures_text(
-        corpus, "text", "doc_id", n=8, num_hashes=8
+    # The index is the DISTINCT (band_id, band_hash) set — a pure
+    # function of the corpus' distinct texts — so sign each distinct
+    # text once (content-hash id, no join-back needed): the
+    # md5-per-gram stage stops paying for exact-duplicate mass
+    # (round 15; identical index contents by construction)
+    corpus_t = (
+        corpus.select(F.md5("text").alias("_th"), "text")
+        # one pinned-width exchange for dedup AND spread: an explicit
+        # hash repartition on the content hash is not AQE-coalesced,
+        # and the dropDuplicates groupBy reuses it (same key)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("_th"))
+        .dropDuplicates(["_th"])
     )
-    index = dedup._banded(sigs_c, "doc_id", 8, 2).select(
+    sigs_c = dedup.minhash_signatures_text(
+        corpus_t, "text", "_th", n=8, num_hashes=8
+    )
+    index = dedup._banded(sigs_c, "_th", 8, 2).select(
         "band_id", "band_hash"
     ).distinct()
 
@@ -1298,11 +1311,19 @@ def bucketed_index_build(spark: SparkSession, sf_dir: str) -> None:
 
     docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
     corpus = docs.where(F.col("doc_id") % 5 != 0)
+    # distinct-text signing, same rationale as dedup_incremental_index
+    # (the persisted index is the distinct band set — id-free)
+    corpus_t = (
+        corpus.select(F.md5("text").alias("_th"), "text")
+        # same single-exchange dedup+spread as the unbucketed twin
+        .repartition(spark.sparkContext.defaultParallelism, F.col("_th"))
+        .dropDuplicates(["_th"])
+    )
     sigs_c = dedup.minhash_signatures_text(
-        corpus, "text", "doc_id", n=8, num_hashes=8
+        corpus_t, "text", "_th", n=8, num_hashes=8
     )
     index = (
-        dedup._banded(sigs_c, "doc_id", 8, 2)
+        dedup._banded(sigs_c, "_th", 8, 2)
         .select(
             F.md5(F.concat("band_id", "band_hash")).alias("bh2")
         )

@@ -91,6 +91,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, n_shared_bands FROM candidates
     ORDER BY doc_a, doc_b
     """,
+    # the round-15 canonicalize-first signing lives in this helper;
+    # without the declaration, editing it would not re-front the query
+    hash_deps=(dedup.minhash_signatures_text_canonical,),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 perms)-LSH(2 bands x 4 rows) candidate pairs over
@@ -99,8 +102,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_overflow_buckets — silent star-routing is a correctness hazard,
     see the r8 simhash incident) rides the pass by default; read it
     from ``plans.observe.REGISTERED_OBSERVATIONS`` after acting."""
-    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
-    sigs = dedup.minhash_signatures_text(docs, "text", "doc_id", n=8, num_hashes=8)
+    # canonical variant (round 15): sign each DISTINCT text once and
+    # join back by content hash — identical signatures per doc, the
+    # md5-per-gram stage paid once per distinct text instead of once
+    # per copy (the exact-dup mass is what a dedup pipeline faces).
+    # No fan_out here: the helper's own pinned-width content-hash
+    # repartition spreads the heavy stage, and a fan_out would run
+    # once per branch (ids + texts) — two extra full-table exchanges.
+    sigs = dedup.minhash_signatures_text_canonical(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        n=8, num_hashes=8,
+    )
     return dedup.lsh_candidate_pairs(
         sigs,
         "doc_id",
@@ -145,6 +157,8 @@ _XXHASH_SIGS_PATH = _xxhash_sigs_path()
     GROUP BY 1, 2
     ORDER BY doc_a, doc_b
     """,
+    # same round-15 canonicalize-first helper as dedup_minhash_lsh
+    hash_deps=(dedup.minhash_signatures_text_canonical,),
 )
 def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production fast-path twin of ``dedup_minhash_lsh``: identical
@@ -162,9 +176,13 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned against a clean-room XXH64 implementation (public spec) in
     tests/test_operator_properties.py, and recall parity with the md5
     family on exact-duplicate clusters keeps its property test."""
-    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
-    sigs = dedup.minhash_signatures_text(
-        docs, "text", "doc_id", n=8, num_hashes=8, hash_fn="xxhash64"
+    # canonical variant — same rationale (and same no-fan_out note)
+    # as dedup_minhash_lsh: the persisted per-doc signatures are
+    # byte-identical, the xxhash64 gram stage runs once per distinct
+    # text
+    sigs = dedup.minhash_signatures_text_canonical(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        n=8, num_hashes=8, hash_fn="xxhash64",
     )
     sigs.write.mode("overwrite").parquet(_XXHASH_SIGS_PATH)
     persisted = spark.read.parquet(_XXHASH_SIGS_PATH)

@@ -1411,6 +1411,40 @@ def test_minhash_signatures_gram_input_and_hash_guard(spark):
         gram_hash(F.lit("x"), "sha9000")
 
 
+def test_minhash_signatures_text_canonical_equals_plain(spark):
+    """The canonicalize-first form (sign each DISTINCT text once, join
+    signatures back by content hash) must return EXACTLY the plain
+    form's rows — same (id, mh*) per document, one row per id — on a
+    duplicate-heavy corpus, for both hash families."""
+    from datafusion_functions_variant_spark.operators.dedup import (
+        minhash_signatures_text,
+        minhash_signatures_text_canonical,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+    ]
+    # 30 docs over 3 distinct texts — the exact-dup mass the canonical
+    # form exists for
+    docs = spark.createDataFrame(
+        [(i, texts[i % 3]) for i in range(30)], ["doc_id", "text"]
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        plain = minhash_signatures_text(
+            docs, "text", "doc_id", num_hashes=4, hash_fn=hash_fn
+        )
+        canon = minhash_signatures_text_canonical(
+            docs, "text", "doc_id", num_hashes=4, hash_fn=hash_fn
+        )
+        assert canon.columns == plain.columns
+        rows_p = sorted(map(tuple, plain.collect()))
+        rows_c = sorted(map(tuple, canon.collect()))
+        assert rows_c == rows_p
+        assert len({r[0] for r in rows_c}) == 30  # one row per doc id
+
+
 def test_history_degenerate_attach_and_noop_rebuild(spark):
     """attach() with no bloom headroom must come back bitset-less
     (member() passes everything, rebuild_bitset is a no-op) while the
