@@ -156,7 +156,10 @@ class Metadata:
     (test at metadata.rs:206-207).
     """
 
-    __slots__ = ("buf", "version", "sorted_strings", "_width", "_len", "_strings")
+    __slots__ = (
+        "buf", "version", "sorted_strings", "_width", "_len", "_strings",
+        "_index",
+    )
 
     def __init__(self, buf: bytes):
         if not buf:
@@ -187,13 +190,21 @@ class Metadata:
         return None
 
     def find_string(self, key: str) -> int | None:
-        """String → dictionary id via binary search (metadata.rs:162-184)."""
+        """String → dictionary id (metadata.rs:162-184's binary search,
+        memoized into a dict on first use — one Metadata serves every
+        row of a batch, so the per-row bisect was pure re-derivation;
+        ``setdefault`` keeps the leftmost id for duplicate strings,
+        exactly what bisect_left returned)."""
         if not self.sorted_strings:
             raise VariantError("metadata dictionary is not sorted")
-        i = bisect_left(self._strings, key)
-        if i < self._len and self._strings[i] == key:
-            return i
-        return None
+        try:
+            index = self._index
+        except AttributeError:
+            index = {}
+            for i, s in enumerate(self._strings):
+                index.setdefault(s, i)
+            self._index = index
+        return index.get(key)
 
 
 # ---------------------------------------------------------------------------
@@ -398,6 +409,22 @@ class ObjectBuilder:
         self._data += value_bytes
         self._entries.append((fid, start, len(self._data)))
 
+    def begin_child(self, key: str) -> bytearray:
+        """Scratch buffer positioned for a DIRECT child write (the
+        ``ArrayBuilder.buffer``/``seal_child`` idiom): write the child
+        bytes straight into the returned buffer, then ``seal_child``.
+        Skips the per-child intermediate bytearray + two copies the
+        ``append_value`` path pays."""
+        fid = self._meta.find_string(key)
+        if fid is None:
+            raise VariantError(f"key not in metadata dictionary: {key!r}")
+        self._pending = (fid, len(self._data))
+        return self._data
+
+    def seal_child(self) -> None:
+        fid, start = self._pending
+        self._entries.append((fid, start, len(self._data)))
+
     def append_null(self, key: str) -> None:
         b = bytearray()
         write_null(b)
@@ -429,18 +456,30 @@ class ObjectBuilder:
         self.append_value(key, bytes(b))
 
     def finish(self) -> bytes:
-        entries = sorted(self._entries, key=lambda e: e[0])
+        entries = self._entries
         n = len(entries)
         is_large = n > 127
-        max_fid = max((e[0] for e in entries), default=0)
-        id_width = _byte_width(max_fid)
-        # Offsets index into the re-packed (sorted) data area.
-        packed = bytearray()
-        offsets = []
-        for fid, start, end in entries:
+        # Entry spans are appended contiguously into ``_data``, so when
+        # the field ids already arrive non-decreasing (every dict built
+        # against a sorted dictionary — the common case) the id sort is
+        # the identity and the data area is already packed: skip the
+        # per-entry repack copy (write.rs:259-261 sorts unconditionally).
+        if all(entries[i][0] <= entries[i + 1][0] for i in range(n - 1)):
+            max_fid = entries[-1][0] if n else 0
+            packed = self._data
+            offsets = [e[1] for e in entries]
             offsets.append(len(packed))
-            packed += self._data[start:end]
-        offsets.append(len(packed))
+        else:
+            entries = sorted(entries, key=lambda e: e[0])
+            max_fid = entries[-1][0]
+            # Offsets index into the re-packed (sorted) data area.
+            packed = bytearray()
+            offsets = []
+            for fid, start, end in entries:
+                offsets.append(len(packed))
+                packed += self._data[start:end]
+            offsets.append(len(packed))
+        id_width = _byte_width(max_fid)
         off_width = _byte_width(len(packed))
         header = (
             BASIC_OBJECT
@@ -762,17 +801,16 @@ def convert_value(value: Any, buf: bytearray, metadata: Metadata) -> None:
         write_string(buf, value)
     elif isinstance(value, list):
         ab = ArrayBuilder()
+        data = ab.buffer()
         for item in value:
-            b = bytearray()
-            convert_value(item, b, metadata)
-            ab.append_value(bytes(b))
+            convert_value(item, data, metadata)
+            ab.seal_child()
         buf += ab.finish()
     elif isinstance(value, dict):
         ob = ObjectBuilder(metadata)
         for k, v in value.items():
-            b = bytearray()
-            convert_value(v, b, metadata)
-            ob.append_value(k, bytes(b))
+            convert_value(v, ob.begin_child(k), metadata)
+            ob.seal_child()
         buf += ob.finish()
     else:
         raise VariantError(f"unsupported JSON value: {type(value)}")
