@@ -615,3 +615,41 @@ def test_to_python_declared_only_ids_and_path_walk_misses():
         c.parse_json_path("$x")  # bad syntax after root
     with pytest.raises(c.VariantError):
         c._render_json(object())  # not JSON serializable
+
+
+def test_object_builder_order_and_direct_write_byte_identical():
+    """The r15 encode-path optimization must be byte-invisible:
+
+    * ``finish``'s in-order identity fast path and the sorted-repack
+      fallback must emit IDENTICAL buffers for the same field set —
+      pinned by inserting the same fields in sorted vs reversed order;
+    * the ``begin_child``/``seal_child`` direct-write idiom must match
+      the ``append_value`` copy path byte for byte.
+    """
+    meta = c.Metadata(c.build_metadata(["a", "b", "c"]))
+
+    def fill(ob, keys):
+        payloads = {"a": 1, "b": 2, "c": 3}
+        for k in keys:
+            ob.append_i64(k, payloads[k])
+        return ob.finish()
+
+    in_order = fill(c.ObjectBuilder(meta), ["a", "b", "c"])
+    reversed_ = fill(c.ObjectBuilder(meta), ["c", "b", "a"])
+    assert in_order == reversed_
+
+    # direct-write vs copy path, including a nested child
+    ob_copy = c.ObjectBuilder(meta)
+    child = bytearray()
+    c.write_string(child, "x" * 40)
+    ob_copy.append_value("b", bytes(child))
+    ob_copy.append_i64("c", 7)
+
+    ob_direct = c.ObjectBuilder(meta)
+    c.write_string(ob_direct.begin_child("b"), "x" * 40)
+    ob_direct.seal_child()
+    ob_direct.append_i64("c", 7)
+    assert ob_copy.finish() == ob_direct.finish()
+
+    # empty object: both paths produce the canonical empty buffer
+    assert c.ObjectBuilder(meta).finish() == bytes([c.BASIC_OBJECT, 0, 0])
