@@ -112,7 +112,13 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join shuffled on band_hash, whose cardinality is ≈ #batch
     rows × bands. No all-pairs, no corpus rescan, no skew (band
     hashes are md5-uniform)."""
-    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
+    # fan_out is applied ONLY where the spread pays: the probe-side
+    # in-row signing below. The corpus side feeds a pinned-width hash
+    # repartition anyway (a preceding round-robin exchange would move
+    # every text byte twice), and the final-join side goes straight
+    # into a broadcast join + tiny aggregate (r15: 3 RoundRobin
+    # exchanges in the plan → 1).
+    docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     incoming = docs.where(F.col("doc_id") % 5 == 0).select(
         "doc_id", "lang", "text"
@@ -139,7 +145,8 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
     probe = dedup.minhash_signatures_inrow(
-        incoming, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id", "lang"]
+        dedup.fan_out(incoming),
+        "text", "doc_id", n=8, num_hashes=8, keep=["doc_id", "lang"]
     )
     bands_i = dedup.banded_rows_inrow(probe, "doc_id", num_hashes=8, bands=2)
 
@@ -1309,8 +1316,12 @@ def bucketed_index_build(spark: SparkSession, sf_dir: str) -> None:
 
     from .catalog import _IO_DIR
 
-    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
-    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    # no fan_out: the corpus text goes straight into the pinned-width
+    # content-hash repartition below, which does the spread itself
+    # (r15 — a round-robin exchange first would move every text twice)
+    corpus = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 != 0
+    )
     # distinct-text signing, same rationale as dedup_incremental_index
     # (the persisted index is the distinct band set — id-free)
     corpus_t = (
@@ -1348,14 +1359,19 @@ def bucketed_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is the big side (corpus × bands rows), so this layout
     converts the per-batch cost from 'shuffle the index' to 'shuffle
     the batch'."""
-    docs = dedup.fan_out(load_table(spark, sf_dir, "documents"))
-    incoming = docs.where(F.col("doc_id") % 5 == 0).select(
-        "doc_id", "lang", "text"
+    # fan_out only where the spread pays — the in-row signing below;
+    # the final-join branch reads (doc_id, lang) straight into a
+    # broadcast join + tiny aggregate (r15)
+    incoming = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "lang", "text")
     )
     idx = spark.table("band_index_b")
 
     probe = dedup.minhash_signatures_inrow(
-        incoming, "text", "doc_id", n=8, num_hashes=8, keep=["doc_id", "lang"]
+        dedup.fan_out(incoming),
+        "text", "doc_id", n=8, num_hashes=8, keep=["doc_id", "lang"]
     )
     bands_i = dedup.banded_rows_inrow(
         probe, "doc_id", num_hashes=8, bands=2
