@@ -141,12 +141,25 @@ def variant_extract(col, fields: dict[str, tuple[str, str]]) -> Column:
             StructField(name, StringType() if dtype == "typeof" else _GETTER_TYPES[dtype])
         )
 
+    # Specs that share a json path are grouped: per row the shared
+    # path is walked once and decoded to Python once, and each member
+    # only pays its own coercion — a bigint + string getter on $.k
+    # cost one walk_path + one to_python, not two of each (round 15:
+    # decode measured 0.64x on the bench key's spec shape).
+    groups: list[tuple[list, list[tuple[str, str]]]] = []
+    _by_path: dict[tuple, int] = {}
+    for name, steps, dtype in specs:
+        gi = _by_path.setdefault(tuple(steps), len(groups))
+        if gi == len(groups):
+            groups.append((steps, []))
+        groups[gi][1].append((name, dtype))
+
     @pandas_udf(StructType(out_fields))
     def _extract(v: pd.DataFrame) -> pd.DataFrame:
         metas = v["metadata"]
         vals = v["value"]
         # per distinct metadata blob: Metadata parse + field-id
-        # resolution for every spec, exactly once
+        # resolution for every path group, exactly once
         cache: dict[bytes, tuple[codec.Metadata, list[list]]] = {}
         data: dict[str, list] = {name: [] for name, _, _ in specs}
         for mb, vb in zip(metas, vals):
@@ -160,22 +173,30 @@ def variant_extract(col, fields: dict[str, tuple[str, str]]) -> Column:
                 m = codec.Metadata(mkey)
                 ent = cache[mkey] = (
                     m,
-                    [codec.resolve_steps(m, steps) for _, steps, _ in specs],
+                    [codec.resolve_steps(m, steps) for steps, _ in groups],
                 )
             m, fid_lists = ent
             vbytes = bytes(vb)
-            for (name, steps, dtype), fids in zip(specs, fid_lists):
+            for (steps, outs), fids in zip(groups, fid_lists):
                 try:
                     node = codec.walk_path(vbytes, steps, fids)
-                    if node is None:
-                        py = None
-                    elif dtype == "typeof":
-                        py = node.type_name()
-                    else:
-                        py = _coerce(codec.to_python(node, m), dtype)
                 except codec.VariantError:
-                    py = None
-                data[name].append(py)
+                    node = None
+                py = None
+                decoded = False
+                for name, dtype in outs:
+                    if node is None:
+                        data[name].append(None)
+                    elif dtype == "typeof":
+                        data[name].append(node.type_name())
+                    else:
+                        if not decoded:
+                            decoded = True
+                            try:
+                                py = codec.to_python(node, m)
+                            except codec.VariantError:
+                                py = None
+                        data[name].append(_coerce(py, dtype))
         return pd.DataFrame(data)
 
     return _extract(_col(col))

@@ -74,6 +74,49 @@ def test_explicit_get_and_typeof(spark):
     assert json.loads(rows[0]["rt"]) == {"a": {"b": [1, 2, {"c": "hit"}]}}
 
 
+def test_explicit_extract_grouped_paths_match_single_getters(spark):
+    """variant_extract groups specs sharing one json path (round 15:
+    one walk + one decode per path per row); every (path, dtype)
+    member must still equal the independent single-getter result —
+    including absent keys, non-castable values, and the root typeof."""
+    rows = [
+        ('{"k": 7, "s": "txt"}',),
+        ('{"k": {"nested": 1}}',),   # $.k bigint → None, string → json
+        ('{"other": true}',),        # $.k absent
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, ["j"]).withColumn(
+        "v", explicit.variant_from_json(F.col("j"))
+    )
+    fused = explicit.variant_extract(
+        "v",
+        {
+            "k_int": ("$.k", "bigint"),
+            "k_str": ("$.k", "string"),
+            "k_type": ("$.k", "typeof"),
+            "root_t": ("$", "typeof"),
+        },
+    )
+    out = df.select(
+        fused["k_int"].alias("f_int"),
+        fused["k_str"].alias("f_str"),
+        fused["k_type"].alias("f_type"),
+        fused["root_t"].alias("f_root"),
+        explicit.variant_get("v", "$.k", "bigint").alias("g_int"),
+        explicit.variant_get("v", "$.k", "string").alias("g_str"),
+        explicit.variant_get("v", "$.k", "typeof").alias("g_type"),
+        explicit.variant_get("v", "$", "typeof").alias("g_root"),
+    ).collect()
+    for r in out:
+        assert r["f_int"] == r["g_int"]
+        assert r["f_str"] == r["g_str"]
+        assert r["f_type"] == r["g_type"]
+        assert r["f_root"] == r["g_root"]
+    assert [r["f_int"] for r in out] == [7, None, None, None]
+    assert [r["f_str"] for r in out] == ["7", '{"nested":1}', None, None]
+    assert [r["f_root"] for r in out] == ["object", "object", "object", None]
+
+
 def test_explicit_tolerant_parse(spark):
     df = spark.createDataFrame([('{"ok": 1}',), ("{broken",), (None,)], ["j"])
     out = df.select(explicit.try_variant_from_json(F.col("j")).alias("v")).collect()
