@@ -267,6 +267,37 @@ def stateful_running_max(stream: DataFrame, delay: str = "1 minute") -> DataFram
     )
 
 
+def _fold_profile_batch(pdf) -> tuple[int, int, dict]:
+    """Fold ONE per-user input frame of ``transform_with_state_profile``
+    locally: (row count, exact value cents, per-event-type counts).
+
+    handleInputRows runs once per USER, so ``pdf`` is tiny (~tens of
+    rows) and pandas per-group machinery (Series.mul/round/astype +
+    groupby().size()) costs ~1 ms of pure overhead per call —
+    wall-clock-visible at 15k users/batch. The raw-numpy + Counter
+    fold is ~4x cheaper and numerically identical: Series.round IS
+    np.round (same half-to-even ufunc), and the None/NaN guard
+    mirrors groupby's default dropna=True. Equivalence to the pandas
+    formulation is pinned by test_streaming_state.py::
+    test_fold_profile_batch_matches_pandas_formulation."""
+    from collections import Counter
+
+    import numpy as np
+
+    k = len(pdf)
+    if not k:
+        return 0, 0, {}
+    cents = int(
+        np.round(pdf["value"].to_numpy() * 100.0).astype("int64").sum()
+    )
+    inc: dict = {}
+    for et, c in Counter(pdf["event_type"].to_list()).items():
+        if et is None or et != et:  # match groupby dropna
+            continue
+        inc[et] = int(c)
+    return k, cents, inc
+
+
 def transform_with_state_profile(stream: DataFrame) -> DataFrame:
     """Per-user profile via Spark 4's transformWithStateInPandas — the
     successor API to applyInPandasWithState with TYPED state variables:
@@ -311,9 +342,6 @@ def transform_with_state_profile(stream: DataFrame) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timer_values):
-            from collections import Counter
-
-            import numpy as np
             import pandas as pd
 
             # Every state call is one synchronous round-trip to the
@@ -329,34 +357,17 @@ def transform_with_state_profile(stream: DataFrame) -> DataFrame:
             # the second full-map iterator read. 14 → 8 round-trips
             # per user at 5 event types; same state contents, same
             # emitted rows (guide §4: shrink the Python<->JVM chatter,
-            # not just the bytes).
-            #
-            # The local fold itself avoids pandas per-group machinery:
-            # handleInputRows runs once per USER, so its input frames
-            # are tiny (~tens of rows) and Series.mul/round/astype +
-            # groupby().size() cost ~1 ms of pure overhead per call —
-            # wall-clock-visible at 15k users/batch. The same fold on
-            # the raw numpy array + a Counter is ~4x cheaper and
-            # numerically identical: Series.round IS np.round (same
-            # half-to-even ufunc), and the None/NaN guard mirrors
-            # groupby's default dropna=True.
+            # not just the bytes). The local fold itself is the
+            # raw-numpy form (see _fold_profile_batch).
             got = self.totals.get()
             n, cents = got if got is not None else (0, 0)
             inc: dict = {}
             for pdf in rows:
-                k = len(pdf)
-                if not k:
-                    continue
+                k, c_add, type_counts = _fold_profile_batch(pdf)
                 n += k
-                cents += int(
-                    np.round(pdf["value"].to_numpy() * 100.0)
-                    .astype("int64")
-                    .sum()
-                )
-                for et, c in Counter(pdf["event_type"].to_list()).items():
-                    if et is None or et != et:  # match groupby dropna
-                        continue
-                    inc[et] = inc.get(et, 0) + int(c)
+                cents += c_add
+                for et, c in type_counts.items():
+                    inc[et] = inc.get(et, 0) + c
             counts = {k[0]: v[0] for k, v in self.by_type.iterator()}
             for et, c in inc.items():
                 counts[et] = counts.get(et, 0) + c

@@ -56,6 +56,60 @@ from .conftest import SF_DIR
 ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
+def test_fold_profile_batch_matches_pandas_formulation():
+    """The raw-numpy per-user fold (round 15 optimization) must be
+    value-identical to the original pandas formulation it replaced —
+    Series.mul(100).round().astype('int64').sum() for the cents and
+    groupby('event_type').size() for the per-type counts — including
+    on half-to-even rounding boundaries (x.5 cents), negatives, a
+    None event_type (dropped by groupby's default dropna), and the
+    empty frame. No Spark needed: the fold is pure pandas/numpy."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_functions_variant_spark.streaming.core import (
+        _fold_profile_batch,
+    )
+
+    def pandas_fold(pdf):
+        n = len(pdf)
+        cents = int(pdf["value"].mul(100).round().astype("int64").sum())
+        inc = {
+            et: int(c)
+            for et, c in pdf.groupby("event_type").size().items()
+        }
+        return n, cents, inc
+
+    # half-to-even boundaries: 0.125*100=12.5 -> 12, 0.135*100=13.5
+    # -> 14 (banker's), plus negatives and values whose *100 is not
+    # representable exactly in binary
+    frames = [
+        pd.DataFrame(
+            {
+                "event_type": ["view", "click", "view", "purchase", "view"],
+                "value": [0.125, 0.135, -0.125, 2.675, 99.995],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "event_type": ["a"] * 64 + ["b"] * 3,
+                "value": np.linspace(-5.005, 7.775, 67),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "event_type": ["x", None, "x"],
+                "value": [1.0, 2.0, 3.0],
+            }
+        ),
+        pd.DataFrame({"event_type": [], "value": []}),
+    ]
+    for pdf in frames:
+        got = _fold_profile_batch(pdf)
+        n, cents, inc = pandas_fold(pdf) if len(pdf) else (0, 0, {})
+        assert got == (n, cents, inc), (got, (n, cents, inc), pdf)
+
+
 def test_transform_with_state_profile(spark):
     pytest.importorskip(
         "google.protobuf",
