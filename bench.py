@@ -207,6 +207,54 @@ def loadavg_now() -> list[float] | None:
         return None
 
 
+def cpu_now() -> list[int] | None:
+    """Cumulative CPU jiffies from /proc/stat —
+    [user, nice, system, idle, iowait, irq, softirq, steal] — or None
+    where unsupported (round 15).
+
+    Loadavg cannot separate SELF-load (a local[32] bench legitimately
+    runs the 1-min average to 10-30 while it works) from the things
+    that actually slow a run, and the CPU-only calibration probe only
+    catches uniform compute steal. The per-key DELTA of this counter
+    classifies a mover by where its wall time physically went
+    (``queries_cpu``: {u,s,w,st} = user/system/iowait/steal as % of
+    all CPU time while the key ran):
+
+    * ``st`` elevated → hypervisor steal (the r8/r12/r14 incident
+      class) — weather, named in-artifact;
+    * ``w`` elevated → storage stalls — weather on this rig (the
+      corpus reads from host cache at ~4 GB/s when healthy);
+    * ``s`` elevated with flat ``st``/``w`` → kernel/fault-path
+      slowdown (attempt-11 signature: clean probes, clean steal,
+      system-time inflation on allocation-heavy keys only);
+    * ``u`` tracking the elevation → the key really ran more compute:
+      look at the plan, not the weather."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return [int(x) for x in parts[1:9]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def cpu_delta_pct(prev: list[int] | None, cur: list[int] | None) -> dict | None:
+    """{u,s,w,st} percentages of the jiffies elapsed between two
+    ``cpu_now`` snapshots, or None when either snapshot is missing or
+    no time elapsed."""
+    if prev is None or cur is None:
+        return None
+    d = [b - a for a, b in zip(prev, cur)]
+    tot = sum(d)
+    if tot <= 0:
+        return None
+    return {
+        "u": round(100.0 * (d[0] + d[1]) / tot, 1),  # user + nice
+        "s": round(100.0 * d[2] / tot, 1),
+        "w": round(100.0 * d[4] / tot, 1),
+        "st": round(100.0 * d[7] / tot, 1),
+    }
+
+
 #: Round 14: weather, localized PER KEY instead of per column. The r13
 #: six-run shakedown proved the set-opening ``calibration_spread``
 #: cannot catch BURSTY host steal that lands mid-set (run 6: pristine
@@ -475,10 +523,10 @@ def run_set(
     probe_every: int = MID_PROBE_EVERY,
 ) -> tuple[
     dict[str, float], dict[str, float], dict[str, str],
-    dict[str, float], dict[str, float],
+    dict[str, float], dict[str, float], dict[str, float],
 ]:
     """Returns (median, min, errors, per-key loadavg, mid-set
-    calibration probes) per query. The min-of-N rides
+    calibration probes, per-key cpu breakdown) per query. The min-of-N rides
     along as the noise floor: cross-round median comparisons on
     sub-second sf0.1 queries have documented ±30-40% ambient swings
     (BASELINE.md), and the min separates 'the box was busy' from 'the
@@ -503,18 +551,28 @@ def run_set(
     errors: dict[str, str] = {}
     load: dict[str, float] = {}
     probes: dict[str, float] = {}
+    cpu: dict[str, dict] = {}
     done = 0
+    prev_stat = cpu_now()
 
     def record(name: str, samples: list[float]) -> None:
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         minimums[name] = round(min(samples), 3)
 
     def weather_mark(name: str) -> None:
-        nonlocal done
+        nonlocal done, prev_stat
         done += 1
         la = loadavg_now()
         if la is not None:
             load[name] = la[0]
+        # per-key CPU breakdown: where the wall time physically went
+        # while the key ran (round 15 — the loadavg stamp cannot tell
+        # self-load from steal/kernel/storage stalls; this can)
+        cur_stat = cpu_now()
+        pct = cpu_delta_pct(prev_stat, cur_stat)
+        if pct is not None:
+            cpu[name] = pct
+        prev_stat = cur_stat
         if cpus is not None and done % probe_every == 0:
             try:
                 probes[name] = calibration_probe_once(spark, cpus)
@@ -533,7 +591,7 @@ def run_set(
             print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
         weather_mark(name)
     if not with_probe:
-        return timings, minimums, errors, load, probes
+        return timings, minimums, errors, load, probes, cpu
     # steady-state probe of the persisted bucketed index: one untimed
     # build, then the probe alone per run — the recurring per-batch
     # cost a continuous pipeline pays (the end-to-end twin above
@@ -558,7 +616,7 @@ def run_set(
             f"bench: dedup_incremental_bucketed_probe failed: {_err_text(e)}",
             file=sys.stderr,
         )
-    return timings, minimums, errors, load, probes
+    return timings, minimums, errors, load, probes, cpu
 
 
 def run_isolated_keys(
@@ -571,7 +629,8 @@ def run_isolated_keys(
     new_session,
     retried: dict[str, str],
 ) -> tuple[
-    dict[str, float], dict[str, float], dict[str, str], dict[str, float]
+    dict[str, float], dict[str, float], dict[str, str],
+    dict[str, float], dict[str, float],
 ]:
     """HEADLINE_ISOLATED keys with one RETRY IN A FRESH SESSION on
     failure. The r11 driver box hit 'Python worker failed to connect
@@ -586,11 +645,19 @@ def run_isolated_keys(
     m: dict[str, float] = {}
     e: dict[str, str] = {}
     load: dict[str, float] = {}
+    cpu: dict[str, dict] = {}
+    prev_stat = cpu_now()
 
     def weather_mark(name: str) -> None:
+        nonlocal prev_stat
         la = loadavg_now()
         if la is not None:
             load[name] = la[0]
+        cur_stat = cpu_now()
+        pct = cpu_delta_pct(prev_stat, cur_stat)
+        if pct is not None:
+            cpu[name] = pct
+        prev_stat = cur_stat
 
     for name in names:
         spec = registry.get(name)
@@ -620,7 +687,7 @@ def run_isolated_keys(
         t[name] = round(sorted(samples)[len(samples) // 2], 3)
         m[name] = round(min(samples), 3)
         weather_mark(name)
-    return t, m, e, load
+    return t, m, e, load, cpu
 
 
 def main() -> None:
@@ -706,6 +773,7 @@ def main() -> None:
         e: dict,
         load: dict | None = None,
         probes: dict | None = None,
+        cpu: dict | None = None,
     ) -> None:
         pre = "" if col_prefix == "" else "scaled_"
         out.setdefault(f"{pre}queries", {}).update(t)
@@ -717,16 +785,19 @@ def main() -> None:
             out.setdefault(f"{pre}queries_load", {}).update(load)
         if probes:
             out.setdefault(f"{pre}mid_calibrations", {}).update(probes)
+        # per-key CPU breakdown (round 15) — BENCH.json only
+        if cpu:
+            out.setdefault(f"{pre}queries_cpu", {}).update(cpu)
 
     def run_isolated(dir_: str, runs: int, col: str) -> None:
         retried = out.setdefault("retried", {})
-        t, m, e, load = run_isolated_keys(
+        t, m, e, load, cpu = run_isolated_keys(
             sess, registry, HEADLINE_ISOLATED, dir_, runs, consume,
             new_session, retried,
         )
         if not retried:
             del out["retried"]
-        merge(col, t, m, e, load)
+        merge(col, t, m, e, load, cpu=cpu)
 
     runs = int(os.environ.get("BENCH_RUNS", "5"))
     scale_k = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_K", "10"))

@@ -121,7 +121,7 @@ def test_run_set_isolates_a_raising_spec(spark):
     def consume(df):
         df.collect()
 
-    t, m, e, load, probes = bench.run_set(
+    t, m, e, load, probes, cpu = bench.run_set(
         spark, registry, "/unused", 2, ["good_a", "boom", "good_b"],
         consume, with_probe=False,
     )
@@ -155,7 +155,7 @@ def test_run_set_missing_probe_module_is_isolated(spark, monkeypatch):
         raise RuntimeError("index build exploded")
 
     monkeypatch.setattr(ing, "bucketed_index_build", raising_build)
-    t, m, e, _load, _probes = bench.run_set(
+    t, m, e, _load, _probes, _cpu = bench.run_set(
         spark, {}, "/unused", 1, [], lambda df: df.collect(), with_probe=True
     )
     assert "dedup_incremental_bucketed_probe" in e and not t
@@ -216,7 +216,7 @@ def test_run_isolated_keys_retries_in_fresh_session():
         return _FakeSpark()
 
     retried = {}
-    t, m, e, load = bench.run_isolated_keys(
+    t, m, e, load, cpu = bench.run_isolated_keys(
         sess, registry, ["flaky_key", "dead_key"], "/unused", 2,
         lambda df: None, new_session, retried,
     )
@@ -245,6 +245,43 @@ def test_loadavg_now_shape():
     # linux container: three non-negative floats (1/5/15 min)
     assert la is not None and len(la) == 3
     assert all(isinstance(x, float) and x >= 0 for x in la)
+
+
+def test_cpu_now_shape_and_delta_pct():
+    # linux container: 8 monotone cumulative jiffie counters; the
+    # delta classifier returns bounded percentages that sum <= 100
+    a = bench.cpu_now()
+    assert a is not None and len(a) == 8 and all(v >= 0 for v in a)
+    import time
+
+    time.sleep(0.05)
+    b = bench.cpu_now()
+    assert all(y >= x for x, y in zip(a, b))
+    pct = bench.cpu_delta_pct(a, b)
+    assert pct is not None and set(pct) == {"u", "s", "w", "st"}
+    assert all(0.0 <= v <= 100.0 for v in pct.values())
+    assert sum(pct.values()) <= 100.0 + 1e-6
+    # degenerate inputs -> None, never a crash
+    assert bench.cpu_delta_pct(None, b) is None
+    assert bench.cpu_delta_pct(a, a) is None
+
+
+def test_run_set_stamps_per_key_cpu_breakdown(spark):
+    def good(s, d):
+        return s.range(2)
+
+    registry = {"k00": _Spec(good), "k01": _Spec(good)}
+    t, m, e, load, probes, cpu = bench.run_set(
+        spark, registry, "unused", 1, ["k00", "k01"], lambda df: df.collect(),
+        with_probe=False,
+    )
+    assert not e
+    # on this linux box the cpu map must cover every completed key
+    # with the {u,s,w,st} percentage breakdown
+    assert set(cpu) == {"k00", "k01"}
+    for pct in cpu.values():
+        assert set(pct) == {"u", "s", "w", "st"}
+        assert all(0.0 <= v <= 100.0 for v in pct.values())
 
 
 def test_committed_bench_artifact_carries_weather_fields():
@@ -298,7 +335,7 @@ def test_mid_set_probe_cadence(spark, monkeypatch):
 
     names = [f"k{i:02d}" for i in range(bench.MID_PROBE_EVERY * 2 + 1)]
     registry = {n: _Spec(good) for n in names}
-    t, m, e, load, probes = bench.run_set(
+    t, m, e, load, probes, cpu = bench.run_set(
         spark, registry, "/unused", 1, names, lambda df: df.collect(),
         with_probe=False, cpus=4,
     )
@@ -330,7 +367,7 @@ def test_sf01_probe_cadence_is_tightened_to_every_4(spark, monkeypatch):
     assert bench.MID_PROBE_EVERY_SF01 == 4
     names = [f"k{i:02d}" for i in range(9)]
     registry = {n: _Spec(lambda s, d: s.range(1)) for n in names}
-    t, m, e, load, probes = bench.run_set(
+    t, m, e, load, probes, cpu = bench.run_set(
         spark, registry, "/unused", 1, names, lambda df: df.collect(),
         with_probe=False, cpus=4, probe_every=bench.MID_PROBE_EVERY_SF01,
     )
@@ -348,7 +385,7 @@ def test_mid_set_probe_failure_does_not_kill_the_set(spark, monkeypatch):
     monkeypatch.setattr(bench, "calibration_probe_once", exploding_probe)
     names = [f"k{i:02d}" for i in range(bench.MID_PROBE_EVERY)]
     registry = {n: _Spec(lambda s, d: s.range(1)) for n in names}
-    t, m, e, load, probes = bench.run_set(
+    t, m, e, load, probes, cpu = bench.run_set(
         spark, registry, "/unused", 1, names, lambda df: df.collect(),
         with_probe=False, cpus=4,
     )
@@ -359,11 +396,13 @@ def test_per_key_weather_maps_never_reach_the_printed_line():
     out = _out(8)
     out["queries_load"] = {f"some_headline_query_name_{i:03d}": 1.5 for i in range(8)}
     out["mid_calibrations"] = {"some_headline_query_name_007": 0.84}
+    out["queries_cpu"] = {f"some_headline_query_name_{i:03d}": {"u": 50.0, "s": 5.0, "w": 0.0, "st": 3.2} for i in range(8)}
     out["scaled_queries_load"] = dict(out["queries_load"])
     out["scaled_mid_calibrations"] = dict(out["mid_calibrations"])
+    out["scaled_queries_cpu"] = dict(out["queries_cpu"])
     d = json.loads(bench.compact_stdout_line(out))
     for k in d:
-        assert "load" not in k and "mid_calibrations" not in k
+        assert "load" not in k and "mid_calibrations" not in k and "cpu" not in k
 
 
 def test_calibration_probe_once_matches_calibration_times(spark):
