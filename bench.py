@@ -232,6 +232,12 @@ def cpu_now() -> list[int] | None:
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
+        if len(parts) < 9:
+            # pre-2.6.11 kernels lack the steal field — a short list
+            # here would IndexError later in cpu_delta_pct, killing
+            # the whole set (ADVICE r15); honor the "None where
+            # unsupported" contract instead
+            return None
         return [int(x) for x in parts[1:9]]
     except (OSError, ValueError, IndexError):
         return None
@@ -298,6 +304,23 @@ NOT_IN_TOTAL = {"dedup_incremental_bucketed_probe"}
 #: — when the 29th headline key pushed the two per-query maps past the
 #: window). 1900 leaves headroom for the driver's own framing bytes.
 STDOUT_LINE_LIMIT = 1900
+
+
+def artifact_paths(cpus: int) -> list[str]:
+    """Both write targets of the full-precision artifact: the
+    driver-contract ``BENCH.json`` AND a core-count-stamped twin
+    ``BENCH_c{cpus}.json``. The driver runs the bench twice per window
+    (full cores, then reduced cores for the scaling block) and bench.py
+    always wrote the one fixed path — so the second run OVERWROTE the
+    first's per-key data (the r15 32-core scaled column was lost this
+    way, VERDICT r15 "What's wrong" #1). The stamped twin survives a
+    later run at a different core count; BENCH.json keeps the
+    last-run-wins contract every existing reader expects."""
+    base = os.path.dirname(os.path.abspath(__file__))
+    return [
+        os.path.join(base, "BENCH.json"),
+        os.path.join(base, f"BENCH_c{cpus}.json"),
+    ]
 
 
 def _err_text(e: BaseException) -> str:
@@ -579,6 +602,13 @@ def run_set(
             except Exception as e:  # noqa: BLE001 — probe loss ≠ set loss
                 print(f"bench: mid-set probe failed: {_err_text(e)}",
                       file=sys.stderr)
+            finally:
+                # re-snapshot AFTER the probe: its deliberately
+                # CPU-saturating burn would otherwise be charged to
+                # the NEXT key's queries_cpu delta and read as "that
+                # key ran more compute" — the exact misclassification
+                # the instrument exists to prevent (ADVICE r15)
+                prev_stat = cpu_now()
 
     for name in names:
         spec = registry.get(name)
@@ -734,9 +764,8 @@ def main() -> None:
         "queries_min": {},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    bench_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
-    )
+    out["cpus"] = cpus
+    bench_paths = artifact_paths(cpus)
 
     def flush() -> None:
         """(Re)write the full-precision artifact from what's measured
@@ -762,9 +791,10 @@ def main() -> None:
                 out["scaled_total_per_calib"] = round(
                     out["scaled_total"] / out["scaled_calibration"], 3
                 )
-        with open(bench_path, "w") as fh:
-            json.dump(out, fh, indent=1, sort_keys=True)
-            fh.write("\n")
+        for p in bench_paths:
+            with open(p, "w") as fh:
+                json.dump(out, fh, indent=1, sort_keys=True)
+                fh.write("\n")
 
     def merge(
         col_prefix: str,

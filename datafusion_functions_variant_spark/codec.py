@@ -36,6 +36,17 @@ from typing import Any, Iterable, Iterator
 
 VERSION = 1
 
+# Prebuilt packers: struct.Struct.pack skips the per-call format-string
+# cache lookup struct.pack pays — these run once per encoded scalar
+# (round 16, guide §4.2 per-batch Python work).
+_PACK_B = struct.Struct("<b").pack
+_PACK_H = struct.Struct("<h").pack
+_PACK_I = struct.Struct("<i").pack
+_PACK_Q = struct.Struct("<q").pack
+_PACK_UI = struct.Struct("<I").pack
+_PACK_D = struct.Struct("<d").pack
+_PACK_F = struct.Struct("<f").pack
+
 # Basic types — low 2 bits of every value header (values/mod.rs:13-18).
 BASIC_PRIMITIVE = 0
 BASIC_SHORT_STRING = 1
@@ -229,32 +240,32 @@ def write_int(buf: bytearray, value: int) -> None:
     (write.rs:29-33) — we use the spec's full Int8/16/32/64 ladder."""
     if -(1 << 7) <= value < (1 << 7):
         buf.append(_prim_header(PRIM_INT8))
-        buf += struct.pack("<b", value)
+        buf += _PACK_B(value)
     elif -(1 << 15) <= value < (1 << 15):
         buf.append(_prim_header(PRIM_INT16))
-        buf += struct.pack("<h", value)
+        buf += _PACK_H(value)
     elif -(1 << 31) <= value < (1 << 31):
         buf.append(_prim_header(PRIM_INT32))
-        buf += struct.pack("<i", value)
+        buf += _PACK_I(value)
     else:
         buf.append(_prim_header(PRIM_INT64))
-        buf += struct.pack("<q", value)
+        buf += _PACK_Q(value)
 
 
 def write_i64(buf: bytearray, value: int) -> None:
     """Exact mirror of the reference's Int64 writer (write.rs:29-33)."""
     buf.append(_prim_header(PRIM_INT64))
-    buf += struct.pack("<q", value)
+    buf += _PACK_Q(value)
 
 
 def write_f64(buf: bytearray, value: float) -> None:
     buf.append(_prim_header(PRIM_FLOAT64))
-    buf += struct.pack("<d", value)
+    buf += _PACK_D(value)
 
 
 def write_f32(buf: bytearray, value: float) -> None:
     buf.append(_prim_header(PRIM_FLOAT32))
-    buf += struct.pack("<f", value)
+    buf += _PACK_F(value)
 
 
 def write_decimal(buf: bytearray, unscaled: int, scale: int) -> None:
@@ -269,11 +280,11 @@ def write_decimal(buf: bytearray, unscaled: int, scale: int) -> None:
     if mag <= 0x7FFFFFFF:
         buf.append(_prim_header(PRIM_DECIMAL4))
         buf.append(scale)
-        buf += struct.pack("<i", unscaled)
+        buf += _PACK_I(unscaled)
     elif mag <= 0x7FFFFFFFFFFFFFFF:
         buf.append(_prim_header(PRIM_DECIMAL8))
         buf.append(scale)
-        buf += struct.pack("<q", unscaled)
+        buf += _PACK_Q(unscaled)
     else:
         if mag >= 1 << 127:
             raise VariantError("decimal exceeds 128 bits")
@@ -296,7 +307,7 @@ def write_string(buf: bytearray, value: str) -> None:
         buf += raw
     else:
         buf.append(_prim_header(PRIM_STRING))
-        buf += struct.pack("<i", len(raw))
+        buf += _PACK_I(len(raw))
         buf += raw
 
 
@@ -306,13 +317,13 @@ def write_long_string(buf: bytearray, value: str) -> None:
     byte-parity tests and readers that predate ShortString."""
     raw = value.encode("utf-8")
     buf.append(_prim_header(PRIM_STRING))
-    buf += struct.pack("<i", len(raw))
+    buf += _PACK_I(len(raw))
     buf += raw
 
 
 def write_binary(buf: bytearray, value: bytes) -> None:
     buf.append(_prim_header(PRIM_BINARY))
-    buf += struct.pack("<i", len(value))
+    buf += _PACK_I(len(value))
     buf += value
 
 
@@ -323,7 +334,7 @@ def write_string_from_dictionary(buf: bytearray, index: int) -> None:
     if not 0 <= index <= 0xFFFFFFFF:
         raise VariantError(f"dictionary index out of range: {index}")
     buf.append(_prim_header(PRIM_STRING_DICT))
-    buf += struct.pack("<I", index)
+    buf += _PACK_UI(index)
 
 
 def write_binary_from_dictionary(buf: bytearray, index: int) -> None:
@@ -332,17 +343,17 @@ def write_binary_from_dictionary(buf: bytearray, index: int) -> None:
     if not 0 <= index <= 0xFFFFFFFF:
         raise VariantError(f"dictionary index out of range: {index}")
     buf.append(_prim_header(PRIM_BINARY_DICT))
-    buf += struct.pack("<I", index)
+    buf += _PACK_UI(index)
 
 
 def write_date32(buf: bytearray, days: int) -> None:
     buf.append(_prim_header(PRIM_DATE32))
-    buf += struct.pack("<i", days)
+    buf += _PACK_I(days)
 
 
 def write_timestamp_micros(buf: bytearray, micros: int, ntz: bool = False) -> None:
     buf.append(_prim_header(PRIM_TIMESTAMP_MICRO_NTZ if ntz else PRIM_TIMESTAMP_MICRO))
-    buf += struct.pack("<q", micros)
+    buf += _PACK_Q(micros)
 
 
 # ---------------------------------------------------------------------------
@@ -400,6 +411,17 @@ class ObjectBuilder:
         self._meta = metadata
         self._entries: list[tuple[int, int, int]] = []  # (field_id, start, end)
         self._data = bytearray()
+        # sortedness tracked INCREMENTALLY (round 16): finish() ran an
+        # all()-generator scan over the entries per row just to learn
+        # what each append already knew — whether this fid kept the
+        # sequence non-decreasing.
+        self._sorted = True
+        self._last_fid = -1
+
+    def _note_fid(self, fid: int) -> None:
+        if fid < self._last_fid:
+            self._sorted = False
+        self._last_fid = fid
 
     def append_value(self, key: str, value_bytes: bytes) -> None:
         fid = self._meta.find_string(key)
@@ -408,6 +430,7 @@ class ObjectBuilder:
         start = len(self._data)
         self._data += value_bytes
         self._entries.append((fid, start, len(self._data)))
+        self._note_fid(fid)
 
     def begin_child(self, key: str) -> bytearray:
         """Scratch buffer positioned for a DIRECT child write (the
@@ -424,6 +447,7 @@ class ObjectBuilder:
     def seal_child(self) -> None:
         fid, start = self._pending
         self._entries.append((fid, start, len(self._data)))
+        self._note_fid(fid)
 
     def append_null(self, key: str) -> None:
         b = bytearray()
@@ -464,7 +488,8 @@ class ObjectBuilder:
         # against a sorted dictionary — the common case) the id sort is
         # the identity and the data area is already packed: skip the
         # per-entry repack copy (write.rs:259-261 sorts unconditionally).
-        if all(entries[i][0] <= entries[i + 1][0] for i in range(n - 1)):
+        # Sortedness is tracked per append — no per-row scan here.
+        if self._sorted:
             max_fid = entries[-1][0] if n else 0
             packed = self._data
             offsets = [e[1] for e in entries]
@@ -766,15 +791,23 @@ class ArrayView:
 
 
 def collect_keys(value: Any, into: set[str]) -> None:
-    """Iterative walk collecting every object key (json.rs:115-163)."""
+    """Iterative walk collecting every object key (json.rs:115-163).
+    Only containers are pushed — scalars can't carry keys, and pushing
+    them just to pop-and-type-test each one doubled the walk's work on
+    flat rows (round 16, guide §4.2)."""
+    push = (dict, list)
     stack = [value]
     while stack:
         v = stack.pop()
         if isinstance(v, dict):
             into.update(v.keys())
-            stack.extend(v.values())
+            for x in v.values():
+                if isinstance(x, push):
+                    stack.append(x)
         elif isinstance(v, list):
-            stack.extend(v)
+            for x in v:
+                if isinstance(x, push):
+                    stack.append(x)
 
 
 def convert_value(value: Any, buf: bytearray, metadata: Metadata) -> None:
@@ -807,13 +840,21 @@ def convert_value(value: Any, buf: bytearray, metadata: Metadata) -> None:
             ab.seal_child()
         buf += ab.finish()
     elif isinstance(value, dict):
-        ob = ObjectBuilder(metadata)
-        for k, v in value.items():
-            convert_value(v, ob.begin_child(k), metadata)
-            ob.seal_child()
-        buf += ob.finish()
+        buf += _encode_object(value, metadata)
     else:
         raise VariantError(f"unsupported JSON value: {type(value)}")
+
+
+def _encode_object(value: dict, metadata: Metadata) -> bytes:
+    """One dict → its object value bytes. Shared by ``convert_value``
+    and the top-level fast path in ``batch_from_json`` (an object ROW
+    goes straight to its bytes — no scratch bytearray and no extra
+    full-row copy per row; round 16, guide §4.2)."""
+    ob = ObjectBuilder(metadata)
+    for k, v in value.items():
+        convert_value(v, ob.begin_child(k), metadata)
+        ob.seal_child()
+    return ob.finish()
 
 
 def batch_from_json(
@@ -828,18 +869,9 @@ def batch_from_json(
     Python ``None`` (the Arrow-null of json.rs:185-196); nested nulls
     become variant nulls.
     """
-    parsed: list[Any] = []
-    nulls: list[bool] = []
-    for t in texts:
-        if t is None:
-            parsed.append(None)
-            nulls.append(True)
-            continue
-        try:
-            parsed.append(json.loads(t))
-        except (json.JSONDecodeError, TypeError) as exc:
-            raise VariantError(f"malformed JSON: {exc}") from exc
-        nulls.append(False)
+    texts = list(texts)
+    nulls = [t is None for t in texts]
+    parsed = _parse_batch(texts, nulls)
 
     keys: set[str] = set()
     for p, isnull in zip(parsed, nulls):
@@ -853,11 +885,54 @@ def batch_from_json(
         if isnull or p is None:
             # input SQL null OR top-level JSON null → null slot
             values.append(None)
-            continue
-        b = bytearray()
-        convert_value(p, b, metadata)
-        values.append(bytes(b))
+        elif type(p) is dict:
+            # object row (the overwhelmingly common shape): straight
+            # to its bytes — no scratch bytearray, no full-row copy
+            values.append(_encode_object(p, metadata))
+        else:
+            b = bytearray()
+            convert_value(p, b, metadata)
+            values.append(bytes(b))
     return metadata_buf, values
+
+
+def _parse_batch(texts: list, nulls: list[bool]) -> list[Any]:
+    """Parse a batch of JSON texts with ONE C-level ``json.loads`` of
+    the comma-joined array instead of one interpreter round-trip per
+    row (round 16, guide §4.2: amortize per-row work over the batch).
+
+    Strict-mode semantics are preserved exactly: a malformed row makes
+    the joined array malformed too, so the whole batch still fails —
+    except for one ambiguity class, a "row" that is itself a
+    comma/whitespace-separated JSON value SEQUENCE (e.g. ``"1,2"``),
+    which is invalid standalone but would silently splice extra
+    elements into the array. The element-count check catches exactly
+    that class (and any other disagreement), falling back to the
+    per-row loop whose error/acceptance behavior is the original one.
+    """
+    row_texts = [t for t, isnull in zip(texts, nulls) if not isnull]
+    parsed_rows: list[Any] | None = None
+    if row_texts:
+        try:
+            arr = json.loads("[" + ",".join(row_texts) + "]")
+            if isinstance(arr, list) and len(arr) == len(row_texts):
+                parsed_rows = arr
+        except (ValueError, TypeError):
+            parsed_rows = None  # per-row loop raises the precise error
+    else:
+        parsed_rows = []
+    if parsed_rows is None:
+        parsed_rows = []
+        for t in row_texts:
+            try:
+                parsed_rows.append(json.loads(t))
+            except (json.JSONDecodeError, TypeError) as exc:
+                raise VariantError(f"malformed JSON: {exc}") from exc
+    out: list[Any] = []
+    it = iter(parsed_rows)
+    for isnull in nulls:
+        out.append(None if isnull else next(it))
+    return out
 
 
 def to_python(value: Variant, metadata: Metadata) -> Any:

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.session import stage_boundary
+
 
 def _dot_decimal(qcol: str, ecol: str) -> F.Column:
     """Exact inner product: per-element double product (IEEE —
@@ -728,8 +730,10 @@ def knn_graph(
             *[f"_bkt{b}" for b in range(bands - 1)],
             "_bb.band_id", "_bb.bkt",
         )
-        .localCheckpoint(eager=True)
     )
+    # stage_boundary = localCheckpoint locally; conf-switchable to a
+    # RELIABLE checkpoint at cluster scale (executor-loss-safe) — r16
+    sides = stage_boundary(sides)
     a = sides.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("va"),
         F.col("_nrm").alias("na"),

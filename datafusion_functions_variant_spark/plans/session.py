@@ -86,3 +86,38 @@ def get_session(
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())
+
+
+#: Round 16 (VERDICT r15 #3/#5): materialization strategy for the
+#: stage boundaries the r15 optimizations introduced. Local default is
+#: ``localCheckpoint`` — the cheapest lineage cut, but its blocks live
+#: in executor memory/disk and are NOT fault-tolerant: on a real
+#: cluster an executor loss kills the job instead of recomputing. A
+#: 100 TB deployment sets this conf true (plus
+#: ``sparkContext.setCheckpointDir`` to durable storage) and the same
+#: call sites become reliable checkpoints — one conf, no code change.
+CHECKPOINT_RELIABLE_CONF = "spark.graft.checkpoint.reliable"
+
+
+def stage_boundary(df, eager: bool = True):
+    """Materialize ``df`` and cut its lineage — the shared idiom behind
+    every "compute once, feed N consumers / both self-join sides" site
+    (guide §3.3/§5).
+
+    * default: ``localCheckpoint(eager)`` — executor-local blocks,
+      fastest, fine for a single-box bench or any job that can simply
+      re-run on executor loss;
+    * ``spark.graft.checkpoint.reliable=true``: ``checkpoint(eager)``
+      to the session's checkpoint directory — survives executor loss,
+      the right choice for long multi-stage jobs at cluster scale.
+      Requires ``sparkContext.setCheckpointDir`` (Spark raises a clear
+      error otherwise).
+    """
+    spark = df.sparkSession
+    try:
+        reliable = spark.conf.get(CHECKPOINT_RELIABLE_CONF, "false")
+    except Exception:
+        reliable = "false"
+    if str(reliable).lower() == "true":
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -20,6 +20,7 @@ from ..operators.bloom import bloom_build, bloom_m_bits, bloom_member_sql
 from ..operators.dedup import fan_out
 from ..operators.reconcile import bucketed_snapshot_diff
 from ..operators.similarity import _dot_decimal, _dot_double
+from ..plans.session import stage_boundary
 from ..sources.tables import load_table, register_views
 from . import dsum, dsum_sql, query
 
@@ -92,7 +93,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("v"),
         F.sqrt(_dot_decimal("embedding", "embedding")).alias("nrm"),
         bucket.alias("bucket"),
-    ).localCheckpoint(eager=True)
+    )
+    sides = stage_boundary(sides)  # conf-switchable reliable (r16)
     a = sides.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "bucket",
@@ -207,7 +209,8 @@ def dedup_embedding_cosine_canonical(
         F.col("embedding").alias("v"),
         F.sqrt(_dot_decimal("embedding", "embedding")).alias("nrm"),
         bucket.alias("bucket"),
-    ).localCheckpoint(eager=True)
+    )
+    sides = stage_boundary(sides)  # conf-switchable reliable (r16)
     a = sides.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), F.col("n_dups").alias("da"), "bucket",

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..operators.similarity import knn_graph
+from ..plans.session import stage_boundary
 from ..sources.tables import load_table
 from . import query
 from .curation import _BPE_ROUNDS, _bpe_cte_parts
@@ -126,11 +127,13 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The index is the DISTINCT (band_id, band_hash) set — a pure
     # function of the corpus' distinct texts — so sign each distinct
-    # text once (content-hash id, no join-back needed): the
+    # text once (content-key id, no join-back needed): the
     # md5-per-gram stage stops paying for exact-duplicate mass
-    # (round 15; identical index contents by construction)
+    # (round 15; identical index contents by construction). r16: the
+    # key is dedup.text_content_key (xxhash64+length intrinsic, not a
+    # full-text md5 digest — VERDICT r15 #2).
     corpus_t = (
-        corpus.select(F.md5("text").alias("_th"), "text")
+        corpus.select(dedup.text_content_key("text").alias("_th"), "text")
         # one pinned-width exchange for dedup AND spread: an explicit
         # hash repartition on the content hash is not AQE-coalesced,
         # and the dropDuplicates groupBy reuses it (same key)
@@ -1323,9 +1326,10 @@ def bucketed_index_build(spark: SparkSession, sf_dir: str) -> None:
         F.col("doc_id") % 5 != 0
     )
     # distinct-text signing, same rationale as dedup_incremental_index
-    # (the persisted index is the distinct band set — id-free)
+    # (the persisted index is the distinct band set — id-free; the key
+    # is the xxhash64+length content key, r16)
     corpus_t = (
-        corpus.select(F.md5("text").alias("_th"), "text")
+        corpus.select(dedup.text_content_key("text").alias("_th"), "text")
         # same single-exchange dedup+spread as the unbucketed twin
         .repartition(spark.sparkContext.defaultParallelism, F.col("_th"))
         .dropDuplicates(["_th"])
@@ -2345,8 +2349,9 @@ def _register_embeddings_capstone() -> None:
             # join sides, the flagged-count semi-join) — without the
             # checkpoint each re-executes the gated scan +
             # groupBy(embedding) chain (guide §3.3 / §5: materialise an
-            # intermediate that a self-join or multi-branch re-executes)
-            .localCheckpoint(eager=True)
+            # intermediate that a self-join or multi-branch re-executes;
+            # stage_boundary: conf-switchable reliable checkpoint, r16)
+            .transform(stage_boundary)
         )
         ccnt = canon.groupBy("label").agg(
             F.count(F.lit(1)).cast("long").alias("n_canon")

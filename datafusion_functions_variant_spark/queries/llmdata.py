@@ -93,7 +93,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # the round-15 canonicalize-first signing lives in this helper;
     # without the declaration, editing it would not re-front the query
-    hash_deps=(dedup.minhash_signatures_text_canonical,),
+    # (r16: + the xxhash64+length content key it collapses on)
+    hash_deps=(dedup.minhash_signatures_text_canonical, dedup.text_content_key),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 perms)-LSH(2 bands x 4 rows) candidate pairs over
@@ -158,7 +159,7 @@ _XXHASH_SIGS_PATH = _xxhash_sigs_path()
     ORDER BY doc_a, doc_b
     """,
     # same round-15 canonicalize-first helper as dedup_minhash_lsh
-    hash_deps=(dedup.minhash_signatures_text_canonical,),
+    hash_deps=(dedup.minhash_signatures_text_canonical, dedup.text_content_key),
 )
 def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production fast-path twin of ``dedup_minhash_lsh``: identical

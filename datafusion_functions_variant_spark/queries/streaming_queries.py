@@ -616,11 +616,26 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         prev = None
     spark.conf.set(key, rocksdb)
+    # Scale-adaptive STATE width (round 16, VERDICT r15 #1): the
+    # stateful exchange pays a fixed per-partition toll per
+    # micro-batch (RocksDB store open/commit + one Python state-runner
+    # per partition) and AQE cannot coalesce it — the r15 driver's own
+    # scaling block ran this key 2× faster at half the width. Width
+    # derives from the input size (floor 8, capped at the session
+    # setting, spark.graft.streaming.stateWidth overrides), so a
+    # 100 TB feed keeps the full session width while a small state
+    # stops paying 32 store inits for 8 partitions' worth of keys.
+    import os as _os
+
+    width = core.stateful_shuffle_width(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
     try:
-        st = core.read_events_stream(spark, sf_dir)
-        out = core.run_to_batch(
-            core.transform_with_state_profile(st), "update"
-        )
+        with core.scoped_shuffle_width(spark, width):
+            st = core.read_events_stream(spark, sf_dir)
+            out = core.run_to_batch(
+                core.transform_with_state_profile(st), "update"
+            )
     finally:
         if prev is None:
             spark.conf.unset(key)

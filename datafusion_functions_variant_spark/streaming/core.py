@@ -267,6 +267,101 @@ def stateful_running_max(stream: DataFrame, delay: str = "1 minute") -> DataFram
     )
 
 
+#: conf knobs for ``stateful_shuffle_width`` — explicit override wins,
+#: else width = clamp(input_bytes / target_bytes, floor, session
+#: shuffle partitions). Defaults chosen for the guide's sizing rule
+#: (§2.2: few large partitions beat many tiny ones; a stateful
+#: exchange additionally pays a PER-PARTITION fixed cost every
+#: micro-batch — state store open/commit + one Python state-runner
+#: handshake — so width beyond what the state volume needs is pure
+#: overhead; the r15 driver scaling block measured the bench key 2×
+#: FASTER at half the width on identical data).
+STATE_WIDTH_CONF = "spark.graft.streaming.stateWidth"
+STATE_WIDTH_TARGET_CONF = "spark.graft.streaming.stateWidthTargetBytes"
+_STATE_WIDTH_FLOOR = 8
+_STATE_WIDTH_TARGET_BYTES = 16 << 20
+
+
+def _input_bytes(path: str) -> int:
+    """Total bytes of a table file or directory of part files."""
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def stateful_shuffle_width(spark: SparkSession, input_path: str) -> int:
+    """Scale-adaptive shuffle width for a STATEFUL streaming query.
+
+    A stateful exchange is not a plain shuffle: every micro-batch pays
+    a fixed per-partition toll (state store open + commit, and for
+    Python processors one state-server runner per partition) on top of
+    the row work, and AQE cannot coalesce it — the width is frozen
+    into the checkpoint at first batch. The session default
+    (~core count, right for scan/join exchanges) therefore over-pays
+    whenever the state volume is small: the r15 driver's own scaling
+    block ran the bench key 2× faster at half the width (VERDICT r15
+    "scaling block"), the per-partition commit/init cost dominating.
+
+    Width here derives from the INPUT SIZE (the cheap proxy for state
+    volume available before the stream starts): one partition per
+    ``stateWidthTargetBytes`` (default 16 MB), floored at 8 (keep
+    multi-core fold parallelism even for tiny inputs) and capped at
+    the session's shuffle-partition setting (a 100 TB feed saturates
+    the cap, i.e. behaves exactly as before — the derivation only
+    narrows SMALL states). ``spark.graft.streaming.stateWidth``
+    overrides outright; deployments that know their key cardinality
+    should set it."""
+    explicit = spark.conf.get(STATE_WIDTH_CONF, None)
+    if explicit:
+        return max(1, int(explicit))
+    target = int(
+        spark.conf.get(STATE_WIDTH_TARGET_CONF, None)
+        or _STATE_WIDTH_TARGET_BYTES
+    )
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    derived = (_input_bytes(input_path) + target - 1) // target
+    return max(min(max(int(derived), _STATE_WIDTH_FLOOR), session_width), 1)
+
+
+class scoped_shuffle_width:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` for the
+    duration of one (eager) streaming run, restoring the session value
+    after — the stateful exchange freezes the width at first batch, so
+    the pin only needs to cover ``run_to_batch``."""
+
+    def __init__(self, spark: SparkSession, width: int):
+        self._spark = spark
+        self._width = int(width)
+        self._prev: str | None = None
+
+    def __enter__(self) -> "scoped_shuffle_width":
+        try:
+            self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        except Exception:
+            self._prev = None
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._width))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._prev is None:
+            self._spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions", self._prev
+            )
+
+
 def _fold_profile_batch(pdf) -> tuple[int, int, dict]:
     """Fold ONE per-user input frame of ``transform_with_state_profile``
     locally: (row count, exact value cents, per-event-type counts).
@@ -287,9 +382,16 @@ def _fold_profile_batch(pdf) -> tuple[int, int, dict]:
     k = len(pdf)
     if not k:
         return 0, 0, {}
-    cents = int(
-        np.round(pdf["value"].to_numpy() * 100.0).astype("int64").sum()
-    )
+    v = np.round(pdf["value"].to_numpy() * 100.0)
+    if not np.isfinite(v).all():
+        # ndarray.astype('int64') on NaN/inf silently yields INT64_MIN
+        # garbage where the pandas formulation raised
+        # IntCastingNaNError — a null-bearing stream must stay a loud
+        # failure, not silent sum_value corruption (ADVICE r15)
+        raise ValueError(
+            "transform_with_state_profile: non-finite 'value' in batch"
+        )
+    cents = int(v.astype("int64").sum())
     inc: dict = {}
     for et, c in Counter(pdf["event_type"].to_list()).items():
         if et is None or et != et:  # match groupby dropna

@@ -413,3 +413,94 @@ def test_calibration_probe_once_matches_calibration_times(spark):
     cpus = min(8, os.cpu_count() or 8)
     v = bench.calibration_probe_once(spark, cpus)
     assert isinstance(v, float) and v > 0
+
+
+# --- round 16: harness fixes (ADVICE r15 + VERDICT r15 #3) -------------------
+
+
+def test_cpu_now_short_procstat_line_returns_none(monkeypatch):
+    """A /proc/stat cpu line without the steal field (pre-2.6.11
+    kernels) must yield None per the docstring's 'None where
+    unsupported' contract — not a short list that IndexErrors inside
+    cpu_delta_pct mid-set (ADVICE r15 low)."""
+    import builtins
+    import io
+
+    real_open = builtins.open
+
+    def fake_open(path, *a, **kw):
+        if path == "/proc/stat":
+            return io.StringIO("cpu  100 0 50 900 10\n")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", fake_open)
+    assert bench.cpu_now() is None
+
+
+def test_mid_set_probe_burn_not_charged_to_next_key(spark, monkeypatch):
+    """The calibration probe saturates every core by design; its CPU
+    burn must be re-snapshotted away so it is not charged to the NEXT
+    key's queries_cpu delta as user time (ADVICE r15 medium)."""
+    snaps = []
+    real_cpu_now = bench.cpu_now
+
+    def tracking_cpu_now():
+        s = real_cpu_now()
+        snaps.append(s)
+        return s
+
+    monkeypatch.setattr(bench, "cpu_now", tracking_cpu_now)
+    monkeypatch.setattr(
+        bench, "calibration_probe_once", lambda s, cpus: 0.8
+    )
+    names = [f"k{i:02d}" for i in range(bench.MID_PROBE_EVERY)]
+    registry = {n: _Spec(lambda s, d: s.range(1)) for n in names}
+    bench.run_set(
+        spark, registry, "/unused", 1, names, lambda df: df.collect(),
+        with_probe=False, cpus=4,
+    )
+    # one snapshot at set open + one per key + one EXTRA after the
+    # probe that fires on the MID_PROBE_EVERY-th key
+    assert len(snaps) == 1 + len(names) + 1
+
+
+def test_mid_set_probe_resnapshots_even_when_probe_raises(spark, monkeypatch):
+    snaps = []
+    real_cpu_now = bench.cpu_now
+
+    def tracking_cpu_now():
+        s = real_cpu_now()
+        snaps.append(s)
+        return s
+
+    def exploding_probe(s, cpus):
+        raise RuntimeError("probe died")
+
+    monkeypatch.setattr(bench, "cpu_now", tracking_cpu_now)
+    monkeypatch.setattr(bench, "calibration_probe_once", exploding_probe)
+    names = [f"k{i:02d}" for i in range(bench.MID_PROBE_EVERY)]
+    registry = {n: _Spec(lambda s, d: s.range(1)) for n in names}
+    t, m, e, load, probes, cpu = bench.run_set(
+        spark, registry, "/unused", 1, names, lambda df: df.collect(),
+        with_probe=False, cpus=4,
+    )
+    assert set(t) == set(names) and not e and probes == {}
+    assert len(snaps) == 1 + len(names) + 1
+
+
+def test_artifact_paths_include_core_stamped_twin():
+    """The driver's reduced-core scaling run must never clobber the
+    full-core per-key data (it did in r15: the 32-core scaled column
+    was lost to the c8 run — VERDICT r15 'What's wrong' #1). The
+    artifact now also lands at BENCH_c{cpus}.json."""
+    import os
+
+    paths = bench.artifact_paths(32)
+    names = [os.path.basename(p) for p in paths]
+    assert names == ["BENCH.json", "BENCH_c32.json"]
+    assert os.path.basename(bench.artifact_paths(8)[1]) == "BENCH_c8.json"
+    # main() writes through artifact_paths (both files, every flush)
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "artifact_paths(cpus)" in src

@@ -109,6 +109,19 @@ def test_fold_profile_batch_matches_pandas_formulation():
         n, cents, inc = pandas_fold(pdf) if len(pdf) else (0, 0, {})
         assert got == (n, cents, inc), (got, (n, cents, inc), pdf)
 
+    # NaN/inf value: the pandas formulation raised IntCastingNaNError
+    # (non-finite to int64); the numpy fold must stay equally loud —
+    # ndarray.astype('int64') would otherwise yield INT64_MIN garbage
+    # silently corrupting sum_value (ADVICE r15 medium)
+    for bad in [float("nan"), float("inf"), float("-inf")]:
+        pdf = pd.DataFrame(
+            {"event_type": ["x", "y"], "value": [1.0, bad]}
+        )
+        with pytest.raises(ValueError):
+            pandas_fold(pdf)
+        with pytest.raises(ValueError):
+            _fold_profile_batch(pdf)
+
 
 def test_transform_with_state_profile(spark):
     pytest.importorskip(
@@ -953,3 +966,54 @@ def test_preflight_python_exec_raises_on_failing_import(spark, tmp_path):
             preflight_python_exec(spark)
     finally:
         sc.pythonExec = orig
+
+
+def test_stateful_shuffle_width_derivation(spark, monkeypatch, tmp_path):
+    """Round 16 (VERDICT r15 #1): the stateful exchange's width must be
+    scale-adaptive — floor 8 for tiny state, growing with input bytes,
+    capped at the session shuffle setting, with an explicit conf
+    override winning outright."""
+    from datafusion_functions_variant_spark.streaming import core
+
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # tiny input -> the floor (keeps multi-core fold parallelism)
+    small = tmp_path / "t.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert core.stateful_shuffle_width(spark, str(small)) == min(
+        8, session_width
+    )
+
+    # big input -> bytes / target, capped at the session width
+    monkeypatch.setattr(core, "_input_bytes", lambda p: 100 << 30)
+    assert core.stateful_shuffle_width(spark, "ignored") == session_width
+
+    # mid input -> proportional (between floor and cap) when it fits
+    monkeypatch.setattr(
+        core, "_input_bytes", lambda p: 10 * core._STATE_WIDTH_TARGET_BYTES
+    )
+    expect = max(min(10, session_width), 8)
+    assert core.stateful_shuffle_width(spark, "ignored") == expect
+
+    # explicit override wins
+    spark.conf.set(core.STATE_WIDTH_CONF, "3")
+    try:
+        assert core.stateful_shuffle_width(spark, "ignored") == 3
+    finally:
+        spark.conf.unset(core.STATE_WIDTH_CONF)
+
+
+def test_scoped_shuffle_width_restores_session_value(spark):
+    from datafusion_functions_variant_spark.streaming import core
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with core.scoped_shuffle_width(spark, 5):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # restores on exception too
+    try:
+        with core.scoped_shuffle_width(spark, 7):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
