@@ -268,36 +268,44 @@ def stateful_running_max(stream: DataFrame, delay: str = "1 minute") -> DataFram
 
 
 #: conf knobs for ``stateful_shuffle_width`` — explicit override wins,
-#: else width = clamp(input_bytes / target_bytes, floor, session
-#: shuffle partitions). Defaults chosen for the guide's sizing rule
-#: (§2.2: few large partitions beat many tiny ones; a stateful
-#: exchange additionally pays a PER-PARTITION fixed cost every
-#: micro-batch — state store open/commit + one Python state-runner
-#: handshake — so width beyond what the state volume needs is pure
-#: overhead; the r15 driver scaling block measured the bench key 2×
-#: FASTER at half the width on identical data).
+#: else width = clamp(input_rows / target_rows, floor, session
+#: shuffle partitions). A stateful exchange pays a PER-PARTITION fixed
+#: toll every micro-batch (state store open/commit + one Python
+#: state-runner handshake), so width beyond what the keyed work needs
+#: is pure overhead — but width BELOW the keyed work's parallelism
+#: need serializes the per-key processing. Both regimes were measured
+#: on this exact key (round 16 interleaved A/B, one checksum across
+#: variants): at 100k input rows width 8 beats 32 (min 3.92 s vs
+#: 5.43 — and the r15 DRIVER scaling block showed the same key 2×
+#: faster at half the width), while at 1M rows width 32 beats 8
+#: (7.06 s vs 16.42 — 15k users × 8 state round-trips each need every
+#: core). 25k rows per partition crosses over exactly between those
+#: two measured points.
 STATE_WIDTH_CONF = "spark.graft.streaming.stateWidth"
-STATE_WIDTH_TARGET_CONF = "spark.graft.streaming.stateWidthTargetBytes"
+STATE_WIDTH_TARGET_CONF = "spark.graft.streaming.stateWidthTargetRows"
 _STATE_WIDTH_FLOOR = 8
-_STATE_WIDTH_TARGET_BYTES = 16 << 20
+_STATE_WIDTH_TARGET_ROWS = 25_000
 
 
-def _input_bytes(path: str) -> int:
-    """Total bytes of a table file or directory of part files."""
-    if os.path.isdir(path):
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                if not f.startswith(("_", ".")):
-                    try:
-                        total += os.path.getsize(os.path.join(root, f))
-                    except OSError:
-                        pass
-        return total
+def _input_rows(path: str) -> int | None:
+    """Row count of a parquet file/directory from footers only (no
+    Spark job, no data read); None when unreadable."""
     try:
-        return os.path.getsize(path)
-    except OSError:
-        return 0
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                        continue
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — fall back to the session width
+        return None
 
 
 def stateful_shuffle_width(spark: SparkSession, input_path: str) -> int:
@@ -308,29 +316,30 @@ def stateful_shuffle_width(spark: SparkSession, input_path: str) -> int:
     Python processors one state-server runner per partition) on top of
     the row work, and AQE cannot coalesce it — the width is frozen
     into the checkpoint at first batch. The session default
-    (~core count, right for scan/join exchanges) therefore over-pays
-    whenever the state volume is small: the r15 driver's own scaling
-    block ran the bench key 2× faster at half the width (VERDICT r15
-    "scaling block"), the per-partition commit/init cost dominating.
-
-    Width here derives from the INPUT SIZE (the cheap proxy for state
-    volume available before the stream starts): one partition per
-    ``stateWidthTargetBytes`` (default 16 MB), floored at 8 (keep
-    multi-core fold parallelism even for tiny inputs) and capped at
-    the session's shuffle-partition setting (a 100 TB feed saturates
-    the cap, i.e. behaves exactly as before — the derivation only
-    narrows SMALL states). ``spark.graft.streaming.stateWidth``
-    overrides outright; deployments that know their key cardinality
-    should set it."""
+    (~core count, right for scan/join exchanges) over-pays whenever
+    the keyed work is small (r15 driver scaling block: this bench key
+    2× faster at half the width), yet narrowing a LARGE keyed input
+    serializes the per-key state round-trips (round-16 A/B: 8 wide at
+    1M rows ran 2.3× slower than 32). Width therefore derives from the
+    input ROW COUNT, read from parquet footers before the stream
+    starts: one partition per ``stateWidthTargetRows`` (default 25k),
+    floored at 8 and capped at the session's shuffle-partition setting
+    — a 100 TB feed saturates the cap, i.e. behaves exactly as before;
+    the derivation only narrows SMALL states.
+    ``spark.graft.streaming.stateWidth`` overrides outright;
+    deployments that know their key cardinality should set it."""
     explicit = spark.conf.get(STATE_WIDTH_CONF, None)
     if explicit:
         return max(1, int(explicit))
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    rows = _input_rows(input_path)
+    if rows is None:
+        return session_width
     target = int(
         spark.conf.get(STATE_WIDTH_TARGET_CONF, None)
-        or _STATE_WIDTH_TARGET_BYTES
+        or _STATE_WIDTH_TARGET_ROWS
     )
-    session_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    derived = (_input_bytes(input_path) + target - 1) // target
+    derived = (rows + target - 1) // target
     return max(min(max(int(derived), _STATE_WIDTH_FLOOR), session_width), 1)
 
 

@@ -978,22 +978,30 @@ def test_stateful_shuffle_width_derivation(spark, monkeypatch, tmp_path):
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # tiny input -> the floor (keeps multi-core fold parallelism)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     small = tmp_path / "t.parquet"
-    small.write_bytes(b"x" * 1024)
+    pq.write_table(pa.table({"x": list(range(5))}), str(small))
+    assert core._input_rows(str(small)) == 5
     assert core.stateful_shuffle_width(spark, str(small)) == min(
         8, session_width
     )
 
-    # big input -> bytes / target, capped at the session width
-    monkeypatch.setattr(core, "_input_bytes", lambda p: 100 << 30)
+    # huge input -> rows / target, capped at the session width
+    monkeypatch.setattr(core, "_input_rows", lambda p: 10**12)
     assert core.stateful_shuffle_width(spark, "ignored") == session_width
 
     # mid input -> proportional (between floor and cap) when it fits
     monkeypatch.setattr(
-        core, "_input_bytes", lambda p: 10 * core._STATE_WIDTH_TARGET_BYTES
+        core, "_input_rows", lambda p: 10 * core._STATE_WIDTH_TARGET_ROWS
     )
     expect = max(min(10, session_width), 8)
     assert core.stateful_shuffle_width(spark, "ignored") == expect
+
+    # unreadable input -> the session width (the pre-r16 behavior)
+    monkeypatch.setattr(core, "_input_rows", lambda p: None)
+    assert core.stateful_shuffle_width(spark, "ignored") == session_width
 
     # explicit override wins
     spark.conf.set(core.STATE_WIDTH_CONF, "3")
