@@ -70,18 +70,28 @@ def try_variant_from_json(texts: pd.Series) -> pd.DataFrame:
     """Per-row-tolerant ingestion: malformed rows → null value slot."""
     import json as _json
 
-    parsed, ok = [], []
-    for t in texts.tolist():
-        if t is None:
-            parsed.append(None)
-            ok.append(False)
-            continue
-        try:
-            parsed.append(_json.loads(t))
-            ok.append(True)
-        except (ValueError, TypeError):
-            parsed.append(None)
-            ok.append(False)
+    texts_l = texts.tolist()
+    nulls = [t is None for t in texts_l]
+    try:
+        # clean batch (the common case): ONE C-level array parse
+        # (codec._parse_batch, r16) — tolerant semantics unchanged
+        # because a failure of the joined parse falls through to the
+        # per-row loop below, which maps each bad row to None
+        parsed = codec._parse_batch(texts_l, nulls)
+        ok = [not n for n in nulls]
+    except codec.VariantError:
+        parsed, ok = [], []
+        for t in texts_l:
+            if t is None:
+                parsed.append(None)
+                ok.append(False)
+                continue
+            try:
+                parsed.append(_json.loads(t))
+                ok.append(True)
+            except (ValueError, TypeError):
+                parsed.append(None)
+                ok.append(False)
     keys: set[str] = set()
     for p, good in zip(parsed, ok):
         if good:
@@ -268,22 +278,29 @@ def variant_merge_patch(vs: pd.DataFrame, patches: pd.Series) -> pd.DataFrame:
     so the output batch rebuilds its shared metadata exactly like
     ingestion does). A null patch or null target passes the target /
     null through per RFC semantics."""
-    import json as _json
-
     metas = vs["metadata"]
     vals = vs["value"]
+    patch_l = patches.tolist()
+    # batch-parse the patch column (ONE C-level array parse; strict —
+    # a malformed patch fails the batch exactly as json.loads did).
+    # Null-TARGET rows are excluded from the parse like the original
+    # per-row loop, which never touched their patch text.
+    parsed_patches = codec._parse_batch(
+        patch_l,
+        [p is None or vb is None for p, vb in zip(patch_l, vals)],
+    )
     merged: list = []
-    for mb, vb, ptxt in zip(metas, vals, patches):
+    for mb, vb, patch in zip(metas, vals, parsed_patches):
         if vb is None:
             merged.append(None)
             continue
         target = codec.to_python(
             codec.Variant(bytes(vb)), codec.Metadata(bytes(mb))
         )
-        if ptxt is None:
+        if patch is None:
             merged.append(target)
             continue
-        merged.append(codec.merge_patch(target, _json.loads(ptxt)))
+        merged.append(codec.merge_patch(target, patch))
     keys: set[str] = set()
     for m in merged:
         if m is not None:
