@@ -621,8 +621,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batch (RocksDB store open/commit + one Python state-runner
     # per partition) and AQE cannot coalesce it — the r15 driver's own
     # scaling block ran this key 2× faster at half the width. Width
-    # derives from the input size (floor 8, capped at the session
-    # setting, spark.graft.streaming.stateWidth overrides), so a
+    # derives from the input's parquet-footer row count (floor 8,
+    # capped at the session setting,
+    # spark.graft.streaming.stateWidth overrides), so a
     # 100 TB feed keeps the full session width while a small state
     # stops paying 32 store inits for 8 partitions' worth of keys.
     import os as _os
